@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the hash-compared correctness gate. Entries
+without oracle SQL are genuinely non-SQL-expressible (hashing-trick
+embeddings, seeded LSH) and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +12,172 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resin_spark.io import load_tables
+from resin_spark.operators import kv
+from resin_spark.plans import tpch
+from resin_spark.streaming import events as ev
+
+Query = Callable[[SparkSession, str], DataFrame]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    return tpch.q1_pricing_summary(t)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# --- block A: relational core -------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q1_pricing_summary(load_tables(spark, sf_dir))
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q3_shipping_priority(load_tables(spark, sf_dir))
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q5_local_supplier(load_tables(spark, sf_dir))
+
+
+def _topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.topk_per_group(load_tables(spark, sf_dir))
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.agg_rollup(load_tables(spark, sf_dir))
+
+
+# --- block B: KV column semantics --------------------------------------------
+
+def _kv_try_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as a KV column: key=o_custkey, insertion order=o_orderkey."""
+    t = load_tables(spark, sf_dir)
+    col = t["orders"].select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("value"),
+    )
+    return kv.try_put(col).orderBy("key")
+
+
+def _kv_get_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a multi-value KV column keyed by orderkey."""
+    t = load_tables(spark, sf_dir)
+    col = t["lineitem"].select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("l_partkey").alias("value"),
+    )
+    return (
+        kv.get_many(col)
+        .select("key", "concat_values", "value_count")
+        .orderBy("key")
+    )
+
+
+def _kv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over two columns' key-sets (custkeys in orders vs customer)."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].select(F.col("o_custkey").alias("key"))
+    b = t["customer"].select(F.col("c_custkey").alias("key"))
+    return (
+        kv.set_union(a, b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
+        .union(kv.set_intersect(a, b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n"))
+        .union(kv.set_except(b, a).agg(F.count(F.lit(1)).alias("n")).select(F.lit("except_b_a").alias("op"), "n"))
+        .orderBy("op")
+    )
+
+
+def _kv_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get-by-keys: lineitem column probed with large-part keys (broadcast)."""
+    t = load_tables(spark, sf_dir)
+    col = t["lineitem"].select(
+        F.col("l_partkey").alias("key"),
+        F.col("l_quantity").alias("qty"),
+    )
+    probe = t["part"].filter(F.col("p_size") > 40).select(F.col("p_partkey").alias("key"))
+    return (
+        kv.key_join(col, probe)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .orderBy("key")
+    )
+
+
+# --- block G: events ----------------------------------------------------------
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_rollup(load_tables(spark, sf_dir))
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(load_tables(spark, sf_dir))
+
+
+def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.props_json(load_tables(spark, sf_dir))
+
+
+def queries() -> dict[str, Query]:
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "topk_per_group": _topk,
+        "agg_rollup": _rollup,
+        "kv_try_put": _kv_try_put,
+        "kv_get_many": _kv_get_many,
+        "kv_set_ops": _kv_set_ops,
+        "kv_key_join": _kv_key_join,
+        "events_hourly_rollup": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_props_json": _events_props,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": tpch.q1_oracle(),
+        "q3_shipping_priority": tpch.q3_oracle(),
+        "q5_local_supplier": tpch.q5_oracle(),
+        "topk_per_group": tpch.topk_per_group_oracle(),
+        "agg_rollup": tpch.agg_rollup_oracle(),
+        "kv_try_put": """
+            SELECT key, seq, value FROM (
+                SELECT o_custkey AS key, o_orderkey AS seq, o_totalprice AS value,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1 ORDER BY key
+        """,
+        "kv_get_many": """
+            SELECT l_orderkey AS key,
+                   string_agg(CAST(l_partkey AS VARCHAR), '|' ORDER BY l_linenumber, l_partkey) AS concat_values,
+                   COUNT(*) AS value_count
+            FROM lineitem GROUP BY l_orderkey ORDER BY key
+        """,
+        "kv_set_ops": """
+            SELECT 'except_b_a' AS op,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                                          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))) AS n
+            UNION ALL
+            SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                                                       WHERE c_custkey IN (SELECT o_custkey FROM orders)))
+            UNION ALL
+            SELECT 'union', (SELECT COUNT(DISTINCT key) FROM (
+                SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey FROM customer))
+            ORDER BY op
+        """,
+        "kv_key_join": """
+            SELECT l_partkey AS key, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+            GROUP BY l_partkey ORDER BY key
+        """,
+        "events_hourly_rollup": ev.hourly_rollup_oracle(),
+        "events_sessionize": ev.sessionize_oracle(),
+        "events_props_json": ev.props_json_oracle(),
+    }

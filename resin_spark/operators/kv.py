@@ -1,0 +1,91 @@
+"""Columnar key/value semantics (SURVEY.md §2 block B).
+
+The reference models a column as an on-disk set of keys with attached
+values (reference: src/Resin.KeyValue/ColumnWriter.cs:1-154,
+ColumnReader.cs:1-131, README.md "Key/Value Column Semantics"):
+
+- ``TryPut``       — insert only if the key is new (first write wins);
+- ``PutOrAppend``  — keep one key, link values in insertion order;
+- ``Get/GetMany``  — value(s) for a key, original first, plus count;
+- columns are key-sets → union / intersection / join across columns.
+
+Spark-first mapping: a "column" is a DataFrame ``(key, seq, value)``
+where ``seq`` is the insertion order (any monotone column works — an
+event id, a file offset, a kafka offset). Set semantics become window
+dedup; linked values become an ordered ``collect_list``; lookups become
+joins. Each shape costs exactly one shuffle on ``key`` and scales
+linearly; no per-key state lives on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def try_put(column: DataFrame, key: str = "key", seq: str = "seq") -> DataFrame:
+    """First-wins dedup: the earliest ``seq`` row per key is kept.
+
+    Matches ColumnWriter.TryPut returning false for duplicate keys
+    anywhere in the column snapshot (ColumnWriter.cs: TryPut).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq).asc())
+    return (
+        column.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def get_many(column: DataFrame, key: str = "key", seq: str = "seq",
+             value: str = "value", sep: str = "|") -> DataFrame:
+    """Per-key ordered value list + count, mirroring PutOrAppend → GetMany
+    (original value first, appends in insertion order;
+    ColumnReader.cs: GetMany).
+
+    Values are also emitted concatenated (``sep``-joined) because the
+    reference returns the concatenated byte stream.
+    """
+    return (
+        column.groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(seq).alias("s"), F.col(value).alias("v")))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col(key),
+            F.transform("_pairs", lambda p: p["v"]).alias("values"),
+            F.array_join(
+                F.transform("_pairs", lambda p: p["v"].cast("string")), sep
+            ).alias("concat_values"),
+            F.size("_pairs").alias("value_count"),
+        )
+    )
+
+
+def set_union(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
+    """Distinct union of two columns' key-sets."""
+    return a.select(key).union(b.select(key)).distinct()
+
+
+def set_intersect(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
+    return a.select(key).intersect(b.select(key))
+
+
+def set_except(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
+    return a.select(key).distinct().subtract(b.select(key))
+
+
+def key_join(column: DataFrame, keys: DataFrame, key: str = "key",
+             broadcast_keys: bool = True) -> DataFrame:
+    """Get-by-keys: join a column against a probe key-set.
+
+    A small probe set is broadcast (the common "look up these ids"
+    shape); large probes fall back to a shuffled hash join.
+    """
+    probe = keys.select(key).distinct()
+    if broadcast_keys:
+        probe = broadcast(probe)
+    return column.join(probe, on=key, how="inner")

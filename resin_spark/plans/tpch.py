@@ -1,0 +1,226 @@
+"""Relational query core (SURVEY.md §2 block A).
+
+Classic warehouse shapes over the benchmark star schema, written
+declaratively so Catalyst gets full predicate pushdown / column
+pruning / join reordering. Scale notes per query:
+
+- dimension tables (region, nation, customer at low SF ratios) are
+  explicitly broadcast — no shuffle on the fact side for those joins;
+- fact⋈fact joins (orders⋈lineitem) shuffle on the join key and rely
+  on AQE skew splitting;
+- every query filters + projects before joining, so the parquet scan
+  reads only the referenced columns (verify: .explain → ReadSchema).
+
+All hash-compared double aggregates go through
+:mod:`resin_spark.functions.exact` so the DuckDB oracle matches bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from resin_spark.functions.exact import davg, dsum
+
+Tables = dict[str, DataFrame]
+
+
+def q1_pricing_summary(t: Tables) -> DataFrame:
+    """TPC-H Q1 shape: big scan, group on two low-cardinality flags.
+
+    Map-side partial aggregation does nearly all the work; the shuffle
+    carries ~|flags|² rows regardless of input scale.
+    """
+    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=4).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q1_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q3_shipping_priority(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-10.
+
+    customer is far smaller than orders/lineitem → broadcast; the
+    orders⋈lineitem join shuffles on orderkey. Top-10 via orderBy+limit
+    is a TakeOrderedAndProject — no global sort materialisation.
+    """
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    line = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(line, orders.o_orderkey == line.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+def q3_oracle() -> str:
+    return """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """
+
+
+def q5_local_supplier(t: Tables) -> DataFrame:
+    """TPC-H Q5 shape: star join through two dim chains.
+
+    region→nation is tiny and broadcast; customer and supplier join
+    lineitem/orders on shuffled keys. The n_nationkey equality between
+    customer and supplier nations is applied as a post-join filter,
+    exactly as the reference SQL states it.
+    """
+    region = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nation = t["nation"].join(
+        broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    line = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q5_oracle() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+def topk_per_group(t: Tables, k: int = 3) -> DataFrame:
+    """Top-k rows per group via rank window — one shuffle on the group key.
+
+    At scale this is preferable to per-group sorts: the window sort is
+    local to each hash partition after a single exchange.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+def topk_per_group_oracle(k: int = 3) -> str:
+    return f"""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders
+    ) WHERE rank <= {k}
+    ORDER BY o_orderpriority, rank
+    """
+
+
+def agg_rollup(t: Tables) -> DataFrame:
+    """Grouping-sets rollup over (returnflag, linestatus) — subtotals and
+    grand total in one pass (Spark expands grouping sets map-side)."""
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def agg_rollup_oracle() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """

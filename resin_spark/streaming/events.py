@@ -1,0 +1,177 @@
+"""Event-table pipelines (SURVEY.md §2 block G).
+
+Batch versions are the oracle-checked semantics; the structured
+streaming variant (:func:`stream_hourly_rollup`) runs the same
+windowed aggregation over ``readStream`` with a watermark, so the
+batch results double as the expected output of the stream.
+
+Timestamps are emitted as epoch seconds (bigint) so the correctness
+hash is independent of timezone rendering differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resin_spark.functions.exact import dsum
+
+Tables = dict[str, DataFrame]
+
+
+def hourly_rollup(t: Tables) -> DataFrame:
+    """Tumbling 1-hour window count/sum per event_type.
+
+    ``window()`` keeps the aggregation map-side partial; the shuffle
+    carries only (type × hour) groups. Identical shape runs under
+    structured streaming (see stream_hourly_rollup).
+    """
+    e = t["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def hourly_rollup_oracle() -> str:
+    return """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """
+
+
+def sessionize(t: Tables, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionisation: a new session starts when a user
+    is idle longer than ``gap_minutes``.
+
+    One shuffle on user_id; both windows reuse the same partitioning
+    (Catalyst plans a single exchange). No driver-side iteration — the
+    cumulative-sum trick keeps it fully distributed.
+    """
+    gap = gap_minutes * 60
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        e.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def sessionize_oracle(gap_minutes: int = 30) -> str:
+    gap = gap_minutes * 60
+    return f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {gap}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """
+
+
+def props_json(t: Tables) -> DataFrame:
+    """Extract the JSON ``props.k`` field and aggregate per event_type —
+    semi-structured extraction stays JVM-side (get_json_object)."""
+    e = t["events"].select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def props_json_oracle() -> str:
+    return """
+    SELECT event_type,
+           COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
+                         watermark: str = "2 hours"):
+    """Structured-streaming twin of :func:`hourly_rollup`.
+
+    Reads the events parquet directory as a stream (one file per
+    trigger), applies a watermark for late data, and aggregates into
+    tumbling 1-hour windows. Returns the streaming DataFrame; callers
+    attach their own sink (tests use format('memory') +
+    trigger(availableNow=True) and compare against the batch result).
+    """
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_parquet_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
