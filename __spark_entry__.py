@@ -14,8 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
-from resin_spark.operators import kv
+from resin_spark.operators import kv, textops
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
 
@@ -107,6 +108,37 @@ def _kv_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- block C: text analysis ---------------------------------------------------
+
+def _mk_text(fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_tables(spark, sf_dir))
+    return q
+
+
+def _string_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringAnalyzer.Compare analog: hashed char-ngram embeddings of
+    consecutive doc pairs + cosine (StringAnalyzer.cs:745-750).
+    Non-SQL-expressible (procedural hashing embedder) → rows-only check.
+    """
+    t = load_tables(spark, sf_dir)
+    embed = hashing.embed_text_udf(dims=512)
+    d = t["documents"].select("doc_id", embed(F.col("text")).alias("emb"))
+    a = d.alias("a")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("emb").alias("emb_b")
+    ).alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.pair_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            (F.col("a.doc_id") + 1).alias("doc_b"),
+            F.round(vectors.cosine(F.col("a.emb"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 # --- block G: events ----------------------------------------------------------
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +167,15 @@ def queries() -> dict[str, Query]:
         "events_hourly_rollup": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_props_json": _events_props,
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "term_frequencies": _mk_text(textops.term_frequencies),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "text_quality_score": _mk_text(textops.quality_score),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "unicode_range": _mk_text(textops.unicode_range),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "string_compare": _string_compare,
     }
 
 
@@ -180,4 +221,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": ev.hourly_rollup_oracle(),
         "events_sessionize": ev.sessionize_oracle(),
         "events_props_json": ev.props_json_oracle(),
+        "text_tokenize_stats": textops.tokenize_stats_oracle(),
+        "term_frequencies": textops.term_frequencies_oracle(),
+        "lexicon_build": textops.lexicon_build_oracle(),
+        "text_quality_score": textops.quality_score_oracle(),
+        "lang_id_heuristic": textops.lang_id_oracle(),
+        "doc_fingerprint": textops.fingerprint_oracle(),
+        "unicode_range": textops.unicode_range_oracle(),
+        "token_count_bpe": textops.token_count_bpe_oracle(),
     }

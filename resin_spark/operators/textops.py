@@ -1,0 +1,251 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2 block C).
+
+Every operator is a single scan + narrow aggregation — no Python UDFs;
+the token pipeline stays inside whole-stage codegen. Per-doc work is
+embarrassingly parallel, so these shapes hold unchanged at 100 TB; the
+only shuffles are the final groupBys on low-cardinality keys (terms,
+langs), which AQE coalesces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from resin_spark.functions import text as T
+
+Tables = dict[str, DataFrame]
+
+
+def tokenize_stats(t: Tables) -> DataFrame:
+    """Per-doc token counts + mean token length (StringAnalyzer.SplitWords
+    analog; reference src/Resin.TextAnalysis/StringAnalyzer.cs:252-309)."""
+    toks = T.tokens("text")
+    d = t["documents"].select(
+        "doc_id",
+        toks.alias("toks"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            (
+                F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+                / F.size("toks")
+            ).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tokenize_stats_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                       (a, b) -> a + b) / len(toks) AS mean_token_len
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ORDER BY doc_id
+    """
+
+
+def term_frequencies(t: Tables, top_n: int = 100) -> DataFrame:
+    """Corpus term frequency, top-N by (count desc, term). Explode happens
+    after projection; partial aggregation combines map-side."""
+    return (
+        t["documents"]
+        .select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(top_n)
+    )
+
+
+def term_frequencies_oracle(top_n: int = 100) -> str:
+    return f"""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest({T.tokens_sql("text")}) AS term FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT {top_n}
+    """
+
+
+def lexicon_build(t: Tables) -> DataFrame:
+    """Distinct token → stable sorted index (LexiconBuilder.cs:1-19: a
+    SortedList keyed by word). The distinct set is tiny relative to the
+    corpus, so the final single-partition index window is safe; at
+    extreme vocabulary sizes swap in rank-over-range-partitioned ids.
+    """
+    w = Window.orderBy("token")
+    return (
+        t["documents"]
+        .select(F.explode(T.tokens("text")).alias("token"))
+        .distinct()
+        .withColumn("index", F.row_number().over(w) - 1)
+        .orderBy("token")
+    )
+
+
+def lexicon_build_oracle() -> str:
+    return f"""
+    SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS index
+    FROM (SELECT DISTINCT unnest({T.tokens_sql("text")}) AS token FROM documents)
+    ORDER BY token
+    """
+
+
+def quality_score(t: Tables) -> DataFrame:
+    """Heuristic doc quality: length, stopword ratio, punctuation ratio.
+
+    The boolean gate mirrors a pretraining-pipeline quality filter
+    (keep: long enough, some stopwords, little punctuation noise).
+    """
+    toks = T.tokens("text")
+    d = t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+        T.punct_count("text").alias("n_punct"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        (T.stopword_count(F.col("toks")) / F.size("toks")).alias("stop_ratio"),
+        (F.col("n_punct") / F.col("n_chars")).alias("punct_ratio"),
+    )
+    return d.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 10)
+        & (F.col("stop_ratio") >= 0.01)
+        & (F.col("punct_ratio") <= 0.2),
+    ).orderBy("doc_id")
+
+
+def quality_score_oracle() -> str:
+    toks = T.tokens_sql("text")
+    stop = T.stopword_count_sql("toks")
+    return f"""
+    SELECT doc_id, n_chars, n_tokens, stop_ratio, punct_ratio,
+           (n_tokens >= 10 AND stop_ratio >= 0.01 AND punct_ratio <= 0.2) AS quality_ok
+    FROM (
+        SELECT doc_id, n_chars, len(toks) AS n_tokens,
+               {stop} / len(toks) AS stop_ratio,
+               {T.punct_count_sql("text")} / n_chars AS punct_ratio
+        FROM (SELECT doc_id, length(text) AS n_chars, text, {toks} AS toks FROM documents)
+    )
+    ORDER BY doc_id
+    """
+
+
+def lang_id(t: Tables) -> DataFrame:
+    """Marker-word language ID: count profile hits per language, argmax
+    with alphabetical tie-break. Profiles are constants — pure map-side."""
+    toks = T.tokens("text")
+    d = t["documents"].select("doc_id", toks.alias("toks"))
+    for lang, words in sorted(T.LANG_PROFILES.items()):
+        d = d.withColumn(f"m_{lang}", T.stopword_count(F.col("toks"), words))
+    langs = sorted(T.LANG_PROFILES)
+    best = F.greatest(*[F.col(f"m_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"m_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("n_matches"),
+    ).orderBy("doc_id")
+
+
+def lang_id_oracle() -> str:
+    toks = T.tokens_sql("text")
+    langs = sorted(T.LANG_PROFILES)
+    cols = ",\n               ".join(
+        f"{T.stopword_count_sql('toks', T.LANG_PROFILES[lang])} AS m_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"m_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN m_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    SELECT doc_id, {case} AS pred_lang, CAST(best AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, {best} AS best, * FROM (
+            SELECT doc_id,
+               {cols}
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        )
+    )
+    ORDER BY doc_id
+    """
+
+
+def fingerprint(t: Tables) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document
+    (HashOperations.cs Knuth-hash analog, made engine-portable)."""
+    return (
+        t["documents"]
+        .select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def fingerprint_oracle() -> str:
+    return f"""
+    SELECT doc_id, {T.doc_fingerprint_sql("text")} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """
+
+
+def unicode_range(t: Tables) -> DataFrame:
+    """Corpus min/max codepoint (StringAnalyzer.FindUnicodeRange,
+    StringAnalyzer.cs:714-743). Per-doc min/max first (no explode), then
+    a global fold — the shuffle carries one row per document."""
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    return (
+        t["documents"]
+        .select(
+            F.array_min(codes).alias("dmin"),
+            F.array_max(codes).alias("dmax"),
+        )
+        .agg(
+            F.min("dmin").alias("min_codepoint"),
+            F.max("dmax").alias("max_codepoint"),
+        )
+    )
+
+
+def unicode_range_oracle() -> str:
+    return """
+    SELECT MIN(dmin) AS min_codepoint, MAX(dmax) AS max_codepoint
+    FROM (
+        SELECT list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS dmin,
+               list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS dmax
+        FROM documents
+    )
+    """
+
+
+def token_count_bpe(t: Tables) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc (pipeline budgeting)."""
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n_ws_tokens"),
+            F.size(T.bpe_tokens("text")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_count_bpe_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           len({T.bpe_tokens_sql("text")}) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """

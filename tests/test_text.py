@@ -1,0 +1,80 @@
+"""Text-analysis unit tests, modeled on StringAnalyzerTests.cs
+(SplitWords punctuation rules, tokenize round-trips, hash behaviour)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resin_spark.functions import hashing, text as T
+from resin_spark.functions import vectors as V
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_tokens_strip_punctuation(spark):
+    # StringAnalyzerTests.SplitWords_RemovesStandalonePunctuation analog
+    assert _one(spark, "Hello, world! 42", T.tokens("text")) == ["hello", "world", "42"]
+    assert _one(spark, "a--b  c", T.tokens("text")) == ["a", "b", "c"]
+    assert _one(spark, "...", T.tokens("text")) == []
+
+
+def test_bpe_tokens_split_mixed(spark):
+    assert _one(spark, "ab1 cd!", T.bpe_tokens("text")) == ["ab", "1", "cd", "!"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = _one(spark, "alpha beta gamma", T.doc_fingerprint("text"))
+    b = _one(spark, "beta alpha gamma", T.doc_fingerprint("text"))
+    c = _one(spark, "alpha beta gamma", T.doc_fingerprint("text"))
+    assert a == c and a != b
+
+
+def test_knuth_hash_matches_reference_algorithm(spark):
+    # HashOperations.CalculateKnuthHash computed by hand for "ab":
+    h = 3074457345618258791
+    for ch in "ab":
+        h = ((h + ord(ch)) * 3074457345618258799) % (1 << 64)
+    expected = h - (1 << 64) if h >= (1 << 63) else h
+    got = (
+        spark.createDataFrame([("ab",)], "s string")
+        .select(hashing.knuth_hash(F.col("s")).alias("h"))
+        .first()["h"]
+    )
+    assert got == expected
+
+
+def test_embedding_similarity_ordering(spark):
+    # Compare: similar strings score higher than dissimilar (StringAnalyzer.Compare)
+    df = spark.createDataFrame(
+        [("the quick brown fox", "the quick brown foxes", "completely different words here")],
+        "a string, b string, c string",
+    )
+    embed = hashing.embed_text_udf(256)
+    row = df.select(
+        V.cosine(embed(F.col("a")), embed(F.col("b"))).alias("sim_close"),
+        V.cosine(embed(F.col("a")), embed(F.col("c"))).alias("sim_far"),
+    ).first()
+    assert row["sim_close"] > row["sim_far"]
+    assert 0.0 <= row["sim_far"] < row["sim_close"] <= 1.0000001
+
+
+def test_vector_ops_basics(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0], [2.0, 0.0, 4.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        V.dot("a", "b").alias("dot"),
+        V.cosine("a", "b").alias("cos"),
+        V.l2_distance("a", "b").alias("l2"),
+        V.l1_distance("a", "b").alias("l1"),
+        V.nonzero_overlap("a", "b").alias("ov"),
+        V.nonzero_jaccard("a", "b").alias("jc"),
+    ).first()
+    assert row["dot"] == 10.0
+    assert abs(row["cos"] - 1.0) < 1e-12
+    assert abs(row["l2"] - 5 ** 0.5) < 1e-12
+    assert row["l1"] == 3.0
+    assert row["ov"] == 2
+    assert row["jc"] == 1.0
