@@ -1,0 +1,385 @@
+"""Deduplication suite (SURVEY.md §2 block D).
+
+Five strategies, ordered by cost/recall trade-off:
+
+- exact            — content-hash groupBy; one shuffle on the hash.
+- ngram_jaccard    — exact set-overlap via shingle inverted index:
+                     explode → self-join on shingle → count. The join
+                     key is the shingle, so cost is Σ df(shingle)² —
+                     fine when near-dup clusters are sparse; at 100 TB
+                     cap df per shingle (drop ultra-common shingles,
+                     they carry no signal).
+- minhash_lsh      — the scale path: constant-size signature per doc,
+                     banded bucketing, candidates verified exactly.
+                     Only near-identical docs collide, so the join is
+                     ~linear in corpus size.
+- simhash          — 60-bit fingerprint, Hamming-ball candidate pairs
+                     via chunk pigeonhole banding.
+- embedding cosine — semantic near-dup on the embeddings table.
+
+Reference ties: content-addressing via string hash
+(src/Resin.TextAnalysis/HashOperations.cs), near-identity detection via
+cosine IdenticalAngle (src/Resin.MachineLearning/GraphExtensions.cs:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from resin_spark.functions import text as T
+from resin_spark.functions import vectors as V
+
+MERSENNE_P = (1 << 61) - 1
+HEX = "0123456789abcdef"
+
+
+# --- D1: exact ---------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per md5(content); report group size."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+def exact_dedup_oracle() -> str:
+    return """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """
+
+
+# --- shared shingles ---------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) with distinct word-n-gram shingles per doc."""
+    toks = T.tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def _shingles_sql(n: int = 3) -> str:
+    toks = T.tokens_sql("text")
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {n - 2}), i -> {parts}))) AS shingle
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        WHERE len(toks) >= {n}
+    """
+
+
+# --- D2: exact n-gram jaccard ------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
+    """All (i<j) pairs with exact shingle-set Jaccard ≥ tau.
+
+    Inverted-index self-join: pairs are generated only for docs sharing
+    at least one shingle — never a full cross join. jaccard is a ratio
+    of integers, so it is engine-exact.
+    """
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_oracle(n: int = 3, tau: float = 0.5) -> str:
+    return f"""
+    WITH sh AS ({_shingles_sql(n)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {tau}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# --- D3: minhash + LSH (scale path; rows-only) --------------------------------
+
+def _minhash_udf(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        def one(hs):
+            if hs is None or len(hs) == 0:
+                return [0] * num_perm
+            h = np.asarray(hs, dtype=np.uint64).reshape(-1, 1)
+            # (a*h + b) mod p, computed in python ints via object fallback
+            # avoided: uint64 wraparound is fine for min-selection as long
+            # as it is consistent — we use mod p on 128-bit via float-free
+            # splitting: (a*h) mod p with h,a < p < 2^61.
+            ph = (np.asarray(a, dtype=object) * h.astype(object) + b) % MERSENNE_P
+            return ph.min(axis=0).astype(np.int64).tolist()
+        return hashes.map(one)
+
+    return sig
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 128,
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash signatures over word shingles."""
+    sh = shingles(docs, n)
+    hashed = sh.groupBy("doc_id").agg(
+        F.collect_list(F.abs(F.xxhash64("shingle"))).alias("hashes")
+    )
+    sig = _minhash_udf(num_perm, seed)
+    return hashed.select("doc_id", sig("hashes").alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
+                      bands: int = 32, tau: float = 0.5,
+                      seed: int = 42) -> DataFrame:
+    """Banded-LSH candidates verified with exact Jaccard ≥ tau.
+
+    rows_per_band = num_perm/bands controls the S-curve; 128/32 → r=4
+    puts the collision knee near J≈0.5. Candidate generation is a
+    groupBy on (band, band_hash) — near-linear; no cross join anywhere.
+    """
+    sigs = minhash_signatures(docs, n, num_perm, seed)
+    r = num_perm // bands
+    bands_df = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * r + j + 1) for j in range(r)]))
+                for i in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh_sets = shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    sa = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- D4: simhash ---------------------------------------------------------------
+
+N_BITS = 60
+N_CHUNKS = 4  # pigeonhole banding: hamming<=3 pairs share >=1 identical chunk
+
+
+def _token_hash60(col):
+    """First 15 hex chars of md5 → 60-bit integer (portable across engines)."""
+    hexpart = F.substring(F.md5(col), 1, 15)
+    return F.aggregate(
+        F.split(hexpart, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 16 + F.instr(F.lit(HEX), c) - 1,
+    )
+
+
+def _token_hash60_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 15), ''),"
+        f" c -> CAST(strpos('{HEX}', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """60-bit simhash over distinct tokens (weight 1 per token)."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"))
+        .withColumn("h", _token_hash60(F.col("tok")))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ])
+    sim = None
+    for j in range(N_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    th = _token_hash60_sql("tok")
+    bit_cols = ",\n           ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_BITS)
+    )
+    sim = " + ".join(f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+                     for j in range(N_BITS))
+    return f"""
+        SELECT doc_id, {sim} AS simhash
+        FROM (
+            SELECT doc_id, {bit_cols}
+            FROM (
+                SELECT doc_id, {th} AS h
+                FROM (SELECT doc_id, unnest(list_distinct({T.tokens_sql("text")})) AS tok
+                      FROM documents)
+            )
+            GROUP BY doc_id
+        )
+    """
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(i<j) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via chunk pigeonhole: split 60 bits into 4 chunks of 15;
+    any pair within Hamming 3 shares ≥1 exact chunk, so the join key is
+    (chunk_idx, chunk_value) — no cross join. Verified with bit_count.
+    """
+    sims = simhash(docs)
+    chunk_bits = N_BITS // N_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(N_CHUNKS)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return f"""
+    WITH sims AS ({simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a, sims b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# --- D5: embedding cosine ------------------------------------------------------
+
+def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
+    """Semantic near-dup (i<j) pairs with cosine ≥ tau — exact variant.
+
+    L2-normalises once before the self-join so the pair predicate is a
+    plain dot product (halves the inner-loop flops). The exact
+    all-pairs form is the correctness baseline; the banded scale path
+    is operators/similarity.lsh_topk.
+    """
+    normed = emb.select(
+        "vec_id", V.l2_normalize("embedding").alias("u")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            V.dot(F.col("a.u"), F.col("b.u")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_dedup_oracle(tau: float = 0.4) -> str:
+    ua = "list_transform(a.embedding, x -> CAST(x AS DOUBLE) / na)"
+    # norms computed per-side first for the same normalise-then-dot order
+    return f"""
+    WITH normed AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / {V.norm_sql("embedding")}) AS u
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM normed a, normed b
+    WHERE a.vec_id < b.vec_id AND {V.dot_sql("a.u", "b.u")} >= {tau}
+    ORDER BY vec_a, vec_b
+    """

@@ -1,0 +1,258 @@
+"""Vector similarity search + ML batch ops (SURVEY.md §2 block E).
+
+The reference's search stack is a greedy binary-tree walk over cosine
+angles (src/Resin.MachineLearning/GraphExtensions.cs:46-73
+ClosestMatch, GraphSearcher.cs, GraphIndex.cs). A pointer-chasing tree
+is the wrong physical shape for Spark, so the same query semantics —
+"best match(es) above an angle threshold" — are re-expressed as:
+
+- brute_topk      — exact: broadcast the query set, score every
+                    (query, candidate) pair JVM-side, per-query top-k
+                    window. One pass over the corpus, no shuffle of the
+                    big side; this is also the recall oracle.
+- lsh_topk        — scale path: random-hyperplane signatures bucket
+                    the corpus; only same-bucket pairs are scored.
+- knn_classify    — majority label of the k nearest (batch MLlib-style
+                    use of the index).
+- label_centroids — per-label mean vector ("large anything models":
+                    batch model building over vector columns).
+- closest_match   — rank-1 hit per query + FoldAngle gate, the direct
+                    GraphIndex.Search analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from resin_spark.functions import vectors as V
+
+FOLD_ANGLE = 0.55  # GraphOptions.cs defaults
+IDENTICAL_ANGLE = 0.99
+
+
+def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The query side is broadcast — the corpus is scanned exactly once
+    with no shuffle; the only exchange is the per-query top-k window on
+    (n_queries × n_corpus) scored rows, which AQE coalesces. Scoring is
+    a JVM fold (functions/vectors.py), never per-row Python.
+    """
+    scored = (
+        emb.select(id_col, vec_col)
+        .join(broadcast(queries.select(q_id, q_vec)),
+              F.col(id_col) != F.col(q_id))
+        .select(
+            F.col(q_id),
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine(vec_col, q_vec).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )
+
+
+def brute_topk_oracle(k: int = 10, n_queries: int = 5) -> str:
+    cos = V.cosine_sql("e.embedding", "q.embedding")
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {cos} AS score
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(score, 9) AS score
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def _hyperplane_udf(dims: int, n_planes: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dims))
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_planes):
+            out |= bits[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
+             n_planes: int = 8, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, scored within-bucket.
+
+    n_tables independent hash tables (seeded deterministically) union
+    their candidates before exact scoring — the standard recall knob.
+    The corpus is bucketed once per table (Arrow-batched matmul) and
+    joined on (table, bucket): cost ≈ corpus × tables, never corpus².
+    """
+    cand = None
+    for t in range(n_tables):
+        h = _hyperplane_udf(dims, n_planes, seed=7 + t)
+        eb = emb.select(F.col(id_col), F.col(vec_col), h(F.col(vec_col)).alias("bucket"))
+        qb = queries.select(F.col(q_id), F.col(q_vec), h(F.col(q_vec)).alias("bucket"))
+        pairs = eb.join(broadcast(qb), on="bucket").filter(F.col(id_col) != F.col(q_id))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates([q_id, id_col])
+    scored = cand.select(
+        F.col(q_id),
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine(vec_col, q_vec).alias("score"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )
+
+
+def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
+    """Predict each vector's label from its k nearest neighbors
+    (majority vote, ties → smallest label). Exact neighbors — the
+    LSH candidates path drops in unchanged for scale."""
+    base = emb.select("vec_id", "embedding", "label")
+    a = base.alias("a")
+    b = base.alias("b")
+    scored = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.label").alias("true_label"),
+            F.col("b.label").alias("nb_label"),
+            F.col("b.vec_id").alias("nb_id"),
+            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nb_id"))
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("vec_id", "true_label", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("n_votes").desc(), F.col("nb_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("vec_id", "true_label", F.col("nb_label").alias("pred_label"), "n_votes")
+        .orderBy("vec_id")
+    )
+
+
+def knn_classify_oracle(k: int = 10) -> str:
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH scored AS (
+        SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
+               b.vec_id AS nb_id, {cos} AS score
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+    ), topk AS (
+        SELECT * FROM (
+            SELECT vec_id, true_label, nb_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, nb_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    ), votes AS (
+        SELECT vec_id, true_label, nb_label, COUNT(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, true_label, nb_label AS pred_label, n_votes
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY n_votes DESC, nb_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    ORDER BY vec_id
+    """
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vector as (label, dim, mean_val) rows.
+
+    posexplode + groupBy(label, dim) keeps the aggregation map-side
+    partial and avoids any fixed-width array reassembly; the decimal
+    cast makes the mean order-independent (see functions/exact.py).
+    """
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def label_centroids_oracle() -> str:
+    return """
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS mean_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY 1, 2 ORDER BY label, dim
+    """
+
+
+def closest_match(emb: DataFrame, queries: DataFrame,
+                  fold_angle: float = FOLD_ANGLE,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """GraphIndex.Search analog: the single best hit per query, with the
+    FoldAngle acceptance gate reported as a flag
+    (GraphExtensions.cs:46-73; GraphOptions.cs FoldAngle=0.55)."""
+    best = brute_topk(emb, queries, k=1, id_col=id_col, vec_col=vec_col,
+                      q_id=q_id, q_vec=q_vec)
+    return best.select(
+        F.col(q_id),
+        F.col("neighbor_id").alias("best_id"),
+        F.col("score"),
+        (F.col("score") > fold_angle).alias("above_fold"),
+    ).orderBy(q_id)
+
+
+def closest_match_oracle(fold_angle: float = FOLD_ANGLE, n_queries: int = 5) -> str:
+    cos = V.cosine_sql("e.embedding", "q.embedding")
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS score
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id AS best_id, round(score, 9) AS score,
+           round(score, 9) > {fold_angle} AS above_fold
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank = 1
+    ORDER BY query_id
+    """
