@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
-from resin_spark.operators import kv, textops
+from resin_spark.operators import dedup, graph, kv, multimodal, similarity, textops
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
 
@@ -139,6 +139,81 @@ def _string_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- block D: deduplication ---------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded LSH → rows-only check; candidates are verified with exact
+    Jaccard, so output ⊆ dedup_ngram_jaccard at the same tau."""
+    return dedup.minhash_lsh_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dedup_pairs(load_tables(spark, sf_dir)["embeddings"])
+
+
+# --- block E: similarity / ML -------------------------------------------------
+
+def _query_vectors(emb: DataFrame, n: int = 5) -> DataFrame:
+    """The oracle convention: the first n vectors are the query set."""
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.brute_topk(emb, _query_vectors(emb))
+
+
+def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (seeded hyperplanes) → rows-only check."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.lsh_topk(emb, _query_vectors(emb))
+
+
+def _vector_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.vector_analyze(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_classify(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.graph_dedup(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.closest_match(emb, _query_vectors(emb))
+
+
+# --- block F: multimodal ------------------------------------------------------
+
+def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.binary_meta(load_tables(spark, sf_dir))
+
+
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(load_tables(spark, sf_dir))
+
+
 # --- block G: events ----------------------------------------------------------
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +251,20 @@ def queries() -> dict[str, Query]:
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
         "string_compare": _string_compare,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "vector_analyze": _vector_analyze,
+        "knn_classify": _knn_classify,
+        "graph_dedup": _graph_dedup,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_frame_sample": _mm_frame_sample,
     }
 
 
@@ -229,4 +318,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textops.fingerprint_oracle(),
         "unicode_range": textops.unicode_range_oracle(),
         "token_count_bpe": textops.token_count_bpe_oracle(),
+        "dedup_exact": dedup.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "dedup_simhash": dedup.simhash_pairs_oracle(),
+        "dedup_embedding": dedup.embedding_dedup_oracle(),
+        "ann_topk_bruteforce": similarity.brute_topk_oracle(),
+        "vector_analyze": similarity.vector_analyze_oracle(),
+        "knn_classify": similarity.knn_classify_oracle(),
+        "graph_dedup": graph.graph_dedup_oracle(),
+        "label_centroids": similarity.label_centroids_oracle(),
+        "closest_match": similarity.closest_match_oracle(),
+        "mm_binary_meta": multimodal.binary_meta_oracle(),
+        "mm_frame_sample": multimodal.frame_sample_oracle(),
     }

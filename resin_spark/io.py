@@ -22,29 +22,62 @@ TABLE_NAMES = (
 )
 
 
-def load_tables(spark: SparkSession, sf_dir: str,
-                names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
-    """Load the benchmark tables from ``sf_dir`` as a dict of DataFrames.
+class LazyTables(dict):
+    """Dict of table-name -> DataFrame that reads each parquet on first access.
 
-    ``events.ts`` is nanosecond-precision parquet, which Spark reads as a
-    long (``nanosAsLong``); it is converted to a timestamp via integer
-    ns→µs division — the same truncation DuckDB applies — so timestamp
-    semantics agree across engines.
+    Lazy loading matters twice: a query only pays parquet-footer reads for the
+    tables it actually touches, and an unreadable table can't poison unrelated
+    queries. At cluster scale this also means partition discovery happens only
+    for the tables in the plan.
     """
-    out = {}
-    for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 names: tuple[str, ...] = TABLE_NAMES):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._names = names
+        # events.ts is nanosecond-precision parquet, which Spark 4 refuses
+        # to read by default (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+        # runtime-settable SQL conf, so set it here rather than relying on
+        # the session having been built by resin_spark.session.get_spark —
+        # the correctness driver supplies its own vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin timestamp semantics to UTC so results agree with the DuckDB
+        # oracle regardless of the host session's timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def _load(self, name: str) -> DataFrame:
+        df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # ns→µs integer division: the same truncation DuckDB applies,
+            # so timestamp semantics agree across engines.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        out[name] = df
-    return out
+        return df
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if not super().__contains__(name):
+            if name not in self._names:
+                raise KeyError(name)
+            super().__setitem__(name, self._load(name))
+        return super().__getitem__(name)
+
+    def __missing__(self, name: str) -> DataFrame:  # pragma: no cover
+        return self.__getitem__(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLE_NAMES) -> LazyTables:
+    """The ten benchmark tables from ``sf_dir``, read lazily on first access."""
+    return LazyTables(spark, sf_dir, names)
 
 
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLE_NAMES) -> None:
     """Register each table as a temp view for spark.sql usage."""
-    for name, df in load_tables(spark, sf_dir, names).items():
-        df.createOrReplaceTempView(name)
+    tables = load_tables(spark, sf_dir, names)
+    for name in names:
+        tables[name].createOrReplaceTempView(name)
 
 
 def read_cirrussearch(spark: SparkSession, path: str, fields: list[str],
@@ -70,9 +103,16 @@ def read_cirrussearch(spark: SparkSession, path: str, fields: list[str],
     df = df.filter(F.col("title").isNotNull())
     if want_url:
         prefix, suffix = url_format.split("{}", 1)
+        # The reference uses Uri.EscapeDataString (percent-encoding,
+        # space → %20); F.url_encode is form-encoding (space → +), so
+        # post-fix '+' → '%20' to match (WikipediaHelper.cs:37-43).
         df = df.withColumn(
             "url",
-            F.concat(F.lit(prefix), F.url_encode(F.col("title")), F.lit(suffix)),
+            F.concat(
+                F.lit(prefix),
+                F.replace(F.url_encode(F.col("title")), F.lit("+"), F.lit("%20")),
+                F.lit(suffix),
+            ),
         )
     keep = [c for c in fields if c in df.columns]
     return df.select(*keep)

@@ -145,33 +145,43 @@ def ngram_jaccard_oracle(n: int = 3, tau: float = 0.5) -> str:
 # --- D3: minhash + LSH (scale path; rows-only) --------------------------------
 
 def _minhash_udf(num_perm: int, seed: int = 42):
+    """Minhash permutations via multiply-shift hashing in uint64
+    wraparound arithmetic: h'_k = (a_k * h + b_k) mod 2^64 with odd a_k
+    (Dietzfelbinger's universal family). All math stays in vectorized
+    numpy uint64 — no object-dtype bigints, no Python inner loop; the
+    per-row work is one (n_shingles × num_perm) matrix op + a min.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+    a = (rng.randint(0, 1 << 63, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 63, size=num_perm).astype(np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        def one(hs):
-            if hs is None or len(hs) == 0:
-                return [0] * num_perm
-            h = np.asarray(hs, dtype=np.uint64).reshape(-1, 1)
-            # (a*h + b) mod p, computed in python ints via object fallback
-            # avoided: uint64 wraparound is fine for min-selection as long
-            # as it is consistent — we use mod p on 128-bit via float-free
-            # splitting: (a*h) mod p with h,a < p < 2^61.
-            ph = (np.asarray(a, dtype=object) * h.astype(object) + b) % MERSENNE_P
-            return ph.min(axis=0).astype(np.int64).tolist()
-        return hashes.map(one)
+        empty = [0] * num_perm
+        with np.errstate(over="ignore"):
+            def one(hs):
+                if hs is None or len(hs) == 0:
+                    return empty
+                # int64 → uint64 wraps negatives; xxhash64 output is full-range
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64).reshape(-1, 1)
+                ph = a * h + b  # uint64 wraparound == mod 2^64
+                # report back as int64 (Spark long); wrap is consistent
+                return ph.min(axis=0).astype(np.int64).tolist()
+            return hashes.map(one)
 
     return sig
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 128,
                        seed: int = 42) -> DataFrame:
-    """(doc_id, sig: array<long>) minhash signatures over word shingles."""
+    """(doc_id, sig: array<long>) minhash signatures over word shingles.
+
+    xxhash64 is used raw (no abs): the uint64 reinterpretation in the
+    UDF is total, so the Long.MIN_VALUE abs() edge case is gone.
+    """
     sh = shingles(docs, n)
     hashed = sh.groupBy("doc_id").agg(
-        F.collect_list(F.abs(F.xxhash64("shingle"))).alias("hashes")
+        F.collect_list(F.xxhash64("shingle")).alias("hashes")
     )
     sig = _minhash_udf(num_perm, seed)
     return hashed.select("doc_id", sig("hashes").alias("sig"))

@@ -1,0 +1,86 @@
+"""Graph-build near-identity dedup (SURVEY.md §2 block E5).
+
+The reference's index build walks vectors in insertion order and merges
+any vector whose cosine to an already-indexed vector reaches
+IdenticalAngle (reference: src/Resin.MachineLearning/GraphExtensions.cs:15
+Build/AddOrMerge; GraphOptions.cs:5 IdenticalAngle = 0.99). The
+distributed re-expression: vector j is dropped when some earlier vector
+i < j has cos(i, j) ≥ IdenticalAngle; survivors keep their ids.
+
+Candidate generation is banded random-hyperplane LSH (same family as
+similarity.lsh_topk) — near-identical vectors agree on almost every
+hyperplane sign, so with 8 planes × 6 tables the miss probability for a
+cos ≥ 0.99 pair is < 5e-5 per pair, and the join is (table, bucket)
+equi-keyed: never a cross join, ~linear in corpus size. ``exact=True``
+switches to the all-pairs form for small-SF oracle verification only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resin_spark.functions import vectors as V
+from resin_spark.operators.similarity import IDENTICAL_ANGLE, _hyperplane_udf
+
+
+def _candidate_pairs_lsh(emb: DataFrame, dims: int, n_planes: int,
+                         n_tables: int) -> DataFrame:
+    """Distinct (i < j) candidate pairs sharing an LSH bucket in ≥1 table."""
+    cand = None
+    for t in range(n_tables):
+        h = _hyperplane_udf(dims, n_planes, seed=101 + t)
+        b = emb.select(F.col("vec_id"), F.col("embedding"),
+                       h(F.col("embedding")).alias("bucket"))
+        a_side = b.select(F.col("vec_id").alias("id_a"),
+                          F.col("embedding").alias("emb_a"), "bucket")
+        b_side = b.select(F.col("vec_id").alias("id_b"),
+                          F.col("embedding").alias("emb_b"), "bucket")
+        pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = pairs.select("id_a", "id_b", "emb_a", "emb_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def _candidate_pairs_exact(emb: DataFrame) -> DataFrame:
+    """All (i < j) pairs — oracle baseline, small SF only (O(n²))."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return a.join(b, F.col("id_a") < F.col("id_b"))
+
+
+def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
+                dims: int = 64, n_planes: int = 8, n_tables: int = 6,
+                exact: bool = False) -> DataFrame:
+    """Vectors surviving the reference's IdenticalAngle build dedup.
+
+    Returns (vec_id, label) of kept vectors — j is dropped when any
+    i < j has cos(i, j) ≥ identical_angle.
+    """
+    cand = (_candidate_pairs_exact(emb) if exact
+            else _candidate_pairs_lsh(emb, dims, n_planes, n_tables))
+    dropped = (
+        cand.withColumn("cos", V.cosine("emb_a", "emb_b"))
+        .filter(F.col("cos") >= identical_angle)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+def graph_dedup_oracle(identical_angle: float = IDENTICAL_ANGLE) -> str:
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings a, embeddings b
+        WHERE b.vec_id = e.vec_id AND a.vec_id < b.vec_id
+          AND {cos} >= {identical_angle}
+    )
+    ORDER BY vec_id
+    """

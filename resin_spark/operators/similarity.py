@@ -193,19 +193,124 @@ def knn_classify_oracle(k: int = 10) -> str:
     """
 
 
+def vector_analyze(emb: DataFrame, n_pairs: int = 200) -> DataFrame:
+    """The reference's 10-metric ``Analyze`` pair signature
+    (VectorOperations.cs:316-448) over consecutive (i, i+1) vector pairs.
+
+    Metric-for-metric parity: cos (zero-gated on dot/norms, clamped to
+    [-1,1]), angle = acos(cos), dot, both norms, euclidean, manhattan,
+    projection length onto the second vector (dot/|b|, 0 when |b|=0),
+    non-zero overlap count, and index-set jaccard (0 when the union is
+    empty). Every fold is the strict left-to-right JVM expression from
+    functions/vectors.py, so all metrics except acos are bit-identical
+    to the DuckDB oracle; acos is rounded to 9 decimals on both engines
+    (libm vs java.lang.Math may differ in the last ulp).
+
+    Pair generation is an equi-join on (vec_id == vec_id+1) — embarrassingly
+    parallel, no window, no cartesian; at 100 TB this shape is a co-partitioned
+    merge join on the id.
+    """
+    a = emb.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pair_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("pair_id"),
+                   F.col("embedding").alias("vb"))
+    base = (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            V.dot("va", "vb").alias("dot"),
+            V.norm("va").alias("norm_a"),
+            V.norm("vb").alias("norm_b"),
+            V.l2_distance("va", "vb").alias("euclidean"),
+            V.l1_distance("va", "vb").alias("manhattan"),
+            V.nonzero_overlap("va", "vb").alias("n_overlap"),
+            F.aggregate(
+                F.zip_with(V.to_double("va"), V.to_double("vb"),
+                           lambda x, y: ((x != 0) | (y != 0)).cast("int")),
+                F.lit(0), lambda acc, x: acc + x,
+            ).alias("n_union"),
+        )
+    )
+    cos = (
+        F.when(
+            (F.col("dot") != 0) & (F.col("norm_a") != 0) & (F.col("norm_b") != 0),
+            F.least(F.lit(1.0), F.greatest(F.lit(-1.0),
+                    F.col("dot") / (F.col("norm_a") * F.col("norm_b")))),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        base.withColumn("cos", cos)
+        .select(
+            "pair_id",
+            "cos",
+            F.round(F.acos("cos"), 9).alias("angle_rad"),
+            "dot", "norm_a", "norm_b", "euclidean", "manhattan",
+            F.when(F.col("norm_b") > 0, F.col("dot") / F.col("norm_b"))
+            .otherwise(F.lit(0.0)).alias("proj_len"),
+            "n_overlap",
+            F.when(F.col("n_union") > 0,
+                   F.col("n_overlap") / F.col("n_union"))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+def vector_analyze_oracle(n_pairs: int = 200) -> str:
+    dot = V.dot_sql("a.embedding", "b.embedding")
+    na = V.norm_sql("a.embedding")
+    nb = V.norm_sql("b.embedding")
+    l2 = V.l2_distance_sql("a.embedding", "b.embedding")
+    l1 = V.l1_distance_sql("a.embedding", "b.embedding")
+    ov = V.nonzero_overlap_sql("a.embedding", "b.embedding")
+    un = (
+        "list_reduce(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> CASE WHEN a.embedding[i] <> 0 OR b.embedding[i] <> 0"
+        " THEN 1 ELSE 0 END), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT a.vec_id AS pair_id,
+               {dot} AS dot, {na} AS norm_a, {nb} AS norm_b,
+               {l2} AS euclidean, {l1} AS manhattan,
+               {ov} AS n_overlap, {un} AS n_union
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < {n_pairs}
+    ), withcos AS (
+        SELECT *, CASE WHEN dot <> 0 AND norm_a <> 0 AND norm_b <> 0
+                       THEN LEAST(1.0, GREATEST(-1.0, dot / (norm_a * norm_b)))
+                       ELSE 0.0 END AS cos
+        FROM base
+    )
+    SELECT pair_id, cos, round(acos(cos), 9) AS angle_rad,
+           dot, norm_a, norm_b, euclidean, manhattan,
+           CASE WHEN norm_b > 0 THEN dot / norm_b ELSE 0.0 END AS proj_len,
+           n_overlap,
+           CASE WHEN n_union > 0 THEN n_overlap / CAST(n_union AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM withcos
+    ORDER BY pair_id
+    """
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Per-label mean vector as (label, dim, mean_val) rows.
 
     posexplode + groupBy(label, dim) keeps the aggregation map-side
     partial and avoids any fixed-width array reassembly; the decimal
     cast makes the mean order-independent (see functions/exact.py).
+    The float→decimal route goes through the float's shortest string
+    repr — unique per value and parsed exactly by both engines — because
+    Spark (double shortest-repr) and DuckDB (direct float scaling)
+    disagree when casting float32 to decimal directly.
     """
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(28,15)")).cast("double")
+                F.sum(F.col("x").cast("string").cast("decimal(28,15)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("mean_val")
         )
@@ -216,7 +321,8 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 def label_centroids_oracle() -> str:
     return """
     SELECT label, CAST(i AS INT) AS dim,
-           CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS mean_val
+           CAST(SUM(CAST(CAST(embedding[i + 1] AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+               / COUNT(*) AS mean_val
     FROM embeddings, range(64) t(i)
     GROUP BY 1, 2 ORDER BY label, dim
     """

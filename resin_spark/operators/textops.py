@@ -45,8 +45,9 @@ def tokenize_stats_oracle() -> str:
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct,
-           list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
-                       (a, b) -> a + b) / len(toks) AS mean_token_len
+           CASE WHEN len(toks) = 0 THEN NULL ELSE
+               list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                           (a, b) -> a + b) / len(toks) END AS mean_token_len
     FROM (SELECT doc_id, {toks} AS toks FROM documents)
     ORDER BY doc_id
     """
@@ -75,16 +76,39 @@ def term_frequencies_oracle(top_n: int = 100) -> str:
 
 def lexicon_build(t: Tables) -> DataFrame:
     """Distinct token → stable sorted index (LexiconBuilder.cs:1-19: a
-    SortedList keyed by word). The distinct set is tiny relative to the
-    corpus, so the final single-partition index window is safe; at
-    extreme vocabulary sizes swap in rank-over-range-partitioned ids.
+    SortedList keyed by word).
+
+    Scalable global rank without a single-partition window: tokens are
+    [a-z0-9]+, so the first character is a prefix of the sort order and
+    buckets the vocabulary into ≤36 contiguous lexicographic ranges. Pass
+    one counts per bucket (tiny collect → prefix-sum offsets); pass two
+    ranks within each bucket in parallel and adds the bucket offset.
+    Output is identical to ``ROW_NUMBER() OVER (ORDER BY token) - 1`` but
+    every window partition is distributed. At billions of tokens widen to
+    a 2-char prefix (1296 buckets) — same shape.
     """
-    w = Window.orderBy("token")
-    return (
+    toks = (
         t["documents"]
         .select(F.explode(T.tokens("text")).alias("token"))
         .distinct()
-        .withColumn("index", F.row_number().over(w) - 1)
+        .withColumn("bucket", F.substring("token", 1, 1))
+    )
+    counts = (
+        toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["bucket"], acc))
+        acc += r["n"]
+    spark = t["documents"].sparkSession
+    off = spark.createDataFrame(offsets or [("", 0)], "bucket string, offset long")
+    w = Window.partitionBy("bucket").orderBy("token")
+    return (
+        toks.join(F.broadcast(off), "bucket")
+        .withColumn("index", (F.col("offset") + F.row_number().over(w) - 1).cast("long"))
+        .select("token", "index")
         .orderBy("token")
     )
 
