@@ -354,26 +354,51 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
 # --- D5: embedding cosine ------------------------------------------------------
 
 def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
-    """Semantic near-dup (i<j) pairs with cosine ≥ tau — exact variant.
+    """Semantic near-dup (i<j) pairs with cosine ≥ tau — exact result.
 
-    L2-normalises once before the self-join so the pair predicate is a
-    plain dot product (halves the inner-loop flops). The exact
-    all-pairs form is the correctness baseline; the banded scale path
-    is operators/similarity.lsh_topk.
+    Two stages (same shape as similarity.knn_classify):
+
+    1. candidates — each Arrow batch is scored against the broadcast
+       unit matrix in one BLAS matmul; pairs with numpy-cos ≥
+       tau − margin and vec_a < vec_b survive. Plan: scan →
+       mapInPandas, no self-join, no cartesian.
+    2. exact verify — candidates are re-scored with the strict
+       left-to-right JVM fold (normalise-then-dot, the oracle's exact
+       order) and filtered at ≥ tau, so the output hash-matches DuckDB.
+
+    The margin (1e-9 ≫ the f64 summation-order bound for 64 dims)
+    guarantees stage 1 never drops a true pair. Broadcast sizing caveat
+    in similarity.broadcast_unit_matrix; past it, bucket with LSH first.
     """
-    normed = emb.select(
-        "vec_id", V.l2_normalize("embedding").alias("u")
+    from resin_spark.operators.similarity import (
+        _NUMERIC_MARGIN, broadcast_unit_matrix,
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
+    bc = broadcast_unit_matrix(emb)
+
+    def gen(batches):
+        bids, bunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1.0
+            s = (q / qn[:, None]) @ bunit.T
+            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sel = (s >= tau - _NUMERIC_MARGIN) & (bids[None, :] > qids[:, None])
+            rr, cc = np.nonzero(sel)
+            yield pd.DataFrame({"vec_a": qids[rr], "vec_b": bids[cc]})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_a long, vec_b long"
+    )
+    normed = emb.select("vec_id", V.l2_normalize("embedding").alias("u"))
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            V.dot(F.col("a.u"), F.col("b.u")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= tau)
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .filter(V.dot("ua", "ub") >= tau)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )

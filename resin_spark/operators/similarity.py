@@ -34,6 +34,76 @@ from resin_spark.functions import vectors as V
 FOLD_ANGLE = 0.55  # GraphOptions.cs defaults
 IDENTICAL_ANGLE = 0.99
 
+# Cosine discrepancy bound between numpy (pairwise/SIMD summation) and the
+# strict left-to-right JVM/DuckDB fold: for unit vectors of dim d the
+# summation-order error is < d * eps ≈ 64 * 2.2e-16 ≈ 1.5e-14. Candidate
+# generation widens thresholds by this margin so the exact rescore can never
+# lose a true hit to rounding.
+_NUMERIC_MARGIN = 1e-9
+
+
+def broadcast_unit_matrix(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """Collect the corpus as an L2-normalised float64 matrix (sorted by id)
+    and ship it to executors as a broadcast variable.
+
+    This is the build side of a broadcast join, materialised as numpy so
+    candidate scoring is one BLAS matmul per Arrow batch instead of a
+    per-pair JVM fold. Sizing: ids(8B) + d×8B per vector — a 10M-vector,
+    64-dim corpus is ~5 GB, the practical broadcast ceiling; beyond that
+    the LSH-bucketed path (lsh_topk) is the scale route, same as any
+    broadcast-vs-shuffle join decision.
+    """
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    return emb.sparkSession.sparkContext.broadcast((ids, unit))
+
+
+def cosine_topk_candidates(emb: DataFrame, bc, k: int,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           exclude_self: bool = True) -> DataFrame:
+    """(id, nb_id) candidate pairs guaranteed to contain each row's exact
+    cosine top-k against the broadcast corpus.
+
+    mapInPandas + matmul: each Arrow batch scores against the whole
+    broadcast matrix in one BLAS call, takes the per-row k-th score, and
+    keeps everything within _NUMERIC_MARGIN of it — a superset of the
+    true top-k under any summation order. Downstream rescoring with the
+    strict JVM fold makes the final ranking bit-exact vs the oracle.
+    """
+
+    def gen(batches):
+        bids, bunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1.0
+            s = (q / qn[:, None]) @ bunit.T
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            if exclude_self:
+                pos = np.searchsorted(bids, qids)
+                ok = (pos < len(bids)) & (bids[np.clip(pos, 0, len(bids) - 1)] == qids)
+                s[np.nonzero(ok)[0], pos[ok]] = -np.inf
+            kk = min(k, s.shape[1] - 1 if exclude_self else s.shape[1])
+            if kk <= 0:
+                continue
+            kth = np.partition(s, -kk, axis=1)[:, -kk]
+            sel = s >= (kth[:, None] - _NUMERIC_MARGIN)
+            rr, cc = np.nonzero(sel)
+            yield pd.DataFrame({id_col: qids[rr], "nb_id": bids[cc]})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, nb_id long"
+    )
+
 
 def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -135,19 +205,33 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
 
 def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
     """Predict each vector's label from its k nearest neighbors
-    (majority vote, ties → smallest label). Exact neighbors — the
-    LSH candidates path drops in unchanged for scale."""
-    base = emb.select("vec_id", "embedding", "label")
-    a = base.alias("a")
-    b = base.alias("b")
+    (majority vote, ties → smallest label). Exact result, two stages:
+
+    1. candidate generation — one corpus pass scoring each Arrow batch
+       against the broadcast unit matrix (BLAS matmul), keeping a
+       margin-widened top-k superset per row. No O(n²) join: the plan
+       is scan → mapInPandas, cost n×|corpus| flops in vectorized f64.
+    2. exact rescore — the few k-ish candidates per row are re-scored
+       with the strict left-to-right JVM fold (V.cosine), so the final
+       ranking and votes hash-match the DuckDB oracle bit-for-bit.
+
+    The broadcast matrix caps the corpus side (see
+    broadcast_unit_matrix); past that, swap stage 1 for LSH buckets
+    (lsh_topk) — stage 2 is unchanged.
+    """
+    bc = broadcast_unit_matrix(emb)
+    cand = cosine_topk_candidates(emb, bc, k)
+    a = emb.select("vec_id", F.col("embedding").alias("va"),
+                   F.col("label").alias("true_label"))
+    b = emb.select(F.col("vec_id").alias("nb_id"),
+                   F.col("embedding").alias("vb"),
+                   F.col("label").alias("nb_label"))
     scored = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        cand.join(broadcast(a), "vec_id")
+        .join(broadcast(b), "nb_id")
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.label").alias("true_label"),
-            F.col("b.label").alias("nb_label"),
-            F.col("b.vec_id").alias("nb_id"),
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+            "vec_id", "true_label", "nb_label", "nb_id",
+            V.cosine(F.col("va"), F.col("vb")).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nb_id"))
