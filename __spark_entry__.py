@@ -128,12 +128,13 @@ def _string_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         (F.col("doc_id") - 1).alias("pair_id"), F.col("emb").alias("emb_b")
     ).alias("b")
+    # the embedder L2-normalises, so cosine reduces to a single dot fold
     return (
         a.join(b, F.col("a.doc_id") == F.col("b.pair_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             (F.col("a.doc_id") + 1).alias("doc_b"),
-            F.round(vectors.cosine(F.col("a.emb"), F.col("emb_b")), 6).alias("cos_sim"),
+            F.round(vectors.dot(F.col("a.emb"), F.col("emb_b")), 6).alias("cos_sim"),
         )
         .orderBy("doc_a")
     )

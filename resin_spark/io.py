@@ -47,12 +47,30 @@ class LazyTables(dict):
         # oracle regardless of the host session's timezone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # Only the tables whose queries do heavy per-row compute (tokenising,
+    # hashing, vector math) — there the 32× parallelism always beats the
+    # tiny shuffle. Scan+aggregate tables (lineitem, orders, events) keep
+    # their natural splits: Catalyst's partial aggregation already
+    # parallelises the reduce side, and an up-front shuffle of the fact
+    # table costs more than it saves.
+    _FANOUT = frozenset({"documents", "embeddings"})
+
     def _load(self, name: str) -> DataFrame:
         df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # ns→µs integer division: the same truncation DuckDB applies,
             # so timestamp semantics agree across engines.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name in self._FANOUT:
+            # A single small parquet file scans as ONE partition, which
+            # serialises every downstream operator onto one core. When the
+            # scan's natural split count is below the cluster parallelism,
+            # fan out once up front; on a real multi-file/100 TB layout the
+            # scan already yields >= defaultParallelism splits and this is
+            # a no-op (no shuffle added).
+            target = self._spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < min(target, 32):
+                df = df.repartition(min(target, 32))
         return df
 
     def __getitem__(self, name: str) -> DataFrame:

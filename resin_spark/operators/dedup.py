@@ -65,18 +65,23 @@ def exact_dedup_oracle() -> str:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) with distinct word-n-gram shingles per doc."""
+    """(doc_id, shingle) with distinct word-n-gram shingles per doc.
+
+    Tokenisation is projected once before the window transform so the
+    regex tokenizer isn't re-evaluated per reference in the filter and
+    gram expressions."""
     toks = T.tokens(text_col)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
+        F.sequence(F.lit(0), F.size("tk") - n),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.element_at("tk", (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+    return base.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def _shingles_sql(n: int = 3) -> str:
@@ -95,27 +100,61 @@ def _shingles_sql(n: int = 3) -> str:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
     """All (i<j) pairs with exact shingle-set Jaccard ≥ tau.
 
-    Inverted-index self-join: pairs are generated only for docs sharing
-    at least one shingle — never a full cross join. jaccard is a ratio
-    of integers, so it is engine-exact.
+    AllPairs/PPJoin-style prefix filtering keeps the result exact while
+    shrinking the inverted index: shingles are canonically ordered
+    rarest-first (document frequency asc, shingle asc) and only each
+    doc's first ``n_sh − ceil(tau·n_sh) + 1`` shingles are indexed. The
+    prefix lemma guarantees any pair with J ≥ tau shares a prefix
+    shingle, and rare-first ordering means the join keys are the LOW-df
+    shingles — the Σ df² blowup of ultra-common shingles never happens.
+    A size-ratio filter (J ≤ min/max) prunes candidates in the join
+    condition; survivors are verified with exact set Jaccard. At 100 TB
+    every stage is an equi-shuffle on shingle or doc_id — no cartesian,
+    no df cap, no approximation.
     """
-    sh = shingles(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sh = shingles(docs, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # One aggregate yields the rarity-ordered shingle list, the prefix
+    # length, AND the verification set — the expensive shingle expression
+    # is evaluated twice total (dfreq + join probe), and the a/b/verify
+    # branches below share this subtree so the exchange is reused.
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .select(
+            "doc_id", "n_sh",
+            F.col("ordered.shingle").alias("sh_list"),
+            (F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
+            .cast("int").alias("plen"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    prefix = per_doc.select(
+        "doc_id", "n_sh",
+        F.explode(F.slice(F.col("sh_list"), 1, F.col("plen"))).alias("shingle"),
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # J <= min/max: unequal sizes can't reach tau
+               & (F.col("a.n_sh") * tau <= F.col("b.n_sh"))
+               & (F.col("b.n_sh") * tau <= F.col("a.n_sh")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh_list").alias("set_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh_list").alias("set_b"))
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
         )
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
@@ -196,7 +235,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
     puts the collision knee near J≈0.5. Candidate generation is a
     groupBy on (band, band_hash) — near-linear; no cross join anywhere.
     """
-    sigs = minhash_signatures(docs, n, num_perm, seed)
+    # one grouped pass produces both the signature input and the exact
+    # verification sets — the shingle expression is evaluated once, and
+    # the signature/verify branches reuse the same exchange.
+    grouped = shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
+        F.collect_set("shingle").alias("sh"),
+    )
+    sig = _minhash_udf(num_perm, seed)
+    sigs = grouped.select("doc_id", sig("hashes").alias("sig"))
     r = num_perm // bands
     bands_df = sigs.select(
         "doc_id",
@@ -216,12 +263,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh_sets = shingles(docs, n).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
-    )
-    sa = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = grouped.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = grouped.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         candidates.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
@@ -371,27 +414,10 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     in similarity.broadcast_unit_matrix; past it, bucket with LSH first.
     """
     from resin_spark.operators.similarity import (
-        _NUMERIC_MARGIN, broadcast_unit_matrix,
+        broadcast_unit_matrix, cosine_threshold_candidates,
     )
     bc = broadcast_unit_matrix(emb)
-
-    def gen(batches):
-        bids, bunit = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            qn = np.sqrt((q * q).sum(axis=1))
-            qn[qn == 0] = 1.0
-            s = (q / qn[:, None]) @ bunit.T
-            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sel = (s >= tau - _NUMERIC_MARGIN) & (bids[None, :] > qids[:, None])
-            rr, cc = np.nonzero(sel)
-            yield pd.DataFrame({"vec_a": qids[rr], "vec_b": bids[cc]})
-
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_a long, vec_b long"
-    )
+    cand = cosine_threshold_candidates(emb, bc, tau)
     normed = emb.select("vec_id", V.l2_normalize("embedding").alias("u"))
     a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))

@@ -7,12 +7,12 @@ Build/AddOrMerge; GraphOptions.cs:5 IdenticalAngle = 0.99). The
 distributed re-expression: vector j is dropped when some earlier vector
 i < j has cos(i, j) ≥ IdenticalAngle; survivors keep their ids.
 
-Candidate generation is banded random-hyperplane LSH (same family as
-similarity.lsh_topk) — near-identical vectors agree on almost every
-hyperplane sign, so with 8 planes × 6 tables the miss probability for a
-cos ≥ 0.99 pair is < 5e-5 per pair, and the join is (table, bucket)
-equi-keyed: never a cross join, ~linear in corpus size. ``exact=True``
-switches to the all-pairs form for small-SF oracle verification only.
+Candidate generation defaults to one matmul pass against the broadcast
+unit matrix (exact recall); ``use_lsh=True`` switches to banded
+random-hyperplane tables for corpora past the broadcast ceiling —
+near-identical vectors agree on almost every hyperplane sign, so 8
+planes × 6 tables miss a cos ≥ 0.99 pair with probability < 5e-5, and
+the join is (table, bucket) equi-keyed: never a cross join.
 """
 
 from __future__ import annotations
@@ -42,27 +42,42 @@ def _candidate_pairs_lsh(emb: DataFrame, dims: int, n_planes: int,
     return cand.dropDuplicates(["id_a", "id_b"])
 
 
-def _candidate_pairs_exact(emb: DataFrame) -> DataFrame:
-    """All (i < j) pairs — oracle baseline, small SF only (O(n²))."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    return a.join(b, F.col("id_a") < F.col("id_b"))
-
-
 def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
                 dims: int = 64, n_planes: int = 8, n_tables: int = 6,
-                exact: bool = False) -> DataFrame:
+                use_lsh: bool = False) -> DataFrame:
     """Vectors surviving the reference's IdenticalAngle build dedup.
 
     Returns (vec_id, label) of kept vectors — j is dropped when any
     i < j has cos(i, j) ≥ identical_angle.
+
+    Default candidate generation is the broadcast-matrix matmul pass
+    (similarity.cosine_threshold_candidates): exact recall, one corpus
+    scan, no join explosion. ``use_lsh=True`` switches to the banded
+    hyperplane tables for corpora past the broadcast ceiling — candidate
+    quality drops to ~1-5e-5 miss probability per cos ≥ 0.99 pair.
+    Either way candidates are verified with the strict JVM fold, so the
+    kept set is oracle-exact whenever recall is complete.
     """
-    cand = (_candidate_pairs_exact(emb) if exact
-            else _candidate_pairs_lsh(emb, dims, n_planes, n_tables))
+    from resin_spark.operators.similarity import (
+        broadcast_unit_matrix, cosine_threshold_candidates,
+    )
+    if use_lsh:
+        cand = _candidate_pairs_lsh(emb, dims, n_planes, n_tables).select(
+            F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
+            F.col("emb_a"), F.col("emb_b"),
+        )
+    else:
+        bc = broadcast_unit_matrix(emb)
+        pairs = cosine_threshold_candidates(emb, bc, identical_angle)
+        ea = emb.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("emb_a"))
+        eb = emb.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("emb_b"))
+        cand = pairs.join(F.broadcast(ea), "vec_a").join(F.broadcast(eb), "vec_b")
     dropped = (
         cand.withColumn("cos", V.cosine("emb_a", "emb_b"))
         .filter(F.col("cos") >= identical_angle)
-        .select(F.col("id_b").alias("vec_id"))
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return (

@@ -105,6 +105,31 @@ def cosine_topk_candidates(emb: DataFrame, bc, k: int,
     )
 
 
+def cosine_threshold_candidates(emb: DataFrame, bc, tau: float,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """(vec_a < vec_b) pairs whose numpy cosine reaches tau − margin —
+    a guaranteed superset of the exact cos ≥ tau pairs, for downstream
+    JVM-exact verification. Same one-pass matmul shape as
+    cosine_topk_candidates."""
+
+    def gen(batches):
+        bids, bunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1.0
+            s = (q / qn[:, None]) @ bunit.T
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            sel = (s >= tau - _NUMERIC_MARGIN) & (bids[None, :] > qids[:, None])
+            rr, cc = np.nonzero(sel)
+            yield pd.DataFrame({"vec_a": qids[rr], "vec_b": bids[cc]})
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, "vec_a long, vec_b long")
+
+
 def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
                q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
