@@ -246,6 +246,7 @@ def queries() -> dict[str, Query]:
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "term_frequencies": _mk_text(textops.term_frequencies),
         "lexicon_build": _mk_text(textops.lexicon_build),
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),

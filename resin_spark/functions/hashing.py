@@ -1,26 +1,47 @@
 """Hashed-feature text embedding + string hashes (Arrow-vectorised).
 
-The reference embeds every token into a 512-dim sparse vector with the
-hashing trick — char n-grams (3..5), boundary chars, length buckets —
-then L2-normalises (reference:
-src/Resin.TextAnalysis/StringAnalyzer.cs:614-701 TokenizeIntoVectors,
-182-213 AddCharNGramFeatures/HashToIndex FNV-1a). That construction is
-inherently procedural, so this is the one deliberate Python path in the
-engine: a pandas UDF over Arrow batches — and the whole batch is
-numpy-vectorised: codepoints come from one ``utf-32-le`` reinterpret per
-token stream, FNV-1a over every n-gram in the batch is n fused
-xor-multiply passes over a sliding-window matrix, and accumulation is a
-single ``np.add.at`` into the flattened (batch × dims) matrix. No
-per-char or per-ngram Python calls anywhere.
+Full feature-family parity with the reference's TokenizeIntoVectors
+(reference: src/Resin.TextAnalysis/StringAnalyzer.cs:614-712), per token:
 
-`knuth_hash` reproduces HashOperations.CalculateKnuthHash
-(HashOperations.cs:10-19) exactly: it iterates UTF-16 code units (what
-a C# ``foreach (char c in s)`` yields, including surrogate halves for
-non-BMP input) with uint64 wraparound — closed-form vectorised via
-powers of the multiplier.
+- base positional codepoints      word[i] = code(c_i), i < dims   (:620-627)
+- char n-grams n=3..5, w 1.0      HashToIndex(gram)               (:181-194)
+- positional bigrams, w 0.75      (p_bg + h(c_i,c_i+1,pos))%dims  (:312-327)
+- skip-grams-1, w 0.5             (p_sg1 + h(c_i,c_i+2,pos))%dims (:328-343)
+- boundary trigrams, w 0.65       first3/last3 with '_' padding
+                                  for len 1..2 tokens             (:345-371)
+- first/last char, w 0.75         (p_first + h(c))%dims           (:648-659)
+- length buckets, w 0.5           len:0..4, len:5-8, len:9-16,
+                                  len:17+                         (:661-674)
+- vowel/consonant pattern, w 0.5  V/C/X string hash               (:388-400)
+- rolling hash for len<=3, w 0.8  Knuth-multiplicative            (:676-681,402-412)
+- case features, w 0.5            case:lower/mixed (+upper/title) (:216-238)
+- Unicode-category dist, w 0.25   two-digit .NET category code
+                                  per char                        (:240-252)
+- numeric + geo hints, w 0.6      feat:number/feat:geo is/not     (:596-611)
+- L2 normalisation                                               (:687-696)
+
+All hashing is the reference's FNV-1a-over-code-units HashToIndex
+(:196-207). C# iterates UTF-16 code units; we iterate codepoints, which
+is identical for BMP text (divergence only for surrogate pairs — noted,
+matching knuth_hash's documented handling below which does use UTF-16).
+
+Execution shape: a pandas UDF over Arrow batches, where every feature
+family is a vectorised numpy pass over the batch-wide token stream
+(codepoints + SEP poisoning between tokens) — scatter-added into the
+owner (doc or token) matrix. No per-char or per-ngram Python calls in
+the corpus path; only per-unique-codepoint table builds and one
+pandas-vectorised regex pass for numeric/geo.
+
+Doc-level embedding (embed_text_udf) sums RAW token features then
+L2-normalises once — a deliberate adaptation (the reference only
+defines per-token vectors); token-level embedding (token_vectors /
+angle keys) normalises per token, exactly like the reference.
 """
 
 from __future__ import annotations
+
+import re
+import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -32,12 +53,60 @@ FNV_PRIME = np.uint64(1099511628211)
 
 KNUTH_INIT = np.uint64(3074457345618258791)
 KNUTH_MULT = np.uint64(3074457345618258799)
+ROLL_SEED = np.uint64(11400714819323198485)  # Knuth multiplicative (:404)
 
 _SEP = np.uint32(0xFFFFFFFF)  # never a codepoint; poisons cross-token windows
 
+# .NET UnicodeCategory enum value per unicodedata two-letter category
+# (System.Globalization.UnicodeCategory ordering).
+_NET_CATEGORY = {
+    "Lu": 0, "Ll": 1, "Lt": 2, "Lm": 3, "Lo": 4, "Mn": 5, "Mc": 6, "Me": 7,
+    "Nd": 8, "Nl": 9, "No": 10, "Zs": 11, "Zl": 12, "Zp": 13, "Cc": 14,
+    "Cf": 15, "Cs": 16, "Co": 17, "Pc": 18, "Pd": 19, "Ps": 20, "Pe": 21,
+    "Pi": 22, "Pf": 23, "Po": 24, "Sm": 25, "Sc": 26, "Sk": 27, "So": 28,
+    "Cn": 29,
+}
+
+# IsNumberToken: double.TryParse(Float|AllowThousands, invariant) analog.
+_NUM_RE = re.compile(
+    r"^\s*[+-]?(?:\d{1,3}(?:,\d{3})+|\d+)?(?:\.\d*)?(?:[eE][+-]?\d+)?\s*$"
+)
+
+
+def _is_number_token(s: str) -> bool:
+    if not s or not _NUM_RE.match(s) or not any(ch.isdigit() for ch in s):
+        return False
+    return True
+
+
+# IsLongitudeLatitudeToken subset: decimal degrees with optional trailing
+# hemisphere letter, range-checked; the reference additionally parses
+# "lat,lon" pairs and DMS forms (StringAnalyzer.cs:470-592) which cannot
+# survive this pipeline's tokenisation (commas/°/quotes split tokens), so
+# only the single-coordinate form is implemented.
+_GEO_RE = re.compile(r"^\s*[+-]?\d+(?:\.\d+)?\s*([NnSsEeWw])?\s*$")
+
+
+def _is_geo_token(s: str) -> bool:
+    m = _GEO_RE.match(s or "")
+    if not m:
+        return False
+    hemi = (m.group(1) or "").upper()
+    try:
+        v = float(s.strip().rstrip("NnSsEeWw").strip())
+    except ValueError:
+        return False
+    if hemi in ("N", "S"):
+        return -90.0 <= v <= 90.0
+    if hemi in ("E", "W"):
+        return -180.0 <= v <= 180.0
+    # no hemisphere: the reference accepts if it fits either range and
+    # contains a decimal point (bare integers are just numbers)
+    return "." in s and -180.0 <= v <= 180.0
+
 
 def _fnv1a(s: str) -> int:
-    """Scalar FNV-1a over codepoints (kept for tests / feature prehashing)."""
+    """Scalar FNV-1a over codepoints (HashToIndex's hash, pre-modulo)."""
     with np.errstate(over="ignore"):
         h = FNV_OFFSET
         for ch in s:
@@ -46,19 +115,8 @@ def _fnv1a(s: str) -> int:
         return int(h)
 
 
-def _fnv1a_state(prefix: str) -> np.uint64:
-    """FNV-1a state after hashing ``prefix`` (resumable)."""
-    with np.errstate(over="ignore"):
-        h = FNV_OFFSET
-        for ch in prefix:
-            h = np.uint64(h ^ np.uint64(ord(ch)))
-            h = np.uint64(h * FNV_PRIME)
-        return h
-
-
-_FIRST_STATE = _fnv1a_state("first:")
-_LAST_STATE = _fnv1a_state("last:")
-_LEN_HASHES = np.array([_fnv1a(f"len:{n}") for n in range(18)], dtype=np.uint64)
+def _hash_to_index(s: str, dims: int) -> int:
+    return _fnv1a(s) % dims
 
 
 def _fnv1a_windows(win: np.ndarray) -> np.ndarray:
@@ -69,63 +127,139 @@ def _fnv1a_windows(win: np.ndarray) -> np.ndarray:
     return h
 
 
-def _resume_fnv1a(state: np.uint64, codes: np.ndarray) -> np.ndarray:
-    """Vectorised one-more-char FNV-1a from a fixed prefix state."""
-    return (np.uint64(state) ^ codes.astype(np.uint64)) * FNV_PRIME
+_WORD_RE = re.compile(r"[0-9A-Za-z]+(?:\.[0-9]+)?|[+<=>|~^]", re.UNICODE)
 
 
 def _tokenize(text: str) -> list[str]:
-    return [
-        t for t in
-        "".join(c if c.isalnum() else " " for c in (text or "").lower()).split()
-        if t
-    ]
+    """SplitWords analog (StringAnalyzer.cs:255-309): runs of data chars
+    form words (case preserved — the case features depend on it), math
+    symbols stand alone. Decimal numbers keep their point so the
+    numeric/geo features can fire, mirroring IsData accepting symbol
+    categories inside tokens."""
+    return _WORD_RE.findall(text or "")
 
 
-def _embed_batch(texts: pd.Series, dims: int) -> pd.Series:
-    """Embed a whole Arrow batch with the hashing trick, fully vectorised."""
-    n_docs = len(texts)
-    mats = np.zeros(n_docs * dims, dtype=np.float64)
+class _FeatureTables:
+    """Per-dims precomputed constants (prefix hashes, bucket dims)."""
 
-    # token stream: codepoints with SEP between tokens, plus per-position doc id
-    code_chunks: list[np.ndarray] = []
-    doc_chunks: list[np.ndarray] = []
-    first_codes: list[np.ndarray] = []
-    last_codes: list[np.ndarray] = []
-    tok_docs: list[np.ndarray] = []
-    tok_lens: list[np.ndarray] = []
+    def __init__(self, dims: int):
+        self.dims = dims
+        self.p_bg = _hash_to_index("bg:", dims)
+        self.p_sg1 = _hash_to_index("sg1:", dims)
+        self.p_tri_start = _hash_to_index("tri:start:", dims)
+        self.p_tri_end = _hash_to_index("tri:end:", dims)
+        self.p_first = _hash_to_index("first:", dims)
+        self.p_last = _hash_to_index("last:", dims)
+        self.p_vc = _hash_to_index("vc:", dims)
+        self.p_uc = _hash_to_index("uc:", dims)
+        buckets = ["len:0", "len:1", "len:2", "len:3", "len:4",
+                   "len:5-8", "len:9-16", "len:17+"]
+        self.len_dims = np.array([_hash_to_index(b, dims) for b in buckets],
+                                 dtype=np.int64)
+        # category int (0..29) -> feature dim, via the two-digit encoding
+        # catSpan = ['0'+cat%10, '0'+cat//10%10] (StringAnalyzer.cs:243-249)
+        self.cat_dims = np.array([
+            (self.p_uc + _hash_to_index(
+                chr(ord("0") + c % 10) + chr(ord("0") + (c // 10) % 10), dims
+            )) % dims
+            for c in range(30)
+        ], dtype=np.int64)
+        self.d_case_lower = _hash_to_index("case:lower", dims)
+        self.d_case_mixed = _hash_to_index("case:mixed", dims)
+        self.d_case_upper = _hash_to_index("case:upper", dims)
+        self.d_case_title = _hash_to_index("case:title", dims)
+        p_num = _hash_to_index("feat:number:", dims)
+        p_geo = _hash_to_index("feat:geo:", dims)
+        h_is, h_not = _hash_to_index("is", dims), _hash_to_index("not", dims)
+        self.d_num = np.array([(p_num + h_not) % dims, (p_num + h_is) % dims])
+        self.d_geo = np.array([(p_geo + h_not) % dims, (p_geo + h_is) % dims])
+
+
+_TABLES: dict[int, _FeatureTables] = {}
+
+
+def _tables(dims: int) -> _FeatureTables:
+    if dims not in _TABLES:
+        _TABLES[dims] = _FeatureTables(dims)
+    return _TABLES[dims]
+
+
+def _len_bucket(lens: np.ndarray) -> np.ndarray:
+    """len -> index into _FeatureTables.len_dims (buckets at :661-674)."""
+    out = np.full(lens.shape, 7, dtype=np.int64)          # len:17+
+    out[lens <= 16] = 6                                    # len:9-16
+    out[lens <= 8] = 5                                     # len:5-8
+    for v in (4, 3, 2, 1, 0):
+        out[lens == v] = v
+    return out
+
+
+def _char_tables(codes: np.ndarray):
+    """Per-unique-codepoint classification tables for this batch."""
+    uniq = np.unique(codes)
+    uniq = uniq[uniq != _SEP]
+    chars = [chr(int(c)) for c in uniq]
+    is_alpha = np.array([c.isalpha() for c in chars], dtype=bool)
+    is_upper_stable = np.array([c.lower() == c for c in chars], dtype=bool)
+    is_lower_stable = np.array([c.upper() == c for c in chars], dtype=bool)
+    is_vowel = np.array([c.lower() in "aeiouy" for c in chars], dtype=bool)
+    is_ucase = np.array([c.isupper() for c in chars], dtype=bool)
+    cat = np.array([_NET_CATEGORY.get(unicodedata.category(c), 29)
+                    for c in chars], dtype=np.int64)
+    return uniq, is_alpha, is_upper_stable, is_lower_stable, is_vowel, is_ucase, cat
+
+
+def _lookup(uniq: np.ndarray, table: np.ndarray, codes: np.ndarray,
+            default=0):
+    """table[searchsorted(uniq, codes)] with SEP-safe default."""
+    idx = np.searchsorted(uniq, codes)
+    idx = np.clip(idx, 0, len(uniq) - 1)
+    out = table[idx]
+    bad = uniq[idx] != codes
+    if bad.any():
+        out = np.where(bad, default, out)
+    return out
+
+
+def accumulate_token_features(tokens: list[str], owners: np.ndarray,
+                              n_owners: int, dims: int) -> np.ndarray:
+    """Scatter-add every reference feature of every token into its
+    owner's row; returns the UNnormalised (n_owners, dims) matrix.
+
+    Owners are doc indices (document embedding) or 0..n_tokens-1
+    (per-token vectors). Everything below is batch-wide numpy; the only
+    Python loops are over n-gram width (≤5), short masked positions
+    (≤ max token length for VC/rolling), and unique codepoints.
+    """
+    T = _tables(dims)
+    mats = np.zeros(n_owners * dims, dtype=np.float64)
+    if not tokens:
+        return mats.reshape(n_owners, dims)
+
+    codes_list = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                  for t in tokens]
+    t_len = np.array([len(c) for c in codes_list], dtype=np.int64)
+    n_tok = len(tokens)
+    owners = np.asarray(owners, dtype=np.int64)
+
     sep = np.array([_SEP], dtype=np.uint32)
+    stream = np.concatenate([x for c in codes_list for x in (c, sep)])
+    t_start = np.concatenate([[0], np.cumsum(t_len + 1)[:-1]])
+    # per stream position: owner row + position within its token
+    stream_owner = np.repeat(owners, t_len + 1)
+    pos_in_tok = np.arange(len(stream), dtype=np.int64) - np.repeat(t_start, t_len + 1)
+    not_sep = stream != _SEP
 
-    for d, text in enumerate(texts):
-        toks = _tokenize(text if isinstance(text, str) else "")
-        if not toks:
-            continue
-        codes = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in toks]
-        firsts = np.array([c[0] for c in codes], dtype=np.uint32)
-        lasts = np.array([c[-1] for c in codes], dtype=np.uint32)
-        lens = np.minimum(np.array([len(c) for c in codes], dtype=np.int64), 17)
-        for c in codes:
-            code_chunks.append(c)
-            code_chunks.append(sep)
-        stream_len = sum(len(c) + 1 for c in codes)
-        doc_chunks.append(np.full(stream_len, d, dtype=np.int64))
-        first_codes.append(firsts)
-        last_codes.append(lasts)
-        tok_docs.append(np.full(len(toks), d, dtype=np.int64))
-        tok_lens.append(lens)
-
-    if not code_chunks:
-        return pd.Series([np.zeros(dims).tolist()] * n_docs)
-
-    stream = np.concatenate(code_chunks)
-    stream_doc = np.concatenate(doc_chunks)
-    t_first = np.concatenate(first_codes)
-    t_last = np.concatenate(last_codes)
-    t_doc = np.concatenate(tok_docs)
-    t_len = np.concatenate(tok_lens)
+    uniq, is_alpha, up_stable, low_stable, is_vowel, is_ucase, cat = \
+        _char_tables(stream)
 
     with np.errstate(over="ignore"):
-        # char n-grams 3..5 (StringAnalyzer.AddCharNGramFeatures), weight 1.0
+        # --- base positional codepoints: word[i] = c_i for i < dims ---
+        base_ok = not_sep & (pos_in_tok < dims)
+        np.add.at(mats, stream_owner[base_ok] * dims + pos_in_tok[base_ok],
+                  stream[base_ok].astype(np.float64))
+
+        # --- char n-grams 3..5, w 1.0: d = h % dims ------------------
         for n in (3, 4, 5):
             if len(stream) < n:
                 continue
@@ -135,20 +269,158 @@ def _embed_batch(texts: pd.Series, dims: int) -> pd.Series:
                 continue
             h = _fnv1a_windows(win[ok])
             idx = (h % np.uint64(dims)).astype(np.int64)
-            docs = stream_doc[: len(win)][ok]
-            np.add.at(mats, docs * dims + idx, 1.0)
+            np.add.at(mats, stream_owner[: len(win)][ok] * dims + idx, 1.0)
 
-        # boundary chars (first:/last: features), weight 0.75
-        hf = (_resume_fnv1a(_FIRST_STATE, t_first) % np.uint64(dims)).astype(np.int64)
-        hl = (_resume_fnv1a(_LAST_STATE, t_last) % np.uint64(dims)).astype(np.int64)
-        np.add.at(mats, t_doc * dims + hf, 0.75)
-        np.add.at(mats, t_doc * dims + hl, 0.75)
+        # --- positional bigrams w 0.75 / skip-grams-1 w 0.5 ----------
+        # hash inputs: [c_a, c_b, pos & 0xFF, (pos >> 8) & 0xFF]
+        for gap, prefix_dim, w in ((1, T.p_bg, 0.75), (2, T.p_sg1, 0.5)):
+            if len(stream) < gap + 1:
+                continue
+            c_a = stream[:-gap]
+            c_b = stream[gap:]
+            ok = (c_a != _SEP) & (c_b != _SEP)
+            if gap == 2:  # middle char must be same token (not SEP)
+                ok &= stream[1:-1] != _SEP
+            if not ok.any():
+                continue
+            pos = pos_in_tok[:-gap][ok]
+            h = np.full(ok.sum(), FNV_OFFSET, dtype=np.uint64)
+            for arr in (c_a[ok].astype(np.uint64), c_b[ok].astype(np.uint64),
+                        (pos & 0xFF).astype(np.uint64),
+                        ((pos >> 8) & 0xFF).astype(np.uint64)):
+                h = (h ^ arr) * FNV_PRIME
+            idx = ((h % np.uint64(dims)).astype(np.int64) + prefix_dim) % dims
+            np.add.at(mats, stream_owner[:-gap][ok] * dims + idx, w)
 
-        # length bucket, weight 0.5
-        hn = (_LEN_HASHES[t_len] % np.uint64(dims)).astype(np.int64)
-        np.add.at(mats, t_doc * dims + hn, 0.5)
+        # --- boundary trigrams w 0.65 --------------------------------
+        pad = np.uint32(ord("_"))
+        for side, prefix_dim in (("start", T.p_tri_start), ("end", T.p_tri_end)):
+            tri = np.empty((n_tok, 3), dtype=np.uint32)
+            m3, m2, m1 = t_len >= 3, t_len == 2, t_len == 1
+            if side == "start":
+                for j in range(3):
+                    tri[m3, j] = stream[t_start[m3] + j]
+                tri[m2, 0] = stream[t_start[m2]]
+                tri[m2, 1] = stream[t_start[m2] + 1]
+                tri[m2, 2] = pad
+                tri[m1, 0] = stream[t_start[m1]]
+                tri[m1, 1] = pad
+                tri[m1, 2] = pad
+            else:
+                last = t_start + t_len - 1
+                for j in range(3):
+                    tri[m3, j] = stream[last[m3] - 2 + j]
+                tri[m2, 0] = pad
+                tri[m2, 1] = stream[t_start[m2]]
+                tri[m2, 2] = stream[t_start[m2] + 1]
+                tri[m1, 0] = pad
+                tri[m1, 1] = pad
+                tri[m1, 2] = stream[last[m1]]
+            ok = t_len >= 1
+            h = _fnv1a_windows(tri[ok])
+            idx = ((h % np.uint64(dims)).astype(np.int64) + prefix_dim) % dims
+            np.add.at(mats, owners[ok] * dims + idx, 0.65)
 
-    m = mats.reshape(n_docs, dims)
+        # --- first/last char w 0.75 ----------------------------------
+        t_first = stream[t_start].astype(np.uint64)
+        t_last = stream[t_start + t_len - 1].astype(np.uint64)
+        hf = ((FNV_OFFSET ^ t_first) * FNV_PRIME % np.uint64(dims)).astype(np.int64)
+        hl = ((FNV_OFFSET ^ t_last) * FNV_PRIME % np.uint64(dims)).astype(np.int64)
+        np.add.at(mats, owners * dims + (T.p_first + hf) % dims, 0.75)
+        np.add.at(mats, owners * dims + (T.p_last + hl) % dims, 0.75)
+
+        # --- length buckets w 0.5 (no prefix composition, :674) ------
+        np.add.at(mats, owners * dims + T.len_dims[_len_bucket(t_len)], 0.5)
+
+        # --- vowel/consonant pattern w 0.5 ---------------------------
+        # V/C/X per char then FNV over the pattern string, masked loop
+        # over positions (max token length iterations, each vectorised).
+        vc_codes = np.where(
+            _lookup(uniq, is_alpha, stream, False),
+            np.where(_lookup(uniq, is_vowel, stream, False),
+                     np.uint32(ord("V")), np.uint32(ord("C"))),
+            np.uint32(ord("X")),
+        )
+        maxlen = int(t_len.max())
+        h_vc = np.full(n_tok, FNV_OFFSET, dtype=np.uint64)
+        for j in range(maxlen):
+            act = t_len > j
+            cj = vc_codes[t_start[act] + j].astype(np.uint64)
+            h_vc[act] = (h_vc[act] ^ cj) * FNV_PRIME
+        idx = ((h_vc % np.uint64(dims)).astype(np.int64) + T.p_vc) % dims
+        np.add.at(mats, owners * dims + idx, 0.5)
+
+        # --- rolling hash for len<=3, w 0.8 --------------------------
+        small = t_len <= 3
+        if small.any():
+            h_rh = np.zeros(small.sum(), dtype=np.uint64)
+            ss, sl = t_start[small], t_len[small]
+            for j in range(3):
+                act = sl > j
+                cj = stream[ss[act] + j].astype(np.uint64)
+                h_rh[act] = (h_rh[act] ^ cj) * ROLL_SEED
+            idx = (h_rh % np.uint64(dims)).astype(np.int64)
+            np.add.at(mats, owners[small] * dims + idx, 0.8)
+
+        # --- case features w 0.5 -------------------------------------
+        # all-lower: ToLowerInvariant is identity for every char
+        tok_of_pos = np.repeat(np.arange(n_tok), t_len + 1)
+        lower_viol = np.zeros(n_tok, dtype=np.int64)
+        upper_viol = np.zeros(n_tok, dtype=np.int64)
+        up_ok = _lookup(uniq, up_stable, stream, True)
+        low_ok = _lookup(uniq, low_stable, stream, True)
+        np.add.at(lower_viol, tok_of_pos, (~up_ok & not_sep).astype(np.int64))
+        np.add.at(upper_viol, tok_of_pos, (~low_ok & not_sep).astype(np.int64))
+        all_lower = lower_viol == 0
+        all_upper = upper_viol == 0
+        first_alpha = _lookup(uniq, is_alpha, stream[t_start], False)
+        first_upper = _lookup(uniq, is_ucase, stream[t_start], False)
+        is_title = first_alpha & first_upper
+        np.add.at(mats, owners * dims + np.where(
+            all_lower, T.d_case_lower, T.d_case_mixed), 0.5)
+        if all_upper.any():
+            np.add.at(mats, owners[all_upper] * dims + T.d_case_upper, 0.5)
+        if is_title.any():
+            np.add.at(mats, owners[is_title] * dims + T.d_case_title, 0.5)
+
+        # --- Unicode category distribution w 0.25 per char -----------
+        cat_per_char = _lookup(uniq, cat, stream, 29)
+        np.add.at(mats, stream_owner[not_sep] * dims
+                  + T.cat_dims[cat_per_char[not_sep]], 0.25)
+
+        # --- numeric / geo hints w 0.6 -------------------------------
+        ser = pd.Series(tokens)
+        is_num = (ser.str.match(_NUM_RE) & ser.str.contains(r"\d")).to_numpy(bool)
+        is_geo = np.zeros(n_tok, dtype=bool)
+        geo_cand = np.nonzero(ser.str.match(_GEO_RE).to_numpy(bool))[0]
+        for i in geo_cand:  # regex prefilter: only plausible coords reach Python
+            is_geo[i] = _is_geo_token(tokens[i])
+        np.add.at(mats, owners * dims + T.d_num[is_num.astype(np.int64)], 0.6)
+        np.add.at(mats, owners * dims + T.d_geo[is_geo.astype(np.int64)], 0.6)
+
+    return mats.reshape(n_owners, dims)
+
+
+def token_vectors(tokens: list[str], dims: int = 512) -> np.ndarray:
+    """Per-token L2-normalised reference vectors (TokenizeIntoVectors)."""
+    n = len(tokens)
+    m = accumulate_token_features(tokens, np.arange(n, dtype=np.int64), n, dims)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    np.divide(m, norms, out=m, where=norms > 0)
+    return m
+
+
+def _embed_batch(texts: pd.Series, dims: int) -> pd.Series:
+    """Doc-level embedding: sum of raw token features, L2-normalised once."""
+    n_docs = len(texts)
+    tokens: list[str] = []
+    owners: list[int] = []
+    for d, text in enumerate(texts):
+        for t in _tokenize(text if isinstance(text, str) else ""):
+            tokens.append(t)
+            owners.append(d)
+    m = accumulate_token_features(
+        tokens, np.array(owners, dtype=np.int64), n_docs, dims)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     np.divide(m, norms, out=m, where=norms > 0)
     return pd.Series(list(m))
@@ -162,6 +434,25 @@ def embed_text_udf(dims: int = 512):
         return _embed_batch(texts, dims)
 
     return embed
+
+
+def angle_key_udf(dims: int = 512):
+    """Returns a pandas UDF: token column → cos(token_vector, unit_vector).
+
+    The reference's lexicon key (CompareToUnitVector,
+    StringAnalyzer.cs:752-757; BuildLexicon :35-80 keys the KV column by
+    an angle derived the same way): a locality-sensitive scalar in
+    [-1, 1] — similar spellings land near each other, so range
+    partitioning on it co-locates similar tokens."""
+
+    @pandas_udf(DoubleType())
+    def angle_key(tokens: pd.Series) -> pd.Series:
+        toks = ["" if t is None else str(t) for t in tokens]
+        m = token_vectors(toks, dims)
+        unit = np.full(dims, 1.0 / np.sqrt(dims))
+        return pd.Series(m @ unit)
+
+    return angle_key
 
 
 @pandas_udf(LongType())

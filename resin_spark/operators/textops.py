@@ -30,9 +30,12 @@ def tokenize_stats(t: Tables) -> DataFrame:
             "doc_id",
             F.size("toks").alias("n_tokens"),
             F.size(F.array_distinct("toks")).alias("n_distinct"),
-            (
+            # NULL for zero-token docs on BOTH engines (ANSI division
+            # would error; the oracle CASEs to NULL)
+            F.when(
+                F.size("toks") > 0,
                 F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-                / F.size("toks")
+                / F.size("toks"),
             ).alias("mean_token_len"),
         )
         .orderBy("doc_id")
@@ -121,6 +124,38 @@ def lexicon_build_oracle() -> str:
     """
 
 
+def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
+    """Angle-keyed lexicon: the reference's BuildLexicon semantics
+    (StringAnalyzer.cs:35-80): every distinct token is keyed by the
+    cosine of its hashed-feature vector against the all-ones unit
+    vector (CompareToUnitVector, :752-757) and TryPut into a KV column —
+    first-wins per angle key, sorted by angle for write locality.
+
+    Spark shape: distinct tokens (case-preserving tokenizer matching the
+    embedder's) → Arrow-batched angle UDF → groupBy(angle_key) with
+    min(token) as the stored entry + collision count. The angle key is a
+    locality-sensitive scalar, so the final orderBy(angle_key) is the
+    same range partitioning the reference exploits — at scale it becomes
+    the bucketing key for similarity probes. Rows-only check (the
+    feature hashing is procedural, not SQL-expressible).
+    """
+    from resin_spark.functions import hashing
+    pat = r"[0-9A-Za-z]+(?:\.[0-9]+)?|[+<=>|~^]"
+    toks = (
+        t["documents"]
+        .select(F.explode(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+                .alias("token"))
+        .distinct()
+    )
+    ak = hashing.angle_key_udf(dims)
+    return (
+        toks.select("token", ak(F.col("token")).alias("angle_key"))
+        .groupBy("angle_key")
+        .agg(F.min("token").alias("token"), F.count(F.lit(1)).alias("n_collisions"))
+        .orderBy("angle_key")
+    )
+
+
 def quality_score(t: Tables) -> DataFrame:
     """Heuristic doc quality: length, stopword ratio, punctuation ratio.
 
@@ -137,14 +172,21 @@ def quality_score(t: Tables) -> DataFrame:
         "doc_id",
         "n_chars",
         F.size("toks").alias("n_tokens"),
-        (T.stopword_count(F.col("toks")) / F.size("toks")).alias("stop_ratio"),
-        (F.col("n_punct") / F.col("n_chars")).alias("punct_ratio"),
+        # zero-token / zero-char docs get NULL ratios on both engines
+        # (ANSI division would error) and always fail the quality gate
+        F.when(F.size("toks") > 0,
+               T.stopword_count(F.col("toks")) / F.size("toks")).alias("stop_ratio"),
+        F.when(F.col("n_chars") > 0,
+               F.col("n_punct") / F.col("n_chars")).alias("punct_ratio"),
     )
     return d.withColumn(
         "quality_ok",
-        (F.col("n_tokens") >= 10)
-        & (F.col("stop_ratio") >= 0.01)
-        & (F.col("punct_ratio") <= 0.2),
+        F.coalesce(
+            (F.col("n_tokens") >= 10)
+            & (F.col("stop_ratio") >= 0.01)
+            & (F.col("punct_ratio") <= 0.2),
+            F.lit(False),
+        ),
     ).orderBy("doc_id")
 
 
@@ -153,11 +195,13 @@ def quality_score_oracle() -> str:
     stop = T.stopword_count_sql("toks")
     return f"""
     SELECT doc_id, n_chars, n_tokens, stop_ratio, punct_ratio,
-           (n_tokens >= 10 AND stop_ratio >= 0.01 AND punct_ratio <= 0.2) AS quality_ok
+           COALESCE(n_tokens >= 10 AND stop_ratio >= 0.01 AND punct_ratio <= 0.2,
+                    FALSE) AS quality_ok
     FROM (
         SELECT doc_id, n_chars, len(toks) AS n_tokens,
-               {stop} / len(toks) AS stop_ratio,
-               {T.punct_count_sql("text")} / n_chars AS punct_ratio
+               CASE WHEN len(toks) > 0 THEN {stop} / len(toks) END AS stop_ratio,
+               CASE WHEN n_chars > 0
+                    THEN {T.punct_count_sql("text")} / n_chars END AS punct_ratio
         FROM (SELECT doc_id, length(text) AS n_chars, text, {toks} AS toks FROM documents)
     )
     ORDER BY doc_id

@@ -159,12 +159,16 @@ def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
     attach their own sink (tests use format('memory') +
     trigger(availableNow=True) and compare against the batch result).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_parquet_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_parquet_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # same ns→µs conversion as io.LazyTables for the batch path
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -1,0 +1,75 @@
+"""Zero-token / empty-text edge parity (ADVICE r1: list_reduce on empty
+lists + divide-by-zero must behave identically on Spark and DuckDB).
+
+Builds a documents table of pathological rows and runs every
+documents-based oracle-backed query against DuckDB on it — the same
+comparison the driver gate does, but on inputs the generated testdata
+never contains.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+DOC_QUERIES = [
+    "text_tokenize_stats", "term_frequencies", "lexicon_build",
+    "text_quality_score", "lang_id_heuristic", "doc_fingerprint",
+    "unicode_range", "token_count_bpe", "dedup_exact",
+]
+
+EDGE_DOCS = [
+    (0, "the quick brown fox", "en", "web", 19),
+    (1, "", "en", "web", 0),                       # empty text
+    (2, "!!! ... ???", "en", "web", 11),           # zero tokens
+    (3, "one", "en", "web", 3),                    # single token
+    (4, "  spaced   out  ", "en", "web", 16),
+    (5, "汉字 العربية ελληνικά", "zh", "web", 20),  # non-ASCII only
+    (6, "the quick brown fox", "en", "web", 19),   # exact duplicate of 0
+    (7, "1234 5678", "en", "web", 9),              # digits only
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    df = spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return repr(v)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_edge_docs_parity(spark, edge_dir, name):
+    sql = entry_mod.oracle_sql()[name]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+        )
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    df = entry_mod.queries()[name](spark, edge_dir)
+    srows = df.collect()
+    assert sorted(df.columns) == sorted(ocols)
+    assert len(srows) == len(orows), f"rowcount: {len(srows)} vs {len(orows)}"
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [df.columns.index(c) for c in sorted(df.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:3]}"

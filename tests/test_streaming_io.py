@@ -1,0 +1,101 @@
+"""G4 structured streaming + H2 cirrussearch source + H3 writer tests.
+
+The streaming test asserts the readStream→watermark→window pipeline
+produces exactly the batch hourly_rollup counts (the batch result is
+the stream's expected output — SURVEY §2 G4). The cirrussearch test
+exercises field projection, metadata-line dropping, and the
+percent-encoded url synthesis matching the reference's
+Uri.EscapeDataString behaviour (WikipediaHelper.cs:37-43).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from resin_spark.io import load_tables, read_cirrussearch, write_parquet
+from resin_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    batch = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in ev.hourly_rollup(load_tables(spark, SF)).collect()
+    }
+    assert batch
+
+    # file-stream sources need a directory (as in production, where the
+    # events land as a directory of parquet files)
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0000.parquet")
+    stream_df = ev.stream_hourly_rollup(spark, str(src_dir))
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hourly_stream").collect()
+    }
+    assert got == batch
+
+
+def _write_cirrus_fixture(path):
+    rows = [
+        {"index": {"_type": "page", "_id": "1"}},
+        {"title": "Apache Spark", "text": "engine", "popularity_score": 1.5},
+        {"index": {"_type": "page", "_id": "2"}},
+        {"title": "C# (programming language)", "text": "lang",
+         "popularity_score": 0.5},
+    ]
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_cirrussearch_projection_and_url(spark, tmp_path):
+    fx = str(tmp_path / "dump.json.gz")
+    _write_cirrus_fixture(fx)
+    df = read_cirrussearch(spark, fx, ["title", "text", "url"])
+    rows = {r["title"]: r for r in df.collect()}
+    # metadata lines dropped, two documents survive
+    assert set(rows) == {"Apache Spark", "C# (programming language)"}
+    assert rows["Apache Spark"]["text"] == "engine"
+    # percent-encoding, not form-encoding: space → %20 (never '+'),
+    # reserved chars escaped — Uri.EscapeDataString semantics
+    assert rows["Apache Spark"]["url"] == \
+        "https://en.wikipedia.org/wiki/Apache%20Spark"
+    url2 = rows["C# (programming language)"]["url"]
+    assert "+" not in url2 and "%20" in url2 and url2.startswith(
+        "https://en.wikipedia.org/wiki/C%23")
+    assert df.columns == ["title", "text", "url"]
+
+
+def test_cirrussearch_field_projection_only(spark, tmp_path):
+    fx = str(tmp_path / "dump2.json.gz")
+    _write_cirrus_fixture(fx)
+    df = read_cirrussearch(spark, fx, ["title", "popularity_score"])
+    assert df.columns == ["title", "popularity_score"]
+    assert df.count() == 2
+
+
+def test_partitioned_parquet_writer_roundtrip(spark, tmp_path):
+    t = load_tables(spark, SF)
+    out = str(tmp_path / "nation_out")
+    write_parquet(t["nation"], out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == t["nation"].count()
+    # partition column survives as a directory key (partition pruning works)
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    assert pruned.count() == t["nation"].filter(F.col("n_regionkey") == 0).count()
