@@ -119,10 +119,14 @@ def q3_oracle() -> str:
 def q5_local_supplier(t: Tables) -> DataFrame:
     """TPC-H Q5 shape: star join through two dim chains.
 
-    region→nation is tiny and broadcast; customer and supplier join
-    lineitem/orders on shuffled keys. The n_nationkey equality between
-    customer and supplier nations is applied as a post-join filter,
-    exactly as the reference SQL states it.
+    region→nation is guaranteed-tiny (25/5 rows at any SF) and hinted
+    broadcast. customer/supplier are NOT hinted: they grow linearly with
+    SF (multi-GB at sf100+), so the broadcast-vs-shuffle choice is left
+    to AQE, which converts to broadcast at runtime when the actual
+    post-scan size is under the threshold — the size-gated behaviour a
+    hard hint can't give. The n_nationkey equality between customer and
+    supplier nations is applied as a post-join filter, exactly as the
+    reference SQL states it.
     """
     region = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
     nation = t["nation"].join(
@@ -138,8 +142,8 @@ def q5_local_supplier(t: Tables) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

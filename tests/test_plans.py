@@ -1,0 +1,81 @@
+"""Physical-plan assertions for scale-critical operators (SURVEY §5/§6).
+
+These lock in the plan shapes the 100 TB design depends on: filters
+reaching the parquet scan, column pruning, broadcast joins on the tiny
+dims, no nested-loop/cartesian joins in the candidate-verify paths, and
+no single-partition global windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resin_spark.io import load_tables
+from resin_spark.operators import dedup, graph, similarity, textops
+from resin_spark.plans import tpch
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = tpch.q1_pricing_summary(load_tables(spark, SF))
+    plan = plan_of(df)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "PushedFilters: [*IsNotNull(l_shipdate)" in plan, plan[:2000]
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+
+
+def test_q5_broadcasts_tiny_dims_only(spark):
+    df = tpch.q5_local_supplier(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # region→nation chain
+    # no cartesian anywhere in a 6-way star join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("build", [
+    lambda t: similarity.knn_classify(t["embeddings"]),
+    lambda t: dedup.embedding_dedup_pairs(t["embeddings"]),
+    lambda t: graph.graph_dedup(t["embeddings"]),
+    lambda t: dedup.ngram_jaccard_pairs(t["documents"]),
+    lambda t: dedup.minhash_lsh_pairs(t["documents"]),
+    lambda t: dedup.simhash_pairs(t["documents"]),
+])
+def test_no_quadratic_join_shapes(spark, build):
+    """Candidate generation must never plan a cartesian/nested-loop join
+    — the O(n²) shapes the round-1 verdict flagged are gone for good."""
+    df = build(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lexicon_build_has_no_global_window(spark):
+    """The token rank is computed per first-char bucket + offset — no
+    Exchange SinglePartition feeding a Window (the round-1 scale-killer)."""
+    df = textops.lexicon_build(load_tables(spark, SF))
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            # the window must carry a partition spec (the bucket column)
+            assert "bucket" in line, line
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_brute_topk_broadcasts_queries(spark):
+    t = load_tables(spark, SF)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    plan = plan_of(similarity.brute_topk(emb, q))
+    # the query side is broadcast; the corpus is scanned once, never shuffled
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
