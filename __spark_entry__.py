@@ -123,7 +123,12 @@ def _string_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     embed = hashing.embed_text_udf(dims=512)
-    d = t["documents"].select("doc_id", embed(F.col("text")).alias("emb"))
+    # localCheckpoint: both join branches read the embedded blocks instead
+    # of re-running the (expensive) embedding UDF per branch
+    d = (
+        t["documents"].select("doc_id", embed(F.col("text")).alias("emb"))
+        .localCheckpoint(eager=False)
+    )
     a = d.alias("a")
     b = d.select(
         (F.col("doc_id") - 1).alias("pair_id"), F.col("emb").alias("emb_b")
@@ -182,6 +187,12 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (seeded hyperplanes) → rows-only check."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.lsh_topk(emb, _query_vectors(emb))
+
+
+def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (k-means cells, seeded) → rows-only check."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.ann_topk_ivf(emb, _query_vectors(emb))
 
 
 def _vector_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,6 +271,7 @@ def queries() -> dict[str, Query]:
         "dedup_embedding": _dedup_embedding,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
         "vector_analyze": _vector_analyze,
         "knn_classify": _knn_classify,
         "graph_dedup": _graph_dedup,

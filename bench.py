@@ -42,11 +42,23 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footers once so q1 isn't charged for session start.
+    # Warm the JVM, parquet footers, and the Arrow/Python worker pool once
+    # so the first queries aren't charged for process start (steady-state
+    # throughput is what the numbers are for).
     try:
         entry_mod.queries()["q1_pricing_summary"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("double")
+        def _warm(x: pd.Series) -> pd.Series:
+            return x * 1.0
+
+        spark.range(0, 10000, 1, int(cpus)).select(
+            _warm(col("id").cast("double"))
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

@@ -21,25 +21,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from resin_spark.functions import vectors as V
-from resin_spark.operators.similarity import IDENTICAL_ANGLE, _hyperplane_udf
+from resin_spark.operators.similarity import IDENTICAL_ANGLE
 
 
 def _candidate_pairs_lsh(emb: DataFrame, dims: int, n_planes: int,
                          n_tables: int) -> DataFrame:
-    """Distinct (i < j) candidate pairs sharing an LSH bucket in ≥1 table."""
-    cand = None
-    for t in range(n_tables):
-        h = _hyperplane_udf(dims, n_planes, seed=101 + t)
-        b = emb.select(F.col("vec_id"), F.col("embedding"),
-                       h(F.col("embedding")).alias("bucket"))
-        a_side = b.select(F.col("vec_id").alias("id_a"),
-                          F.col("embedding").alias("emb_a"), "bucket")
-        b_side = b.select(F.col("vec_id").alias("id_b"),
-                          F.col("embedding").alias("emb_b"), "bucket")
-        pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
-        pairs = pairs.select("id_a", "id_b", "emb_a", "emb_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    return cand.dropDuplicates(["id_a", "id_b"])
+    """Distinct (i < j) candidate pairs sharing an LSH bucket in ≥1 table.
+
+    All tables' buckets come from one Arrow pass (see
+    similarity.hyperplane_buckets_udf); the self-join key is
+    (table, bucket)."""
+    from resin_spark.operators.similarity import hyperplane_buckets_udf
+    h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0=101)
+    b = emb.select(F.col("vec_id"), F.col("embedding"),
+                   F.posexplode(h(F.col("embedding"))).alias("tbl", "bucket"))
+    a_side = b.select(F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("emb_a"), "tbl", "bucket")
+    b_side = b.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("emb_b"), "tbl", "bucket")
+    return (
+        a_side.join(b_side, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,

@@ -195,6 +195,31 @@ def _hyperplane_udf(dims: int, n_planes: int, seed: int = 7):
     return bucket
 
 
+def hyperplane_buckets_udf(dims: int, n_planes: int, n_tables: int,
+                           seed0: int = 7):
+    """All n_tables bucket ids in ONE Arrow pass: a single
+    (batch × dims) @ (dims × tables·planes) matmul, bits packed per
+    table. One UDF stage instead of n_tables — the corpus is read and
+    shipped through Arrow exactly once."""
+    rng_planes = [
+        np.random.RandomState(seed0 + t).standard_normal((n_planes, dims))
+        for t in range(n_tables)
+    ]
+    all_planes = np.vstack(rng_planes)  # (tables*planes, dims)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ all_planes.T) > 0  # (batch, tables*planes)
+        out = np.zeros((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + j].astype(np.int64) << j
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
              n_planes: int = 8, n_tables: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -203,21 +228,127 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
 
     n_tables independent hash tables (seeded deterministically) union
     their candidates before exact scoring — the standard recall knob.
-    The corpus is bucketed once per table (Arrow-batched matmul) and
-    joined on (table, bucket): cost ≈ corpus × tables, never corpus².
+    All tables' buckets come from ONE Arrow pass over the corpus
+    (hyperplane_buckets_udf) followed by a posexplode, and the single
+    equi-join key is (table, bucket): cost ≈ corpus × tables, never
+    corpus².
     """
-    cand = None
-    for t in range(n_tables):
-        h = _hyperplane_udf(dims, n_planes, seed=7 + t)
-        eb = emb.select(F.col(id_col), F.col(vec_col), h(F.col(vec_col)).alias("bucket"))
-        qb = queries.select(F.col(q_id), F.col(q_vec), h(F.col(q_vec)).alias("bucket"))
-        pairs = eb.join(broadcast(qb), on="bucket").filter(F.col(id_col) != F.col(q_id))
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates([q_id, id_col])
+    h = hyperplane_buckets_udf(dims, n_planes, n_tables)
+    eb = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(h(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    qb = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.posexplode(h(F.col(q_vec))).alias("tbl", "bucket"),
+    )
+    cand = (
+        eb.join(broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col(q_id))
+        .dropDuplicates([q_id, id_col])
+    )
     scored = cand.select(
         F.col(q_id),
         F.col(id_col).alias("neighbor_id"),
         V.cosine(vec_col, q_vec).alias("score"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )
+
+
+def _train_ivf_centroids(emb: DataFrame, n_cells: int, dims: int,
+                         sample_cap: int, seed: int,
+                         id_col: str, vec_col: str) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a deterministic sample.
+
+    The sample is a hash-spread subset (xxhash64(id) order) capped at
+    sample_cap — at 100 TB the training set stays driver-sized while the
+    full corpus is only ever touched by the one-pass assignment UDF.
+    Lloyd iterations run in numpy on unit vectors (assign by dot,
+    re-mean, re-normalise); empty cells re-seed deterministically.
+    """
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    m = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    u = m / norms
+    rng = np.random.RandomState(seed)
+    cent = u[rng.choice(len(u), size=min(n_cells, len(u)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(u @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = u[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n > 0 else u[rng.randint(len(u))]
+            else:
+                cent[c] = u[rng.randint(len(u))]
+    return cent
+
+
+def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 n_cells: int = 64, n_probe: int = 8, dims: int = 64,
+                 sample_cap: int = 100_000, seed: int = 33,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered scale path
+    beside the hyperplane LSH one.
+
+    1. train — spherical k-means centroids on a driver-sized sample.
+    2. assign — ONE Arrow pass puts every corpus vector in its nearest
+       cell (argmax against the broadcast centroid matrix).
+    3. probe — each query expands to its n_probe nearest cells
+       (posexplode), and the candidate join is equi-keyed on cell id —
+       cost ≈ corpus × n_probe / n_cells per query, never corpus².
+    4. score — exact JVM cosine + per-query top-k window, so returned
+       scores are oracle-grade even though recall is approximate.
+
+    n_probe = n_cells degrades gracefully to exact brute force (tested).
+    """
+    cent = _train_ivf_centroids(emb, n_cells, dims, sample_cap, seed,
+                                id_col, vec_col)
+
+    @pandas_udf(LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n) @ cent.T, axis=1).astype(np.int64))
+
+    probe_n = min(n_probe, len(cent))
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        s = (m / n) @ cent.T
+        top = np.argsort(-s, axis=1)[:, :probe_n].astype(np.int64)
+        return pd.Series(list(top))
+
+    eb = emb.select(F.col(id_col), F.col(vec_col),
+                    cell_of(F.col(vec_col)).alias("cell"))
+    qb = queries.select(F.col(q_id), F.col(q_vec),
+                        F.explode(probe_cells(F.col(q_vec))).alias("cell"))
+    scored = (
+        eb.join(broadcast(qb), "cell")
+        .filter(F.col(id_col) != F.col(q_id))
+        .select(
+            F.col(q_id),
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine(vec_col, q_vec).alias("score"),
+        )
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
