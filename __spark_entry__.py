@@ -169,6 +169,10 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dedup_pairs(load_tables(spark, sf_dir)["embeddings"])
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_components(load_tables(spark, sf_dir)["documents"])
+
+
 # --- block E: similarity / ML -------------------------------------------------
 
 def _query_vectors(emb: DataFrame, n: int = 5) -> DataFrame:
@@ -269,6 +273,7 @@ def queries() -> dict[str, Query]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_components": _dedup_components,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
@@ -336,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_simhash": dedup.simhash_pairs_oracle(),
         "dedup_embedding": dedup.embedding_dedup_oracle(),
+        "dedup_components": dedup.dedup_components_oracle(),
         "ann_topk_bruteforce": similarity.brute_topk_oracle(),
         "vector_analyze": similarity.vector_analyze_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),

@@ -398,6 +398,106 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
     """
 
 
+# --- D6: duplicate clustering (connected components) ---------------------------
+
+def dedup_components(docs: DataFrame, max_hamming: int = 3,
+                     max_iters: int = 25) -> DataFrame:
+    """Collapse pairwise near-dup hits into canonical clusters: every doc
+    gets the min doc_id of its duplicate component (the keeper) — what a
+    training-data pipeline actually consumes, since pairwise output
+    alone can't answer "which copies do I drop".
+
+    Edges come from simhash_pairs (any pair source drops in). Component
+    labels are computed by distributed min-label propagation: each
+    iteration is one equi-join + groupBy (labels flow one hop), and the
+    loop stops when an iteration changes nothing — at most
+    graph-diameter iterations, each a linear shuffle; lineage is cut
+    per iteration with a lazy localCheckpoint so plans stay flat. This
+    is the standard Spark shape for iterative graph algorithms (no
+    driver-side graph, no recursion in the plan).
+
+    Output: (doc_id, component, is_canonical) for every document;
+    singletons are their own component.
+    """
+    edges = simhash_pairs(docs, max_hamming).select("doc_a", "doc_b")
+    # undirected: propagate labels both ways
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=False)
+
+    # the loop only carries docs that have at least one duplicate edge —
+    # in a real corpus that's a small fraction; singletons join back in
+    # at the end as their own component
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")  # AQE broadcasts the small side
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_components_oracle(max_hamming: int = 3) -> str:
+    """Transitive closure via recursive CTE — exact same components."""
+    return f"""
+    WITH RECURSIVE sims AS ({simhash_sql()}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sims a, sims b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT doc AS doc_id, MIN(reach) AS component,
+           MIN(reach) = doc AS is_canonical
+    FROM walk GROUP BY doc ORDER BY doc_id
+    """
+
+
 # --- D5: embedding cosine ------------------------------------------------------
 
 def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
