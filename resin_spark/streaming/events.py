@@ -149,6 +149,43 @@ def props_json_oracle() -> str:
     """
 
 
+def _event_stream(spark: SparkSession, events_parquet_dir: str):
+    """readStream over an events parquet directory with the same ns→µs
+    timestamp handling as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_parquet_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_sessionize(spark: SparkSession, events_parquet_dir: str,
+                      gap_minutes: int = 30, watermark: str = "2 hours"):
+    """Streaming sessionisation with the built-in ``session_window`` —
+    Spark's native stateful merge of per-user activity windows (the
+    idiomatic alternative to hand-rolled applyInPandasWithState state).
+
+    Sessions finalize and emit (append mode) once the event-time
+    watermark passes their close; the gaps-and-islands batch
+    :func:`sessionize` is the reference output — every emitted session
+    must appear there (tested), with only sessions still inside the
+    watermark horizon allowed to be pending.
+    """
+    stream = _event_stream(spark, events_parquet_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.unix_timestamp(F.min("ts")).alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
 def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
                          watermark: str = "2 hours"):
     """Structured-streaming twin of :func:`hourly_rollup`.
@@ -159,16 +196,7 @@ def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
     attach their own sink (tests use format('memory') +
     trigger(availableNow=True) and compare against the batch result).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_parquet_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # same ns→µs conversion as io.LazyTables for the batch path
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, events_parquet_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for KV semantics and string hashes.
+
+Mirrors the reference's randomized round-trip style (DoubleTests.cs KV
+put/get/append/dup-key round-trips) with generated inputs instead of
+fixed fixtures. Spark examples are kept small and few — the properties
+do the work, not the volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from resin_spark.functions import hashing as H
+from resin_spark.operators import kv
+
+KNUTH_INIT = 3074457345618258791
+KNUTH_MULT = 3074457345618258799
+U64 = 1 << 64
+
+
+def knuth_reference(s: str) -> int:
+    """Direct transliteration of HashOperations.CalculateKnuthHash:
+    foreach (char c in s) — UTF-16 code units — h = (h + c) * M."""
+    h = KNUTH_INIT
+    for unit in np.frombuffer(s.encode("utf-16-le"), dtype="<u2"):
+        h = ((h + int(unit)) * KNUTH_MULT) % U64
+    return h - U64 if h >= 1 << 63 else h
+
+
+@given(st.lists(st.text(max_size=12), min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_knuth_hash_matches_reference(texts):
+    import pandas as pd
+    got = H.knuth_hash.func(pd.Series(texts))
+    for s, g in zip(texts, got):
+        assert g == knuth_reference(s), repr(s)
+
+
+def test_knuth_hash_non_bmp():
+    """Non-BMP chars contribute two surrogate halves, exactly as C#."""
+    import pandas as pd
+    s = "a\U0001F600b"  # emoji: surrogate pair in UTF-16
+    assert H.knuth_hash.func(pd.Series([s]))[0] == knuth_reference(s)
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(-50, 50)),
+    min_size=1, max_size=30, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(kv_rows)
+@settings(max_examples=8, deadline=None)
+def test_try_put_first_wins(spark, rows):
+    df = spark.createDataFrame(rows, "key long, seq long, value long")
+    got = {r["key"]: (r["seq"], r["value"]) for r in kv.try_put(df).collect()}
+    want = {}
+    for k, s, v in sorted(rows, key=lambda r: r[1]):
+        want.setdefault(k, (s, v))
+    assert got == want
+
+
+@given(kv_rows)
+@settings(max_examples=8, deadline=None)
+def test_get_many_ordered_by_seq(spark, rows):
+    df = spark.createDataFrame(rows, "key long, seq long, value long")
+    got = {r["key"]: (list(r["values"]), r["value_count"])
+           for r in kv.get_many(df).collect()}
+    want = {}
+    for k, s, v in sorted(rows, key=lambda r: (r[1], r[2])):
+        want.setdefault(k, []).append(v)
+    assert got == {k: (vs, len(vs)) for k, vs in want.items()}
+
+
+@given(st.sets(st.integers(0, 30), max_size=15),
+       st.sets(st.integers(0, 30), max_size=15))
+@settings(max_examples=8, deadline=None)
+def test_set_ops_match_python_sets(spark, a, b):
+    mk = lambda s: spark.createDataFrame([(x,) for x in s] or [(None,)],
+                                         "key long").filter("key IS NOT NULL")
+    da, db = mk(a), mk(b)
+    assert {r["key"] for r in kv.set_union(da, db).collect()} == a | b
+    assert {r["key"] for r in kv.set_intersect(da, db).collect()} == a & b
+    assert {r["key"] for r in kv.set_except(da, db).collect()} == a - b

@@ -51,6 +51,35 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_stream_sessionize_emits_batch_sessions(spark, tmp_path):
+    """Every session the stream finalizes must exactly match a batch
+    gaps-and-islands session (user, start, count); only sessions inside
+    the watermark horizon may be pending."""
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in ev.sessionize(load_tables(spark, SF)).collect()
+    }
+    src_dir = tmp_path / "events_in2"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0000.parquet")
+    q = (
+        ev.stream_sessionize(spark, str(src_dir), watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM session_stream").collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        key = (r["user_id"], r["session_start"])
+        assert key in batch, f"stream emitted unknown session {key}"
+        assert batch[key] == r["n_events"], key
+
+
 def _write_cirrus_fixture(path):
     rows = [
         {"index": {"_type": "page", "_id": "1"}},
