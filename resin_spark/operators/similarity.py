@@ -261,6 +261,66 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
     )
 
 
+def write_ann_index(emb: DataFrame, path: str, dims: int = 64,
+                    n_planes: int = 8, n_tables: int = 4, seed0: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist the LSH index as a partitioned parquet relation — the
+    Spark-first analog of the reference's on-disk graph index
+    (GraphSerializer.cs writes node pages; SeekableGraphReader.cs seeks
+    them by offset). Here the "pages" are parquet row groups: the index
+    is (tbl, bucket, id, vector) partitioned by tbl and sorted by bucket
+    within files, so a probe reads only its table's directory and skips
+    row groups via bucket min/max statistics — seek-equivalent I/O with
+    zero custom file format.
+    """
+    h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
+    idx = (
+        emb.select(F.col(id_col), F.col(vec_col),
+                   F.posexplode(h(F.col(vec_col))).alias("tbl", "bucket"))
+        .repartition("tbl")
+        .sortWithinPartitions("bucket")
+    )
+    idx.write.mode("overwrite").partitionBy("tbl").parquet(path)
+
+
+def read_ann_index(spark, path: str) -> DataFrame:
+    """Load a persisted LSH index (see write_ann_index)."""
+    return spark.read.parquet(path)
+
+
+def lsh_topk_indexed(index: DataFrame, queries: DataFrame, k: int = 10,
+                     dims: int = 64, n_planes: int = 8, n_tables: int = 4,
+                     seed0: int = 7,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """lsh_topk against a pre-built persisted index: queries hash with
+    the same seeds, and the (tbl, bucket) equi-join prunes the scan to
+    the probed partitions/row groups. Identical output to
+    :func:`lsh_topk` on the same corpus and parameters."""
+    h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
+    qb = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.posexplode(h(F.col(q_vec))).alias("tbl", "bucket"),
+    )
+    cand = (
+        index.join(broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col(q_id))
+        .dropDuplicates([q_id, id_col])
+    )
+    scored = cand.select(
+        F.col(q_id),
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine(vec_col, q_vec).alias("score"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )
+
+
 def _train_ivf_centroids(emb: DataFrame, n_cells: int, dims: int,
                          sample_cap: int, seed: int,
                          id_col: str, vec_col: str) -> np.ndarray:

@@ -46,6 +46,28 @@ def test_ivf_default_recall_and_exact_scores(spark):
     assert hits / len(brute) >= 0.2
 
 
+def test_persisted_index_matches_direct_lsh(spark, tmp_path):
+    """GraphSerializer round-trip analog: build index → persist → load →
+    query must equal the direct in-memory LSH query exactly, and the
+    probe must prune to the probed table partitions."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    path = str(tmp_path / "ann_index")
+    similarity.write_ann_index(emb, path)
+    idx = similarity.read_ann_index(spark, path)
+    direct = similarity.lsh_topk(emb, q).collect()
+    via_index = similarity.lsh_topk_indexed(idx, q).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in direct]
+    # partition layout: one directory per hash table
+    import os
+    tbl_dirs = [d for d in os.listdir(path) if d.startswith("tbl=")]
+    assert len(tbl_dirs) == 4
+    # a single-table probe plans partition filters (directory pruning)
+    pruned = idx.filter(F.col("tbl") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tbl" in plan or "tbl#" in plan
+
+
 def test_lsh_topk_single_pass_buckets(spark):
     emb = load_tables(spark, SF)["embeddings"]
     q = _queries(emb)
