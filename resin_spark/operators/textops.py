@@ -156,6 +156,63 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     )
 
 
+def sentence_vectors(t: Tables) -> DataFrame:
+    """Sentence vectors over the lexicon — the reference's Tokenizer
+    (src/Resin.MachineLearning/Tokenizer.cs): each token maps to a
+    one-hot over the lexicon index and a sentence is the sum of its
+    tokens' one-hots. The natural Spark representation is sparse:
+    per doc, the sorted lexicon indices present and their counts.
+
+    Shape: tokens ⋈ lexicon (equi-join on token; the lexicon side is a
+    distinct-vocabulary relation AQE broadcasts when small, shuffles
+    when not) → two-level groupBy, all map-side combinable. Dense
+    materialisation is deliberately avoided — at 100 TB a vocabulary-
+    width dense array per doc is the wrong layout.
+    """
+    lex = lexicon_build(t)
+    toks = t["documents"].select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    counts = (
+        toks.join(lex, "token")
+        .groupBy("doc_id", "index")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("index", "cnt"))).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.index").alias("indices"),
+            F.col("p.cnt").alias("counts"),
+            F.size("p").alias("n_distinct_terms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sentence_vectors_oracle() -> str:
+    return f"""
+    WITH lex AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS index
+        FROM (SELECT DISTINCT unnest({T.tokens_sql("text")}) AS token FROM documents)
+    ),
+    toks AS (
+        SELECT doc_id, unnest({T.tokens_sql("text")}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, index, COUNT(*) AS cnt
+        FROM toks JOIN lex USING (token)
+        GROUP BY doc_id, index
+    )
+    SELECT doc_id,
+           list(index ORDER BY index) AS indices,
+           list(cnt ORDER BY index) AS counts,
+           COUNT(*) AS n_distinct_terms
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def quality_score(t: Tables) -> DataFrame:
     """Heuristic doc quality: length, stopword ratio, punctuation ratio.
 
