@@ -435,19 +435,30 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     )
 
     for _ in range(max_iters):
+        # one hop of min-label propagation over the edges …
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        prop = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # … then pointer-jumping (component ← component's component):
+        # path doubling makes convergence O(log diameter) rounds instead
+        # of O(diameter) — on a 100 TB corpus a duplicate chain of depth
+        # 1000 finishes in ~10 rounds, not ~1000.
+        parent = prop.select(F.col("doc_id").alias("p_doc"),
+                             F.col("component").alias("p_comp"))
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            prop.join(parent, prop.component == parent.p_doc, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
             .localCheckpoint(eager=False)
         )
