@@ -230,6 +230,14 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(load_tables(spark, sf_dir))
 
 
+def _mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_plan(load_tables(spark, sf_dir))
+
+
+def _mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.feature_extract(load_tables(spark, sf_dir))
+
+
 # --- block G: events ----------------------------------------------------------
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +293,8 @@ def queries() -> dict[str, Query]:
         "closest_match": _closest_match,
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_resize_plan": _mm_resize_plan,
+        "mm_feature_extract": _mm_feature_extract,
     }
 
 
@@ -352,4 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "closest_match": similarity.closest_match_oracle(),
         "mm_binary_meta": multimodal.binary_meta_oracle(),
         "mm_frame_sample": multimodal.frame_sample_oracle(),
+        "mm_resize_plan": multimodal.resize_plan_oracle(),
+        "mm_feature_extract": multimodal.feature_extract_oracle(),
     }

@@ -102,6 +102,97 @@ def binary_meta_oracle() -> str:
     """
 
 
+MAX_W, MAX_H = 336, 336  # target box, ViT-ish input size
+
+
+def resize_plan(t: Tables) -> DataFrame:
+    """F3: aspect-preserving resize planning for image payloads.
+
+    Computes the output geometry of fitting each (width, height) —
+    taken from binary_meta's decode — into a MAX_W×MAX_H box without
+    distortion: integer scaled dims and the resulting pixel reduction.
+    The arithmetic is pure JVM column math over the decoded metadata;
+    a real resampler consumes exactly this plan per batch. This is the
+    shape of pipeline preprocessing at scale: plan relationally,
+    execute the heavy kernel in the Arrow batch that already carries
+    the payload.
+    """
+    m = binary_meta(t).select("doc_id", "width", "height")
+    # scale = min(MAX_W/w, MAX_H/h, 1.0), integer floor output dims
+    scale = F.least(
+        F.lit(MAX_W) / F.col("width"),
+        F.lit(MAX_H) / F.col("height"),
+        F.lit(1.0),
+    )
+    return (
+        m.withColumn("out_w", F.floor(F.col("width") * scale).cast("long"))
+        .withColumn("out_h", F.floor(F.col("height") * scale).cast("long"))
+        .withColumn(
+            "pixel_ratio",
+            F.round((F.col("out_w") * F.col("out_h"))
+                    / (F.col("width") * F.col("height")), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def resize_plan_oracle() -> str:
+    w = f"16 + {_hex_to_int_sql('substr(md5(text), 1, 6)')} % 1024"
+    h = f"16 + {_hex_to_int_sql('substr(md5(text), 7, 6)')} % 768"
+    return f"""
+    SELECT doc_id, width, height,
+           CAST(floor(width * s) AS BIGINT) AS out_w,
+           CAST(floor(height * s) AS BIGINT) AS out_h,
+           round((CAST(floor(width * s) AS BIGINT) * CAST(floor(height * s) AS BIGINT))
+                 / CAST(width * height AS DOUBLE), 6) AS pixel_ratio
+    FROM (
+        SELECT doc_id, width, height,
+               LEAST({MAX_W} / CAST(width AS DOUBLE),
+                     {MAX_H} / CAST(height AS DOUBLE), 1.0) AS s
+        FROM (SELECT doc_id, {w} AS width, {h} AS height FROM documents)
+    )
+    ORDER BY doc_id
+    """
+
+
+N_FEATURES = 8
+
+
+def feature_extract(t: Tables) -> DataFrame:
+    """F4: fixed-width feature vector per binary payload.
+
+    The fake featurizer derives N_FEATURES floats in [0, 1) from md5
+    chunks of the payload — deterministic, content-addressed, and
+    engine-checkable; a real model (CLIP etc.) replaces the per-batch
+    function body while the mapInPandas schema, batching, and the
+    downstream `array<double>` column contract stay identical (the
+    E-block ANN operators consume this column as-is).
+    """
+    schema = "doc_id long, features array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                h = hashlib.md5(b).hexdigest()
+                feats.append([int(h[i * 4:(i + 1) * 4], 16) / 65536.0
+                              for i in range(N_FEATURES)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return with_payload(t["documents"]).mapInPandas(gen, schema).orderBy("doc_id")
+
+
+def feature_extract_oracle() -> str:
+    feats = ", ".join(
+        f"{_hex_to_int_sql(f'substr(md5(text), {i * 4 + 1}, 4)')} / 65536.0"
+        for i in range(N_FEATURES)
+    )
+    return f"""
+    SELECT doc_id, [{feats}] AS features
+    FROM documents ORDER BY doc_id
+    """
+
+
 MAX_FRAMES = 8
 FRAME_SPACING = 256
 FRAME_LEN = 64
