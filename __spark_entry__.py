@@ -271,6 +271,7 @@ def queries() -> dict[str, Query]:
         "lexicon_build": _mk_text(textops.lexicon_build),
         "lexicon_angle": _mk_text(textops.lexicon_angle),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "term_frequencies": textops.term_frequencies_oracle(),
         "lexicon_build": textops.lexicon_build_oracle(),
         "sentence_vectors": textops.sentence_vectors_oracle(),
+        "tfidf_topterms": textops.tfidf_topterms_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

@@ -156,6 +156,68 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     )
 
 
+def tfidf_topterms(t: Tables, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf is the rational form (N+1)/(df+1) rather than its logarithm:
+    IEEE division and multiplication are exactly rounded and therefore
+    bit-identical across engines, while ln() is implementation-defined
+    in the last ulp — the rational form keeps the correctness hash
+    tolerance-free without changing the ranking (log is monotone).
+
+    Plan: explode → (doc, term) counts (map-side combinable) → term df
+    (second small agg) → broadcast-joined scoring → per-doc top-k
+    window. N is a driver scalar from one count — the only collected
+    value, O(1) size.
+    """
+    docs = t["documents"]
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_topterms_oracle(k: int = 5) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (((SELECT COUNT(*) FROM documents) + 1.0) / (df.df + 1)) AS tfidf
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, rank, term, tf, df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY doc_id, rank
+    """
+
+
 def sentence_vectors(t: Tables) -> DataFrame:
     """Sentence vectors over the lexicon — the reference's Tokenizer
     (src/Resin.MachineLearning/Tokenizer.cs): each token maps to a
