@@ -179,22 +179,6 @@ def brute_topk_oracle(k: int = 10, n_queries: int = 5) -> str:
     """
 
 
-def _hyperplane_udf(dims: int, n_planes: int, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dims))
-
-    @pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())
-        bits = (m @ planes.T) > 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for j in range(n_planes):
-            out |= bits[:, j].astype(np.int64) << j
-        return pd.Series(out)
-
-    return bucket
-
-
 def hyperplane_buckets_udf(dims: int, n_planes: int, n_tables: int,
                            seed0: int = 7):
     """All n_tables bucket ids in ONE Arrow pass: a single
