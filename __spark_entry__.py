@@ -270,6 +270,7 @@ def queries() -> dict[str, Query]:
         "term_frequencies": _mk_text(textops.term_frequencies),
         "lexicon_build": _mk_text(textops.lexicon_build),
         "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         "text_quality_score": _mk_text(textops.quality_score),

@@ -156,6 +156,29 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     )
 
 
+def lexicon_validate(t: Tables, dims: int = 512) -> DataFrame:
+    """ValidateLexicon analog (StringAnalyzer.cs:97-130; CLI
+    ValidateLexiconCommand): integrity stats of the angle-keyed lexicon
+    in one aggregate pass — every distinct token must be reachable
+    through its angle key (tokens_covered == n_tokens), collision
+    pressure is the max/mean tokens sharing one key (the reference logs
+    the least-entropic collision), and the key range confirms the
+    locality-sensitive scalar stays in [-1, 1]. One row out; every
+    stat is a plain aggregate — no global sort, no window.
+    """
+    lex = lexicon_angle(t, dims)
+    return lex.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_collisions").alias("tokens_covered"),
+        F.max("n_collisions").alias("max_collisions"),
+        F.round(F.avg("n_collisions"), 6).alias("mean_collisions"),
+        F.round(F.min("angle_key"), 9).alias("min_key"),
+        F.round(F.max("angle_key"), 9).alias("max_key"),
+        (F.min("angle_key") >= -1.0).alias("keys_in_range_lo"),
+        (F.max("angle_key") <= 1.0).alias("keys_in_range_hi"),
+    )
+
+
 def tfidf_topterms(t: Tables, k: int = 5) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf.
 
