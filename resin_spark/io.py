@@ -99,13 +99,21 @@ def register_views(spark: SparkSession, sf_dir: str,
 
 
 def read_cirrussearch(spark: SparkSession, path: str, fields: list[str],
-                      url_format: str = "https://en.wikipedia.org/wiki/{}") -> DataFrame:
+                      url_format: str = "https://en.wikipedia.org/wiki/{}",
+                      take: int | None = None) -> DataFrame:
     """Read a Wikipedia cirrussearch JSON(.gz) dump, projecting ``fields``.
 
     Cirrussearch dumps interleave metadata lines (``{"index": ...}``) with
     document lines; metadata rows are dropped by requiring a title. When
     ``url`` is requested it is synthesised from the title, matching the
     reference's behaviour (WikipediaHelper.cs:37-43).
+
+    ``take`` caps the number of documents (the reference reader's take
+    parameter, WikipediaCirrussearchDataSource.cs) — planned as a limit,
+    which Spark pushes toward the scan. The reference's ``skip`` is
+    deliberately NOT exposed: a positional skip over a distributed read
+    has no stable meaning (the single-node reader's file order doesn't
+    exist here); filter on document attributes instead.
 
     Column pruning is pushed into the JSON scan by selecting before any
     action, so at scale executors parse only the projected fields.
@@ -133,7 +141,10 @@ def read_cirrussearch(spark: SparkSession, path: str, fields: list[str],
             ),
         )
     keep = [c for c in fields if c in df.columns]
-    return df.select(*keep)
+    df = df.select(*keep)
+    if take is not None:
+        df = df.limit(take)
+    return df
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,

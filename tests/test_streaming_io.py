@@ -117,6 +117,7 @@ def test_cirrussearch_field_projection_only(spark, tmp_path):
     df = read_cirrussearch(spark, fx, ["title", "popularity_score"])
     assert df.columns == ["title", "popularity_score"]
     assert df.count() == 2
+    assert read_cirrussearch(spark, fx, ["title"], take=1).count() == 1
 
 
 def test_partitioned_parquet_writer_roundtrip(spark, tmp_path):
