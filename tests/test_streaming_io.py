@@ -129,3 +129,20 @@ def test_partitioned_parquet_writer_roundtrip(spark, tmp_path):
     # partition column survives as a directory key (partition pruning works)
     pruned = back.filter(F.col("n_regionkey") == 0)
     assert pruned.count() == t["nation"].filter(F.col("n_regionkey") == 0).count()
+
+
+def test_csv_and_json_writer_roundtrip(spark, tmp_path):
+    from resin_spark.io import write_csv, write_json
+
+    t = load_tables(spark, SF)
+    region = t["region"].select("r_regionkey", "r_name")
+    csv_out = str(tmp_path / "region_csv")
+    json_out = str(tmp_path / "region_json")
+    write_csv(region, csv_out)
+    write_json(region, json_out)
+    via_csv = spark.read.option("header", "true").csv(csv_out) \
+        .selectExpr("CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name")
+    via_json = spark.read.json(json_out).select("r_regionkey", "r_name")
+    want = sorted(map(tuple, region.collect()))
+    assert sorted(map(tuple, via_csv.collect())) == want
+    assert sorted(map(tuple, via_json.collect())) == want
