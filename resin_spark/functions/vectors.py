@@ -37,8 +37,21 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """CosAngle: dot / (|a||b|) (VectorOperations.cs:305-314)."""
+    """CosAngle: dot / (|a||b|) (VectorOperations.cs:305-314).
+
+    Partial: ANSI mode raises on a zero norm — use cosine_gated where a
+    zero vector can legally appear."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_gated(a: Column | str, b: Column | str) -> Column:
+    """Total CosAngle with the reference Analyze gate
+    (VectorOperations.cs:316-448): 0 when the dot or either norm is 0 —
+    identical to ``cosine`` whenever both vectors are non-degenerate,
+    and defined (score 0) on zero vectors instead of raising/NaN."""
+    d, na, nb = dot(a, b), norm(a), norm(b)
+    return F.when((d != 0) & (na != 0) & (nb != 0), d / (na * nb)) \
+        .otherwise(F.lit(0.0))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
@@ -91,6 +104,14 @@ def norm_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def cosine_gated_sql(a: str, b: str) -> str:
+    d, na, nb = dot_sql(a, b), norm_sql(a), norm_sql(b)
+    return (
+        f"(CASE WHEN {d} <> 0 AND {na} <> 0 AND {nb} <> 0"
+        f" THEN {d} / ({na} * {nb}) ELSE 0.0 END)"
+    )
 
 
 def l2_distance_sql(a: str, b: str) -> str:

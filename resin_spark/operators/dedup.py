@@ -533,7 +533,10 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     )
     bc = broadcast_unit_matrix(emb)
     cand = cosine_threshold_candidates(emb, bc, tau)
-    normed = emb.select("vec_id", V.l2_normalize("embedding").alias("u"))
+    # zero vectors can't reach any tau > 0 and would hit ANSI division-
+    # by-zero in the normalise; the oracle excludes them too (NaN cos)
+    normed = emb.filter(V.norm("embedding") > 0).select(
+        "vec_id", V.l2_normalize("embedding").alias("u"))
     a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     return (

@@ -80,7 +80,7 @@ def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
                         F.col("embedding").alias("emb_b"))
         cand = pairs.join(F.broadcast(ea), "vec_a").join(F.broadcast(eb), "vec_b")
     dropped = (
-        cand.withColumn("cos", V.cosine("emb_a", "emb_b"))
+        cand.withColumn("cos", V.cosine_gated("emb_a", "emb_b"))
         .filter(F.col("cos") >= identical_angle)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

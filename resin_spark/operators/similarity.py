@@ -147,7 +147,7 @@ def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             F.col(q_id),
             F.col(id_col).alias("neighbor_id"),
-            V.cosine(vec_col, q_vec).alias("score"),
+            V.cosine_gated(vec_col, q_vec).alias("score"),
         )
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -160,7 +160,7 @@ def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def brute_topk_oracle(k: int = 10, n_queries: int = 5) -> str:
-    cos = V.cosine_sql("e.embedding", "q.embedding")
+    cos = V.cosine_gated_sql("e.embedding", "q.embedding")
     return f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -234,7 +234,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
     scored = cand.select(
         F.col(q_id),
         F.col(id_col).alias("neighbor_id"),
-        V.cosine(vec_col, q_vec).alias("score"),
+        V.cosine_gated(vec_col, q_vec).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -294,7 +294,7 @@ def lsh_topk_indexed(index: DataFrame, queries: DataFrame, k: int = 10,
     scored = cand.select(
         F.col(q_id),
         F.col(id_col).alias("neighbor_id"),
-        V.cosine(vec_col, q_vec).alias("score"),
+        V.cosine_gated(vec_col, q_vec).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -391,7 +391,7 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             F.col(q_id),
             F.col(id_col).alias("neighbor_id"),
-            V.cosine(vec_col, q_vec).alias("score"),
+            V.cosine_gated(vec_col, q_vec).alias("score"),
         )
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -431,7 +431,7 @@ def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
         .join(broadcast(b), "nb_id")
         .select(
             "vec_id", "true_label", "nb_label", "nb_id",
-            V.cosine(F.col("va"), F.col("vb")).alias("score"),
+            V.cosine_gated(F.col("va"), F.col("vb")).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nb_id"))
@@ -451,7 +451,7 @@ def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
 
 
 def knn_classify_oracle(k: int = 10) -> str:
-    cos = V.cosine_sql("a.embedding", "b.embedding")
+    cos = V.cosine_gated_sql("a.embedding", "b.embedding")
     return f"""
     WITH scored AS (
         SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
@@ -603,11 +603,18 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 
 def label_centroids_oracle() -> str:
+    # dims-agnostic: unnest (index, value) structs built with the scalar
+    # list range over each vector's actual length
     return """
-    SELECT label, CAST(i AS INT) AS dim,
-           CAST(SUM(CAST(CAST(embedding[i + 1] AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+    SELECT label, CAST(p.i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
                / COUNT(*) AS mean_val
-    FROM embeddings, range(64) t(i)
+    FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'i': i, 'x': embedding[i]})) AS p
+        FROM embeddings
+    )
     GROUP BY 1, 2 ORDER BY label, dim
     """
 
@@ -630,7 +637,7 @@ def closest_match(emb: DataFrame, queries: DataFrame,
 
 
 def closest_match_oracle(fold_angle: float = FOLD_ANGLE, n_queries: int = 5) -> str:
-    cos = V.cosine_sql("e.embedding", "q.embedding")
+    cos = V.cosine_gated_sql("e.embedding", "q.embedding")
     return f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS score

@@ -1,0 +1,69 @@
+"""Adversarial embedding-table parity: zero vectors, exact duplicates,
+antipodal pairs — inputs the generated testdata never contains but a
+real corpus will. Runs the same Spark-vs-DuckDB comparison the driver
+gate does, on a crafted embeddings table."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+DIM = 8
+
+EDGE_VECS = [
+    (0, [1.0] + [0.0] * (DIM - 1), 0),
+    (1, [1.0] + [0.0] * (DIM - 1), 0),          # exact duplicate of 0
+    (2, [-1.0] + [0.0] * (DIM - 1), 1),         # antipodal to 0
+    (3, [0.0] * DIM, 1),                        # zero vector
+    (4, [0.5] * DIM, 2),
+    (5, [0.5] * (DIM - 1) + [0.51], 2),         # near-dup of 4
+    (6, [3.0, -2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 4.0], 0),
+]
+
+VEC_QUERIES = ["vector_analyze", "label_centroids", "graph_dedup",
+               "dedup_embedding", "knn_classify"]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_vec")
+    df = spark.createDataFrame(
+        EDGE_VECS, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return repr(v)
+
+
+@pytest.mark.parametrize("name", VEC_QUERIES)
+def test_edge_vectors_parity(spark, edge_dir, name):
+    sql = entry_mod.oracle_sql()[name]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{edge_dir}/embeddings.parquet/*.parquet')"
+        )
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    df = entry_mod.queries()[name](spark, edge_dir)
+    srows = df.collect()
+    assert sorted(df.columns) == sorted(ocols)
+    assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}"
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [df.columns.index(c) for c in sorted(df.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:3]}"
