@@ -273,6 +273,7 @@ def queries() -> dict[str, Query]:
         "lexicon_validate": _mk_text(textops.lexicon_validate),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_build": textops.lexicon_build_oracle(),
         "sentence_vectors": textops.sentence_vectors_oracle(),
         "tfidf_topterms": textops.tfidf_topterms_oracle(),
+        "pipeline_curate": textops.pipeline_curate_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

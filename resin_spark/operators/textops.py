@@ -156,6 +156,76 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     )
 
 
+def pipeline_curate(t: Tables) -> DataFrame:
+    """End-to-end curation rollup — the composed shape of a pretraining
+    data pipeline, every stage an oracle-checked operator from this
+    module: quality gate (quality_score) → canonical exact dedup (keep
+    the min-id copy, dedup.exact_dedup semantics) → language split
+    (lang_id) with document and token budgets per language.
+
+    All three stages join on doc_id, so at scale they are co-partitioned
+    equi-joins over one documents scan per stage; the final rollup is a
+    tiny groupBy on pred_lang. This is the query a user runs to answer
+    "what survives cleaning, in which language, and how many tokens do
+    I get" — the pipeline's budget sheet.
+    """
+    from resin_spark.operators.dedup import exact_dedup
+    q = quality_score(t).filter(F.col("quality_ok")).select("doc_id", "n_tokens")
+    canon = exact_dedup(t["documents"]).select(
+        F.col("keep_id").alias("doc_id"))
+    lang = lang_id(t).select("doc_id", "pred_lang")
+    return (
+        q.join(canon, "doc_id")
+        .join(lang, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def pipeline_curate_oracle() -> str:
+    toks = T.tokens_sql("text")
+    stop = T.stopword_count_sql("toks")
+    langs = sorted(T.LANG_PROFILES)
+    cols = ", ".join(
+        f"{T.stopword_count_sql('toks', T.LANG_PROFILES[lang])} AS m_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"m_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN m_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n_chars, {toks} AS toks
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, len(toks) AS n_tokens
+        FROM base
+        WHERE COALESCE(
+            len(toks) >= 10
+            AND (CASE WHEN len(toks) > 0 THEN {stop} / len(toks) END) >= 0.01
+            AND (CASE WHEN n_chars > 0
+                 THEN {T.punct_count_sql("text")} / n_chars END) <= 0.2,
+            FALSE)
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    lang AS (
+        SELECT doc_id, {case} AS pred_lang
+        FROM (SELECT doc_id, {cols} FROM base)
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM q JOIN canon USING (doc_id) JOIN lang USING (doc_id)
+    GROUP BY pred_lang ORDER BY pred_lang
+    """
+
+
 def lexicon_validate(t: Tables, dims: int = 512) -> DataFrame:
     """ValidateLexicon analog (StringAnalyzer.cs:97-130; CLI
     ValidateLexiconCommand): integrity stats of the angle-keyed lexicon
