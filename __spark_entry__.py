@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
-from resin_spark.operators import dedup, graph, kv, multimodal, similarity, textops
+from resin_spark.operators import (
+    dedup, graph, kv, multimodal, pipeline, similarity, textops,
+)
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
 
@@ -274,6 +276,9 @@ def queries() -> dict[str, Query]:
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "contamination_check": _mk_text(pipeline.contamination_check),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -349,6 +354,9 @@ def oracle_sql() -> dict[str, str]:
         "sentence_vectors": textops.sentence_vectors_oracle(),
         "tfidf_topterms": textops.tfidf_topterms_oracle(),
         "pipeline_curate": textops.pipeline_curate_oracle(),
+        "contamination_check": pipeline.contamination_check_oracle(),
+        "stratified_sample": pipeline.stratified_sample_oracle(),
+        "pack_sequences": pipeline.pack_sequences_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),
