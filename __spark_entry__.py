@@ -279,6 +279,9 @@ def queries() -> dict[str, Query]:
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
+        "pii_redact": _mk_text(pipeline.pii_redact),
+        "domain_mix": _mk_text(pipeline.domain_mix),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -357,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": pipeline.contamination_check_oracle(),
         "stratified_sample": pipeline.stratified_sample_oracle(),
         "pack_sequences": pipeline.pack_sequences_oracle(),
+        "quality_repetition": pipeline.quality_repetition_oracle(),
+        "pii_redact": pipeline.pii_redact_oracle(),
+        "domain_mix": pipeline.domain_mix_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

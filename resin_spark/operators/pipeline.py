@@ -208,6 +208,217 @@ def pack_sequences(t: Tables, budget: int = 256) -> DataFrame:
     )
 
 
+def quality_repetition(t: Tables) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    the distinct-token fraction, the mass of the single most frequent
+    unigram, and the mass of the most frequent word bigram; a doc is
+    flagged when any ratio crosses the (Gopher-ish) thresholds —
+    top unigram > 30%, top bigram > 20%, distinct fraction < 30%.
+
+    Scale: one explode of a combined unigram+bigram stream (bigrams are
+    space-joined so the two populations can't collide), one
+    map-side-combining groupBy on (doc_id, gram), one groupBy on doc_id.
+    Both shuffles key on doc_id-prefixed keys, so skew follows document
+    length, not corpus-wide term popularity — no hot 'the' key.
+    """
+    docs = t["documents"]
+    tk = T.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i + 1),
+                              F.element_at("tk", i + 2)),
+    )
+    grams = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.size(F.array_distinct("tk")).alias("n_distinct"),
+            F.explode(
+                F.concat("tk", F.when(F.size("tk") >= 2, bigrams)
+                         .otherwise(F.array()))
+            ).alias("gram"),
+        )
+    )
+    counts = (
+        grams.groupBy("doc_id", "n_tokens", "n_distinct", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_bigram = F.col("gram").contains(" ")
+    return (
+        counts.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            F.max(F.when(~is_bigram, F.col("c"))).alias("top_uni"),
+            F.max(F.when(is_bigram, F.col("c"))).alias("top_bi"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_frac"),
+            (F.col("top_uni") / F.col("n_tokens")).alias("top_unigram_frac"),
+            F.when(F.col("n_tokens") >= 2,
+                   F.col("top_bi") / (F.col("n_tokens") - 1))
+            .alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("top_unigram_frac") > 0.30)
+            | (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) > 0.20)
+            | (F.col("distinct_frac") < 0.30),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_repetition_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {toks} AS tk FROM documents WHERE len({toks}) >= 1
+    ),
+    g AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_distinct,
+               unnest(list_concat(tk,
+                   CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                   ELSE [] END)) AS gram
+        FROM d
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, n_distinct, gram, COUNT(*) AS c
+        FROM g GROUP BY ALL
+    ),
+    m AS (
+        SELECT doc_id, n_tokens, n_distinct,
+               MAX(CASE WHEN NOT contains(gram, ' ') THEN c END) AS top_uni,
+               MAX(CASE WHEN contains(gram, ' ') THEN c END) AS top_bi
+        FROM c GROUP BY ALL
+    )
+    SELECT doc_id, n_tokens,
+           n_distinct / n_tokens AS distinct_frac,
+           top_uni / n_tokens AS top_unigram_frac,
+           CASE WHEN n_tokens >= 2 THEN top_bi / (n_tokens - 1) END
+               AS top_bigram_frac,
+           top_uni / n_tokens > 0.30
+               OR COALESCE(top_bi / (n_tokens - 1) > 0.20, FALSE)
+               OR n_distinct / n_tokens < 0.30 AS flagged
+    FROM m ORDER BY doc_id
+    """
+
+
+# PII patterns: RE2-and-Java-compatible (no lookaround, no backrefs) so
+# Spark (java.util.regex) and DuckDB (RE2) match identical spans.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9 ().-]{7,}[0-9]"
+
+
+def pii_redact(t: Tables) -> DataFrame:
+    """PII scan + redaction accounting: per doc, how many email / IPv4 /
+    phone-shaped spans appear, and the doc length after replacing each
+    with a typed placeholder. The pre-release scrub every training-data
+    pipeline runs; counts double as an audit report.
+
+    Scale: pure map — three regexp passes per row inside whole-stage
+    codegen, no shuffle at all (the final orderBy is presentation-only;
+    a real run writes the scan unordered). Patterns are anchored to the
+    lowercased text like the rest of the text suite.
+    """
+    docs = t["documents"]
+    low = F.lower(F.col("text"))
+    n = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, PII_EMAIL_RE, "[EMAIL]"),
+            PII_IP_RE, "[IP]"),
+        PII_PHONE_RE, "[PHONE]")
+    return (
+        docs.select(
+            "doc_id",
+            n(PII_EMAIL_RE).cast("long").alias("n_emails"),
+            n(PII_IP_RE).cast("long").alias("n_ips"),
+            n(PII_PHONE_RE).cast("long").alias("n_phones"),
+            F.length(redacted).cast("long").alias("redacted_len"),
+        )
+        .withColumn(
+            "has_pii",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_redact_oracle() -> str:
+    def esc(p: str) -> str:
+        return p.replace("\\", "\\\\").replace("'", "''")
+    e, i, p = esc(PII_EMAIL_RE), esc(PII_IP_RE), esc(PII_PHONE_RE)
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{e}')) AS n_emails,
+           len(regexp_extract_all(lower(text), '{i}')) AS n_ips,
+           len(regexp_extract_all(lower(text), '{p}')) AS n_phones,
+           length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '{e}', '[EMAIL]', 'g'), '{i}', '[IP]', 'g'),
+               '{p}', '[PHONE]', 'g')) AS redacted_len,
+           len(regexp_extract_all(lower(text), '{e}'))
+             + len(regexp_extract_all(lower(text), '{i}'))
+             + len(regexp_extract_all(lower(text), '{p}')) > 0 AS has_pii
+    FROM documents ORDER BY doc_id
+    """
+
+
+def domain_mix(t: Tables) -> DataFrame:
+    """Domain-mixture budget sheet: per (lang, source) stratum, document
+    and token totals, the stratum's exact share of corpus tokens, and a
+    temperature-flattened sampling weight ``sqrt(n_tokens)`` (alpha=0.5
+    unigram-LM style upweighting of small domains). The normalisation
+    denominator is left to the consumer: summing doubles is
+    order-sensitive, so a cross-engine-exact result reports the
+    deterministic per-stratum numerator plus the exact integer token
+    share instead of a float grand total.
+
+    Scale: one token-count scan with map-side partial aggregation onto
+    |langs|x|sources| groups, plus a broadcast of the single-row exact
+    total. sqrt is IEEE-correctly-rounded in both engines, and
+    bigint/bigint division is exact-input — every output bit matches.
+    """
+    docs = t["documents"]
+    per = (
+        docs.select("lang", "source",
+                    F.size(T.tokens("text")).cast("long").alias("nt"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    total = per.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "lang", "source", "n_docs", "n_tokens",
+            (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+            F.sqrt("n_tokens").alias("temp_weight"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def domain_mix_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH per AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(len({toks})) AS n_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           n_tokens / (SELECT SUM(n_tokens) FROM per) AS token_share,
+           sqrt(n_tokens) AS temp_weight
+    FROM per ORDER BY lang, source
+    """
+
+
 def pack_sequences_oracle(budget: int = 256) -> str:
     toks = T.tokens_sql("text")
     return f"""
