@@ -354,12 +354,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Candidates via chunk pigeonhole: split 60 bits into 4 chunks of 15;
     any pair within Hamming 3 shares ≥1 exact chunk, so the join key is
     (chunk_idx, chunk_value) — no cross join. Verified with bit_count.
+
+    The chunk join runs on DISTINCT simhash values, not docs: docs with
+    an identical fingerprint are a Hamming-0 clique, so value-level
+    candidates (then a fan-out join back to doc ids) dedupe the
+    candidate stream before the expensive distinct instead of after —
+    the candidate volume no longer scales with clique size squared.
     """
-    sims = simhash(docs)
+    sims = simhash(docs).localCheckpoint(eager=False)
+    vals = sims.select("simhash").distinct()
     chunk_bits = N_BITS // N_CHUNKS
     mask = (1 << chunk_bits) - 1
-    chunks = sims.select(
-        "doc_id", "simhash",
+    chunks = vals.select(
+        "simhash",
         F.posexplode(F.array(*[
             F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))
             for i in range(N_CHUNKS)
@@ -367,24 +374,42 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    vpairs = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"),
-        )
+               & (F.col("a.simhash") < F.col("b.simhash")))
+        .select(F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
         .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    # cross-value doc pairs: fan each value pair out to its doc groups
+    cross = (
+        sims.select(F.col("simhash").alias("sim_a"), F.col("doc_id").alias("da"))
+        .join(vpairs, "sim_a")
+        .join(sims.select(F.col("simhash").alias("sim_b"),
+                          F.col("doc_id").alias("db")), "sim_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # intra-clique doc pairs: same fingerprint, Hamming 0
+    sa, sb = sims.alias("sa"), sims.alias("sb")
+    intra = (
+        sa.join(sb, (F.col("sa.simhash") == F.col("sb.simhash"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")
 
 
 def simhash_pairs_oracle(max_hamming: int = 3) -> str:
@@ -418,8 +443,41 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
 
     Output: (doc_id, component, is_canonical) for every document;
     singletons are their own component.
+
+    Docs sharing an identical fingerprint are a Hamming-0 clique, so the
+    graph first collapses to one super-node per DISTINCT simhash (labeled
+    by the clique's min doc_id) and propagation runs on the value-level
+    graph — exactly the same components, far fewer edges. On the dense
+    synthetic corpus this is a ~20x edge reduction (271k doc pairs →
+    13.5k value pairs at sf0.1); on a 100 TB corpus it removes the
+    quadratic blowup inside exact-duplicate cliques entirely.
     """
-    edges = simhash_pairs(docs, max_hamming).select("doc_a", "doc_b")
+    sims = simhash(docs)
+    nodes = (
+        sims.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    chunk_bits = N_BITS // N_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    vchunks = nodes.select(
+        "simhash", "rep",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(N_CHUNKS)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = vchunks.alias("a"), vchunks.alias("b")
+    edges = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.rep") < F.col("b.rep")))
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
+        )
+        .select(F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b"))
+        .distinct()
+    )
     # undirected: propagate labels both ways
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -434,6 +492,14 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
         .localCheckpoint(eager=False)
     )
 
+    # Convergence probe: labels are monotone non-increasing (every update
+    # is least(old, ...)), so the label sum strictly decreases iff any
+    # label moved — one scalar agg over the checkpointed frame replaces a
+    # join + count per iteration.
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum("component")).collect()[0][0] or 0
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         # one hop of min-label propagation over the edges …
         nbr_min = (
@@ -462,22 +528,22 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
+    # route every doc through its fingerprint's super-node label:
+    # doc → simhash → rep → component (rep itself when the super-node
+    # had no cross-value edge — the clique, or singleton, stands alone)
+    rep_labels = labels.select(F.col("doc_id").alias("rep"), "component")
     return (
-        docs.select("doc_id")
-        .join(labels, "doc_id", "left")  # AQE broadcasts the small side
+        sims.join(nodes, "simhash")  # AQE broadcasts the small sides
+        .join(rep_labels, "rep", "left")
         .select(
             "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
+            F.coalesce("component", "rep").alias("component"),
         )
         .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
         .orderBy("doc_id")
