@@ -186,6 +186,51 @@ def stream_sessionize(spark: SparkSession, events_parquet_dir: str,
     )
 
 
+def stream_user_running_totals(spark: SparkSession, events_parquet_dir: str):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count and latest event time, carried in
+    explicit group state across micro-batches (update mode — each batch
+    emits the refreshed cumulative row for every user it touched).
+
+    This is the hand-rolled-state path the built-in ``window`` /
+    ``session_window`` aggregations can't express — arbitrary per-key
+    accumulators (counters here; a real pipeline swaps in dedup caches,
+    rate limiters, online sketches). State is a single (count, max_us)
+    pair per user: micro-batch input is Arrow-batched pandas, state
+    lookups are O(1) per key, and the shuffle is the standard
+    hash-partition on the group key — identical scaling behavior to the
+    built-in stateful operators at 1000 executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _event_stream(spark, events_parquet_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # event-time max as epoch micros (int — state schema stays flat)
+            us = (pdf["ts"].astype("int64") // 1000).max()
+            last_us = max(last_us, int(us))
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_seen_us": [last_us]}
+        )
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, last_seen_us long",
+            stateStructType="n long, last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
                          watermark: str = "2 hours"):
     """Structured-streaming twin of :func:`hourly_rollup`.

@@ -146,3 +146,50 @@ def test_csv_and_json_writer_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, region.collect()))
     assert sorted(map(tuple, via_csv.collect())) == want
     assert sorted(map(tuple, via_json.collect())) == want
+
+def test_stream_user_running_totals_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-user counts ACROSS
+    micro-batches: events split into two files (one per trigger), and
+    the final cumulative row per user must equal the batch groupBy —
+    a value only reachable if batch-2 updates started from batch-1
+    state."""
+    t = load_tables(spark, SF)
+    batch = {
+        r["user_id"]: r["n"]
+        for r in t["events"].groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    ev_df = t["events"]
+    src_dir = tmp_path / "events_split"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    ev_df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src_dir / "a"))
+    ev_df.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src_dir / "b"))
+    import glob, shutil as sh
+    flat = tmp_path / "events_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src_dir / "*" / "*.parquet")))):
+        sh.copy(f, flat / f"part-{i:04d}.parquet")
+
+    q = (
+        ev.stream_user_running_totals(spark, str(flat))
+        .writeStream.format("memory")
+        .queryName("user_totals_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM user_totals_stream").collect()
+    assert rows
+    final = {}
+    emitted_per_user = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+        emitted_per_user[r["user_id"]] = emitted_per_user.get(r["user_id"], 0) + 1
+    assert final == batch
+    # at least one user was touched by both micro-batches -> two emitted
+    # rows with increasing cumulative counts (state actually persisted)
+    assert max(emitted_per_user.values()) >= 2
