@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
-    dedup, graph, kv, multimodal, pipeline, similarity, textops,
+    dedup, graph, kv, multimodal, pipeline, similarity, sketch, textops,
+    timeseries,
 )
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
@@ -282,6 +283,10 @@ def queries() -> dict[str, Query]:
         "quality_repetition": _mk_text(pipeline.quality_repetition),
         "pii_redact": _mk_text(pipeline.pii_redact),
         "domain_mix": _mk_text(pipeline.domain_mix),
+        "events_asof_join": _mk_text(timeseries.asof_join),
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        "price_quantiles": _mk_text(sketch.price_quantiles),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -363,6 +368,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": pipeline.quality_repetition_oracle(),
         "pii_redact": pipeline.pii_redact_oracle(),
         "domain_mix": pipeline.domain_mix_oracle(),
+        "events_asof_join": timeseries.asof_join_oracle(),
+        "session_overlap": timeseries.session_overlap_oracle(),
+        "kmv_distinct": sketch.kmv_distinct_oracle(),
+        "price_quantiles": sketch.price_quantiles_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

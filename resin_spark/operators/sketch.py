@@ -1,0 +1,131 @@
+"""Deterministic sketching (SURVEY §2 block E extras).
+
+Approximate distinct counting and order statistics whose results are
+bit-reproducible across engines — unlike HLL/approx_percentile, whose
+register layouts are implementation-private, these sketches are defined
+purely in terms of md5 order statistics / SQL-standard discrete
+quantiles, so the DuckDB oracle checks the ESTIMATES exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+KMV_K = 16
+_HEX = "0123456789abcdef"
+_FRAC_BITS = 48  # first 12 hex chars of md5 -> uint48 position in hash space
+
+
+def kmv_distinct(t: Tables, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type: hash every
+    user to md5, keep each group's k smallest distinct hashes, and
+    estimate |distinct| = (k-1) / position(k-th hash). Estimates are
+    deterministic — same data, same estimate, any engine — which is the
+    property that makes sketch results mergeable AND auditable; exact
+    counts ride along to show the error.
+
+    Scale: distinct (type, hash) is one shuffle; ranking k per group is
+    a window over groups (each group's distinct hashes land in one
+    partition — the group count is the operator's parallelism, same as
+    any per-group top-k). When the group has < k hashes the sketch is
+    exact by definition.
+    """
+    ev = t["events"]
+    hashes = (
+        ev.select("event_type",
+                  F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("event_type",
+                F.conv(F.substring("h", 1, _FRAC_BITS // 4), 16, 10)
+                .cast("long").alias("kth_pos"))
+    )
+    exact = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    est = F.col("kth_pos") / F.lit(float(1 << _FRAC_BITS))
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type", "n_exact",
+            F.coalesce((k - 1) / est, F.col("n_exact").cast("double"))
+            .alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def kmv_distinct_oracle(k: int = KMV_K) -> str:
+    nhex = _FRAC_BITS // 4
+    pos = (
+        f"list_reduce(list_transform(string_split(substr(h, 1, {nhex}), ''),"
+        f" c -> CAST(strpos('{_HEX}', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashes
+    ),
+    kth AS (
+        SELECT event_type, {pos} AS kth_pos FROM ranked WHERE rn = {k}
+    ),
+    exact AS (
+        SELECT event_type, COUNT(*) AS n_exact FROM hashes GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           COALESCE(({k} - 1) / (kth_pos / {float(1 << _FRAC_BITS)}),
+                    e.n_exact::DOUBLE) AS kmv_estimate
+    FROM exact e LEFT JOIN kth USING (event_type)
+    ORDER BY event_type
+    """
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def price_quantiles(t: Tables) -> DataFrame:
+    """SQL-standard discrete quantiles of l_extendedprice per return
+    flag — ``percentile_disc`` picks actual data values (smallest value
+    whose cumulative distribution reaches p), so unlike interpolated /
+    approximate percentiles the result is engine-exact.
+
+    Scale: Spark plans WITHIN GROUP percentiles as a sort-based
+    aggregate per group — one shuffle on l_returnflag; group count
+    bounds parallelism, value lists stream through the sort.
+    """
+    li = t["lineitem"]
+    aggs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+        .orderBy("l_returnflag")
+    )
+
+
+def price_quantiles_oracle() -> str:
+    cols = ",\n           ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        f" AS p{int(q * 100)}"
+        for q in QUANTILES
+    )
+    return f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {cols}
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """

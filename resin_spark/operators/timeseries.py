@@ -1,0 +1,183 @@
+"""Time-series joins Spark has no native operator for (SURVEY §2 block G
+extras): as-of (point-in-time) join and interval-overlap join.
+
+Both are re-expressed as shuffle-friendly compositions — the as-of join
+as a union + running `last()` over one user-partitioned window (single
+shuffle, no range explosion), the overlap join as a time-bucketed
+equi-join with exact post-filter (the standard binned range-join). The
+DuckDB oracles use the engine's native ASOF JOIN / inequality join, so
+the distributed rewrites are checked against a reference implementation
+of the declarative semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+_GAP_MIN = 30          # session gap, matches streaming/events.sessionize
+_BUCKET_S = 3600       # overlap-join bucket width (1h)
+
+
+def asof_join(t: Tables, left_type: str = "purchase",
+              right_type: str = "click") -> DataFrame:
+    """Point-in-time join: every ``left_type`` event picks the same
+    user's most recent ``right_type`` event at-or-before it (the
+    trades-to-quotes as-of join, on the events table).
+
+    Spark-first shape: instead of a per-row range lookup, tag both
+    sides, union them, and carry the right side's timestamp forward
+    with ``last(ignorenulls)`` over one (user_id, ts, side)-ordered
+    window — right rows sort before left rows on timestamp ties, so the
+    inclusive ``b.ts <= a.ts`` ASOF semantic falls out of the sort key.
+    One shuffle on user_id, no join at all; at 100 TB the window state
+    per user is a single value.
+    """
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("rts"),
+    )
+    right = ev.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"), F.col("ts").alias("rts"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("matched", F.last("rts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("left_ts"),
+            F.unix_timestamp("matched").alias("right_ts"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("matched"))
+            .alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def asof_join_oracle(left_type: str = "purchase",
+                     right_type: str = "click") -> str:
+    return f"""
+    SELECT a.event_id,
+           a.user_id,
+           floor(epoch(a.ts))::BIGINT AS left_ts,
+           floor(epoch(b.ts))::BIGINT AS right_ts,
+           floor(epoch(a.ts))::BIGINT - floor(epoch(b.ts))::BIGINT AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = '{left_type}') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}') b
+        ON a.user_id = b.user_id AND b.ts <= a.ts
+    ORDER BY a.event_id
+    """
+
+
+def _sessions(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands sessions with start AND end epochs (the batch
+    sessionize reports start only)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", "ts")
+        .withColumn("new_sess",
+                    F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0))
+        .withColumn("sess_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("s_start"),
+            F.unix_timestamp(F.max("ts")).alias("s_end"),
+        )
+    )
+
+
+def session_overlap(t: Tables) -> DataFrame:
+    """Interval-overlap join: for every user session, how many OTHER
+    users had a session overlapping it in time (concurrency per
+    session). Overlap is the closed-interval test
+    ``a.start <= b.end AND b.start <= a.end``.
+
+    Spark-first shape: Spark has no interval join, so sessions explode
+    into the 1-hour buckets they span and candidates meet on an
+    equi-join over the bucket id — the candidate set is pairs sharing
+    an hour, not the corpus square — then the exact overlap predicate
+    filters and a distinct collapses pairs that met in several buckets.
+    Bucket width trades fan-out (long sessions -> many buckets) against
+    candidate density; at 100 TB pick ~p95 session length. The oracle
+    runs the quadratic inequality join directly.
+    """
+    sess = _sessions(t["events"])
+    buckets = sess.withColumn(
+        "bucket",
+        F.explode(F.sequence(
+            (F.col("s_start") / _BUCKET_S).cast("long"),
+            (F.col("s_end") / _BUCKET_S).cast("long"),
+        )),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.user_id") != F.col("b.user_id"))
+               & (F.col("a.s_start") <= F.col("b.s_end"))
+               & (F.col("b.s_start") <= F.col("a.s_end")))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.sess_no").alias("sess_no"),
+            F.col("a.s_start").alias("s_start"),
+            F.col("b.user_id").alias("ouser"),
+            F.col("b.sess_no").alias("osess"),
+        )
+        .distinct()
+    )
+    counts = pairs.groupBy("user_id", "sess_no", "s_start").agg(
+        F.count(F.lit(1)).alias("n_concurrent"))
+    return (
+        sess.join(counts, ["user_id", "sess_no", "s_start"], "left")
+        .select(
+            "user_id",
+            F.col("s_start").alias("session_start"),
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def session_overlap_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)))
+                        > {_GAP_MIN * 60}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, sess_no,
+               floor(epoch(MIN(ts)))::BIGINT AS s_start,
+               floor(epoch(MAX(ts)))::BIGINT AS s_end
+        FROM s GROUP BY user_id, sess_no
+    )
+    SELECT a.user_id,
+           a.s_start AS session_start,
+           COUNT(b.user_id) AS n_concurrent
+    FROM sess a
+    LEFT JOIN sess b
+        ON a.user_id <> b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY a.user_id, a.s_start
+    ORDER BY a.user_id, session_start
+    """

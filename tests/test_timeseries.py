@@ -1,0 +1,87 @@
+"""Edge-semantics tests for the as-of join and interval-overlap join
+(timeseries.py) and the deterministic sketches (sketch.py) on crafted
+frames — the oracle parity rows check corpus-level agreement; these pin
+the boundary rules."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from resin_spark.operators import sketch, timeseries
+
+
+def _events(spark, rows):
+    # rows: (event_id, ts_seconds, user_id, event_type)
+    data = [
+        (eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), uid, et, 0.0, "{}")
+        for eid, s, uid, et in rows
+    ]
+    return {
+        "events": spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+    }
+
+
+def test_asof_join_tie_is_inclusive_and_no_future_match(spark):
+    t = _events(spark, [
+        (1, 100, 7, "click"),
+        (2, 100, 7, "purchase"),   # same-instant click must match (<=)
+        (3, 50, 8, "purchase"),    # click at 60 is in the future -> null
+        (4, 60, 8, "click"),
+        (5, 200, 8, "purchase"),   # now the 60s click is the latest prior
+    ])
+    out = {r["event_id"]: r for r in timeseries.asof_join(t).collect()}
+    assert out[2]["right_ts"] == out[2]["left_ts"] and out[2]["gap_s"] == 0
+    assert out[3]["right_ts"] is None and out[3]["gap_s"] is None
+    assert out[5]["gap_s"] == 140
+    assert set(out) == {2, 3, 5}   # only purchases emit rows
+
+
+def test_asof_join_picks_latest_of_many(spark):
+    t = _events(spark, [
+        (1, 10, 1, "click"), (2, 20, 1, "click"), (3, 30, 1, "click"),
+        (4, 25, 1, "purchase"),
+    ])
+    (row,) = timeseries.asof_join(t).collect()
+    assert row["gap_s"] == 5   # the 20s click, not 10s
+
+
+def test_session_overlap_boundaries(spark):
+    # u1: one session [0, 60]; u2: session [60, 70] touches at the
+    # closed boundary -> overlaps; u3: session starts 1h+31min later ->
+    # no overlap (and also a separate later session)
+    t = _events(spark, [
+        (1, 0, 1, "view"), (2, 60, 1, "view"),
+        (3, 60, 2, "view"), (4, 70, 2, "view"),
+        (5, 60 + 91 * 60, 3, "view"),
+    ])
+    rows = {(r["user_id"], r["session_start"]): r["n_concurrent"]
+            for r in timeseries.session_overlap(t).collect()}
+    base = 1704067200  # 2024-01-01 epoch
+    assert rows[(1, base + 0)] == 1
+    assert rows[(2, base + 60)] == 1
+    assert rows[(3, base + 60 + 91 * 60)] == 0
+
+
+def test_kmv_exact_when_group_smaller_than_k(spark):
+    t = _events(spark, [(i, i, i % 3, "click") for i in range(30)])
+    (row,) = sketch.kmv_distinct(t).collect()
+    assert row["n_exact"] == 3
+    # fewer than k distinct hashes -> sketch degrades to the exact count
+    assert row["kmv_estimate"] == 3.0
+
+
+def test_price_quantiles_are_data_values(spark):
+    li = spark.createDataFrame(
+        [("A", float(v)) for v in [10, 20, 30, 40, 50]],
+        "l_returnflag string, l_extendedprice double",
+    )
+    (row,) = sketch.price_quantiles({"lineitem": li}).collect()
+    assert row["p50"] == 30.0 and row["p25"] == 20.0
+    assert row["p95"] == 50.0
+    assert row["n_rows"] == 5
