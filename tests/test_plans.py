@@ -79,3 +79,43 @@ def test_brute_topk_broadcasts_queries(spark):
     plan = plan_of(similarity.brute_topk(emb, q))
     # the query side is broadcast; the corpus is scanned once, never shuffled
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must plan as union + window — ONE hash exchange on
+    user_id and zero join operators (the range-lookup never becomes a
+    join at all)."""
+    from resin_spark.operators import timeseries
+    df = timeseries.asof_join(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "Join" not in plan, plan[:2000]
+    # exactly one hashpartitioning exchange feeds the window (the final
+    # orderBy adds a rangepartitioning, which is presentation-only)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_session_overlap_has_no_quadratic_join(spark):
+    from resin_spark.operators import timeseries
+    df = timeseries.session_overlap(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_pure_map(spark):
+    """Regex scan must not shuffle: no aggregate, no hash exchange
+    (the orderBy's range exchange is presentation-only)."""
+    from resin_spark.operators import pipeline
+    df = pipeline.pii_redact(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "HashAggregate" not in plan
+
+
+def test_dedup_components_runs_on_value_graph(spark):
+    """Component propagation must key on distinct fingerprints, not doc
+    pairs — the doc-level quadratic clique blowup may not reappear."""
+    df = dedup.dedup_components(load_tables(spark, SF)["documents"])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
