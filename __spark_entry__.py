@@ -285,6 +285,8 @@ def queries() -> dict[str, Query]:
         "domain_mix": _mk_text(pipeline.domain_mix),
         "events_asof_join": _mk_text(timeseries.asof_join),
         "session_overlap": _mk_text(timeseries.session_overlap),
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
         "text_quality_score": _mk_text(textops.quality_score),
@@ -370,6 +372,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": pipeline.domain_mix_oracle(),
         "events_asof_join": timeseries.asof_join_oracle(),
         "session_overlap": timeseries.session_overlap_oracle(),
+        "events_gap_fill": timeseries.gap_fill_hourly_oracle(),
+        "events_moving_agg": timeseries.moving_aggregates_oracle(),
         "kmv_distinct": sketch.kmv_distinct_oracle(),
         "price_quantiles": sketch.price_quantiles_oracle(),
         "text_quality_score": textops.quality_score_oracle(),

@@ -181,3 +181,106 @@ def session_overlap_oracle() -> str:
     GROUP BY a.user_id, a.s_start
     ORDER BY a.user_id, session_start
     """
+
+
+def gap_fill_hourly(t: Tables) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable `time_bucket_gapfill`
+    semantic): every (hour, event_type) cell in the observed span emits
+    a row, with zero counts where no events landed — downstream
+    charting/forecasting needs the dense grid, not the sparse rollup.
+
+    Spark-first shape: the dense axis is generated, not scanned — one
+    global min/max (2-value aggregate, broadcast back), `sequence()`
+    explodes the hour range, cross-joined with the distinct type list
+    (|hours| x |types| rows — thousands, never data-scale), then ONE
+    equi-join against the sparse rollup. At 100 TB the grid is still
+    tiny; only the rollup scales, and it's the same single-shuffle
+    aggregate as events_hourly_rollup.
+    """
+    ev = t["events"]
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    sparse = (
+        ev.select(hour.alias("hour_start"), "event_type")
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.select(hour.alias("h")).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        span.select(F.explode(
+            F.sequence("h0", "h1", F.lit(3600))).alias("hour_start"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        grid.join(sparse, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start", "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("filled"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def gap_fill_hourly_oracle() -> str:
+    return """
+    WITH sparse AS (
+        SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(hour_start) AS h0, MAX(hour_start) AS h1 FROM sparse),
+    grid AS (
+        SELECT unnest(range(h0, h1 + 3600, 3600)) AS hour_start, t.event_type
+        FROM span, (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.hour_start, g.event_type,
+           COALESCE(s.n_events, 0) AS n_events,
+           s.n_events IS NULL AS filled
+    FROM grid g LEFT JOIN sparse s USING (hour_start, event_type)
+    ORDER BY hour_start, event_type
+    """
+
+
+def moving_aggregates(t: Tables, frame: int = 5) -> DataFrame:
+    """Per-user trailing-``frame``-event moving sum/avg of `value` — the
+    rolling feature a behavioral model reads at serving time.
+
+    ROWS frames (not RANGE) keep the arithmetic deterministic: the sum
+    runs over an exactly ordered event list ((ts, event_id) — total
+    order), in decimal so accumulation is exact; the average divides
+    two exact values in one correctly-rounded step. One shuffle on
+    user_id; per-row state is the frame buffer.
+    """
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(frame - 1), 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.sum(dec).over(w).cast("double").alias("mov_sum"),
+            F.count(F.lit(1)).over(w).alias("mov_n"),
+            (F.sum(dec).over(w).cast("double")
+             / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def moving_aggregates_oracle(frame: int = 5) -> str:
+    return f"""
+    SELECT event_id, user_id,
+           floor(epoch(ts))::BIGINT AS ts_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+           COUNT(*) OVER w AS mov_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """
