@@ -161,3 +161,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed-table sink: rows are hash-partitioned into
+    ``n_buckets`` files on ``bucket_cols`` at WRITE time, so later joins
+    and aggregations on those columns read co-located data and skip the
+    shuffle entirely (Exchange disappears from the join plan — tested).
+
+    This is the Spark analog of the reference's key-ordered on-disk
+    column stores (pages addressed by key): pre-organising by key at
+    write time to make key lookups/joins read-local. At 100 TB, bucket
+    the fact tables on their join keys once and every downstream
+    query saves its largest exchange.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

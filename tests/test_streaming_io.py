@@ -193,3 +193,35 @@ def test_stream_user_running_totals_state_across_batches(spark, tmp_path):
     # at least one user was touched by both micro-batches -> two emitted
     # rows with increasing cumulative counts (state actually persisted)
     assert max(emitted_per_user.values()) >= 2
+
+def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key must sort-merge join with NO
+    Exchange in the plan — the write-time organisation replaces the
+    runtime shuffle (the whole point of bucketing at 100 TB)."""
+    from resin_spark.io import write_bucketed
+    t = load_tables(spark, SF)
+    # (warehouse dir is a static conf — managed tables land in the
+    # session default and are dropped below)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(t["orders"], "orders_b", ["o_custkey"], 8)
+        write_bucketed(
+            t["customer"], "customer_b", ["c_custkey"], 8)
+        joined = (
+            spark.table("orders_b")
+            .join(spark.table("customer_b"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        n = joined.count()
+        expected = (
+            t["orders"].join(t["customer"],
+                             F.col("o_custkey") == F.col("c_custkey")).count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
