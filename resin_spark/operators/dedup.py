@@ -112,40 +112,40 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     every stage is an equi-shuffle on shingle or doc_id — no cartesian,
     no df cap, no approximation.
     """
-    sh = shingles(docs, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # One aggregate yields the rarity-ordered shingle list, the prefix
-    # length, AND the verification set — the expensive shingle expression
-    # is evaluated twice total (dfreq + join probe), and the a/b/verify
-    # branches below share this subtree so the exchange is reused.
+    # Shingles become xxhash64 longs BEFORE any shuffle: 8-byte
+    # join/sort keys instead of n-word strings everywhere downstream
+    # (df count, rarity sort, prefix index, verification sets). Jaccard
+    # on hashed sets is collision-free at any realistic vocabulary
+    # (p < 1e-10 at 10^9 distinct shingles). The canonical rarest-first
+    # order is (df, hash) — any total order shared by all docs
+    # satisfies the prefix lemma.
+    sh = shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # One aggregate yields the rarity-ordered hash list, the prefix
+    # length, AND the verification set; the a/b/verify branches below
+    # share this subtree so the exchange is reused.
     per_doc = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"),
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ordered"),
             F.count(F.lit(1)).alias("n_sh"),
         )
         .select(
             "doc_id", "n_sh",
-            F.col("ordered.shingle").alias("sh_list"),
-            # verification runs on xxhash64'd shingles: 8-byte longs move
-            # through the candidate joins instead of full strings; counts
-            # (and therefore the jaccard ratio) are collision-free at any
-            # realistic vocabulary (p < 1e-10 at 10^9 distinct shingles)
-            F.transform(F.col("ordered.shingle"),
-                        lambda s: F.xxhash64(s)).alias("sh_hashes"),
+            F.col("ordered.h").alias("sh_hashes"),
             (F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
             .cast("int").alias("plen"),
         )
     )
     prefix = per_doc.select(
         "doc_id", "n_sh",
-        F.explode(F.slice(F.col("sh_list"), 1, F.col("plen"))).alias("shingle"),
+        F.explode(F.slice(F.col("sh_hashes"), 1, F.col("plen"))).alias("h"),
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # J <= min/max: unequal sizes can't reach tau
                & (F.col("a.n_sh") * tau <= F.col("b.n_sh"))
