@@ -289,6 +289,7 @@ def queries() -> dict[str, Query]:
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
+        "split_words_stats": _mk_text(textops.split_words_stats),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_agg": timeseries.moving_aggregates_oracle(),
         "kmv_distinct": sketch.kmv_distinct_oracle(),
         "price_quantiles": sketch.price_quantiles_oracle(),
+        "split_words_stats": textops.split_words_stats_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

@@ -118,3 +118,26 @@ def punct_count(col: Column | str) -> Column:
 
 def punct_count_sql(expr: str) -> str:
     return f"length(regexp_replace(lower({expr}), '[a-z0-9\\s]', '', 'g'))"
+
+
+# Full-fidelity SplitWords (reference: StringAnalyzer.cs:252-309 with the
+# _validData category set at :16-22): words are runs of Letter / Number /
+# Currency / Modifier / OtherSymbol chars, math symbols (Sm) emit as
+# standalone single-char tokens that also terminate the current word, and
+# punctuation (internal or standalone), whitespace, and controls never
+# reach a token. One alternation expresses the whole state machine; Java
+# regex and RE2 assign identical Unicode categories (tested on every
+# string from StringAnalyzerTests.cs).
+SPLIT_WORDS_RE = r"\p{Sm}|[\p{L}\p{N}\p{Sc}\p{Sk}\p{So}]+"
+
+
+def split_words(col: Column | str) -> Column:
+    """Case-preserving Unicode-category tokenizer — full parity with the
+    reference's SplitWords, unlike :func:`tokens` (its lowercase-ASCII
+    projection used by the corpus-statistics queries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(SPLIT_WORDS_RE), 0)
+
+
+def split_words_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{SPLIT_WORDS_RE}')"

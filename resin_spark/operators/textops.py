@@ -529,3 +529,38 @@ def token_count_bpe_oracle() -> str:
            len({T.bpe_tokens_sql("text")}) AS n_bpe_tokens
     FROM documents ORDER BY doc_id
     """
+
+
+def split_words_stats(t: Tables) -> DataFrame:
+    """Per-doc stats under the FULL SplitWords tokenizer (case-preserving
+    Unicode categories, math symbols standalone — functions.text.
+    split_words, parity with StringAnalyzer.cs:252-309) as opposed to
+    the ASCII-projection stats of text_tokenize_stats: token count,
+    case-sensitive distinct count, and standalone-symbol count.
+
+    Scale: pure map + low-cardinality agg — the regex runs once per doc
+    in codegen; no shuffle before the final per-doc projection."""
+    toks = T.split_words(F.col("text"))
+    sym = F.size(F.filter(toks, lambda x: x.rlike(r"^\p{Sm}$")))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_words"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            sym.cast("long").alias("n_math_symbols"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def split_words_stats_oracle() -> str:
+    toks = T.split_words_sql("text")
+    return f"""
+    SELECT doc_id,
+           len({toks}) AS n_words,
+           len(list_distinct({toks})) AS n_distinct,
+           len(list_filter({toks}, x -> regexp_matches(x, '^\\p{{Sm}}$')))
+               AS n_math_symbols
+    FROM documents ORDER BY doc_id
+    """

@@ -78,3 +78,30 @@ def test_vector_ops_basics(spark):
     assert row["l1"] == 3.0
     assert row["ov"] == 2
     assert row["jc"] == 1.0
+
+
+def test_split_words_reference_parity(spark):
+    """Mirrors StringAnalyzerTests.cs SplitWords_* cases: math symbols
+    standalone, internal/standalone punctuation removed, symbols and
+    digits kept in words, case preserved."""
+    from resin_spark.functions.text import split_words
+    cases = {
+        "children’s minds": ["children", "s", "minds"],
+        "rock-n-roll": ["rock", "n", "roll"],
+        "email@example.com": ["email", "example", "com"],
+        "well...known": ["well", "known"],
+        "C#/.NET": ["C", "NET"],
+        "abc123": ["abc123"],
+        "€money$": ["€money$"],
+        "Math≈Science": ["Math", "≈", "Science"],
+        "E=mc² √energy": ["E", "=", "mc²", "√", "energy"],
+        "Δx≈0": ["Δx", "≈", "0"],
+        "A_b_c": ["A", "b", "c"],
+        "!!! ... —": [],
+        "≈": ["≈"],
+    }
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r["s"]: r["toks"] for r in
+           df.select("s", split_words("s").alias("toks")).collect()}
+    for s, want in cases.items():
+        assert got[s] == want, (s, got[s], want)
