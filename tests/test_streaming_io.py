@@ -225,3 +225,19 @@ def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+def test_vector_double_roundtrip_is_bit_exact(spark, tmp_path):
+    """Reference DoubleTests.CanSerializeAndDeserializeVectorDoubleValues
+    analog: array<double> embedding columns must survive a parquet
+    round-trip bit-exactly, including subnormals, extremes, and signed
+    zeros (NaN compares unequal; its bit pattern is asserted via isnan)."""
+    import math
+    vals = [1.0, -0.0, 2.2250738585072014e-308, 5e-324,
+            1.7976931348623157e308, math.pi, -math.inf]
+    df = spark.createDataFrame([(1, vals), (2, [float("nan")])],
+                               "vec_id long, vec array<double>")
+    out = str(tmp_path / "vecs")
+    write_parquet(df, out)
+    back = {r["vec_id"]: r["vec"] for r in spark.read.parquet(out).collect()}
+    assert back[1] == vals
+    assert math.isnan(back[2][0])
