@@ -62,8 +62,15 @@ def main() -> None:
     except Exception:
         pass
 
+    import gc
+
     RUNS = 2  # min-of-N: report steady state, not first-run JIT/codegen
     for name, fn in queries.items():
+        # Release the previous query's lineage before timing this one:
+        # localCheckpoint RDDs (dedup loops, PPJoin index) stay pinned in
+        # executor memory until their Python DataFrames are collected, and
+        # that accumulated state was measurably slowing late queries.
+        gc.collect()
         best = None
         for _ in range(RUNS):
             t0 = time.monotonic()
