@@ -287,6 +287,8 @@ def queries() -> dict[str, Query]:
         "session_overlap": _mk_text(timeseries.session_overlap),
         "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
+        "events_funnel": _mk_text(timeseries.funnel),
+        "events_retention": _mk_text(timeseries.retention),
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
         "split_words_stats": _mk_text(textops.split_words_stats),
@@ -375,6 +377,8 @@ def oracle_sql() -> dict[str, str]:
         "session_overlap": timeseries.session_overlap_oracle(),
         "events_gap_fill": timeseries.gap_fill_hourly_oracle(),
         "events_moving_agg": timeseries.moving_aggregates_oracle(),
+        "events_funnel": timeseries.funnel_oracle(),
+        "events_retention": timeseries.retention_oracle(),
         "kmv_distinct": sketch.kmv_distinct_oracle(),
         "price_quantiles": sketch.price_quantiles_oracle(),
         "split_words_stats": textops.split_words_stats_oracle(),

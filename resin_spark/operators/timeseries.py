@@ -284,3 +284,114 @@ def moving_aggregates_oracle(frame: int = 5) -> str:
                  ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)
     ORDER BY event_id
     """
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel(t: Tables, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel: users counted at step k have events of types
+    ``steps[0..k]`` occurring strictly in sequence. Greedy-earliest is
+    complete for existence (taking the earliest valid event at every
+    step never forecloses a later step), so layer k is one conditional
+    min per user: the earliest step-k event after the user's layer-k-1
+    timestamp.
+
+    Scale: |steps| chained aggregates, all keyed on user_id — the first
+    shuffle establishes the partitioning and every later join/agg reuses
+    it. No self-join explosion, no per-user event list in memory; output
+    is |steps| rows.
+    """
+    ev = t["events"].select("user_id", "ts", "event_type")
+    layer = None
+    layers = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            cond = F.col("event_type") == s
+            src = ev
+        else:
+            cond = (F.col("event_type") == s) & (F.col("ts") > F.col(f"t{i-1}"))
+            src = ev.join(layer, "user_id")
+        layer = (
+            src.groupBy("user_id")
+            .agg(F.min(F.when(cond, F.col("ts"))).alias(f"t{i}"))
+            .filter(F.col(f"t{i}").isNotNull())
+        )
+        layers.append(layer)
+    spark = ev.sparkSession
+    out = None
+    for i, (s, l) in enumerate(zip(steps, layers)):
+        row = l.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(s).alias("event_type"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")
+
+
+def funnel_oracle(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes, selects = [], []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(f"""
+            s0 AS (
+                SELECT user_id, MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t0
+                FROM events GROUP BY user_id
+                HAVING MIN(CASE WHEN event_type = '{s}' THEN ts END) IS NOT NULL
+            )""")
+        else:
+            ctes.append(f"""
+            s{i} AS (
+                SELECT e.user_id,
+                       MIN(CASE WHEN e.event_type = '{s}' AND e.ts > s{i-1}.t{i-1}
+                                THEN e.ts END) AS t{i}
+                FROM events e JOIN s{i-1} USING (user_id)
+                GROUP BY e.user_id, s{i-1}.t{i-1}
+                HAVING MIN(CASE WHEN e.event_type = '{s}' AND e.ts > s{i-1}.t{i-1}
+                           THEN e.ts END) IS NOT NULL
+            )""")
+        selects.append(
+            f"SELECT {i} AS step, '{s}' AS event_type,"
+            f" COUNT(*) AS n_users FROM s{i}")
+    return ("WITH " + ",".join(ctes) + "\n"
+            + " UNION ALL ".join(selects) + " ORDER BY step")
+
+
+def retention(t: Tables) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    cohort, how many distinct users were active again ``offset`` days
+    later. Integer day arithmetic (floor(epoch/86400)) keeps the matrix
+    engine-exact.
+
+    Scale: one min-agg on user_id (cohort assignment), one equi-join
+    back (same partitioning), distinct on (user, cohort, offset) then a
+    count — every shuffle keys on user or the small (cohort, offset)
+    pair; the matrix is |days| x |days| regardless of corpus size.
+    """
+    ev = t["events"]
+    d = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("day"),
+    )
+    coh = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(coh, "user_id")
+        .select("user_id", "cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .distinct()
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+def retention_oracle() -> str:
+    return """
+    WITH d AS (
+        SELECT user_id, (floor(epoch(ts) / 86400))::BIGINT AS day FROM events
+    ),
+    coh AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT cohort_day, day - cohort_day AS offset_days,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM d JOIN coh USING (user_id)
+    GROUP BY cohort_day, offset_days
+    ORDER BY cohort_day, offset_days
+    """

@@ -85,3 +85,41 @@ def test_price_quantiles_are_data_values(spark):
     assert row["p50"] == 30.0 and row["p25"] == 20.0
     assert row["p95"] == 50.0
     assert row["n_rows"] == 5
+
+
+def test_funnel_requires_strict_order(spark):
+    # u1 completes in order; u2 has all three types but purchase BEFORE
+    # click -> reaches step 2 only; u3 signup only
+    t = _events(spark, [
+        (1, 10, 1, "signup"), (2, 20, 1, "click"), (3, 30, 1, "purchase"),
+        (4, 10, 2, "signup"), (5, 30, 2, "click"), (6, 20, 2, "purchase"),
+        (7, 10, 3, "signup"),
+    ])
+    rows = {r["event_type"]: r["n_users"] for r in timeseries.funnel(t).collect()}
+    assert rows == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_greedy_earliest_is_complete(spark):
+    # signup@10, click@15, purchase@12: purchase before the click ->
+    # step 3 NOT reached even though a purchase exists after signup
+    t = _events(spark, [
+        (1, 10, 1, "signup"), (2, 15, 1, "click"), (3, 12, 1, "purchase"),
+    ])
+    rows = {r["event_type"]: r["n_users"] for r in timeseries.funnel(t).collect()}
+    assert rows == {"signup": 1, "click": 1, "purchase": 0}
+
+
+def test_retention_offsets(spark):
+    day = 86400
+    t = _events(spark, [
+        (1, 0, 1, "view"),            # u1 cohort day D
+        (2, day + 5, 1, "view"),      # active D+1
+        (3, 3 * day, 1, "view"),      # active D+3
+        (4, day, 2, "view"),          # u2 cohort D+1, never returns
+    ])
+    rows = {(r["cohort_day"], r["offset_days"]): r["n_users"]
+            for r in timeseries.retention(t).collect()}
+    d0 = 1704067200 // 86400
+    assert rows[(d0, 0)] == 1 and rows[(d0, 1)] == 1 and rows[(d0, 3)] == 1
+    assert rows[(d0 + 1, 0)] == 1
+    assert (d0 + 1, 1) not in rows
