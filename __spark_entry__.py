@@ -292,6 +292,7 @@ def queries() -> dict[str, Query]:
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
         "split_words_stats": _mk_text(textops.split_words_stats),
+        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
         "doc_fingerprint": _mk_text(textops.fingerprint),
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": sketch.kmv_distinct_oracle(),
         "price_quantiles": sketch.price_quantiles_oracle(),
         "split_words_stats": textops.split_words_stats_oracle(),
+        "term_cooccurrence": textops.term_cooccurrence_oracle(),
         "text_quality_score": textops.quality_score_oracle(),
         "lang_id_heuristic": textops.lang_id_oracle(),
         "doc_fingerprint": textops.fingerprint_oracle(),

@@ -564,3 +564,68 @@ def split_words_stats_oracle() -> str:
                AS n_math_symbols
     FROM documents ORDER BY doc_id
     """
+
+
+def term_cooccurrence(t: Tables, min_pairs: int = 2) -> DataFrame:
+    """Document-level term co-occurrence with an exact PMI-style lift
+    ratio: for token pair (a, b), ``lift = P(a,b) / (P(a)·P(b))``
+    computed as the all-integer expression ``n_pairs · n_docs /
+    (df_a · df_b)`` — a single exact-input double division, so both
+    engines emit identical bits (log-PMI would be correctly-rounded too,
+    but the ratio needs no transcendental at all).
+
+    Scale: the pair explosion is a per-document self-join keyed on
+    doc_id — skew follows document length (bounded), never corpus-wide
+    term popularity; the (a, b) count then map-side-combines into at
+    most |vocab|² groups. At web scale, cap per-doc distinct tokens
+    (drop the ultra-long tail) before pairing; the fraction dropped is
+    reported by comparing n_docs to the pair totals.
+    """
+    docs = t["documents"]
+    toks = (
+        docs.select("doc_id", F.explode(F.array_distinct(T.tokens("text")))
+                    .alias("tok"))
+    )
+    n_docs = docs.count()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+    da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(da, "tok_a").join(db, "tok_b")
+        .select(
+            "tok_a", "tok_b", "n_pairs", "df_a", "df_b",
+            (F.col("n_pairs") * F.lit(n_docs)
+             / (F.col("df_a") * F.col("df_b"))).alias("lift"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+def term_cooccurrence_oracle(min_pairs: int = 2) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_pairs
+        FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_pairs}
+    )
+    SELECT tok_a, tok_b, n_pairs, da.df AS df_a, db.df AS df_b,
+           n_pairs * (SELECT COUNT(*) FROM documents) / (da.df * db.df) AS lift
+    FROM pairs
+    JOIN dfreq da ON da.tok = tok_a
+    JOIN dfreq db ON db.tok = tok_b
+    ORDER BY tok_a, tok_b
+    """
