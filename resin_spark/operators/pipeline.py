@@ -48,13 +48,17 @@ def contamination_check(t: Tables, n: int = 4, tau: float = 0.5) -> DataFrame:
     doc_id. No cartesian anywhere; cost is linear in corpus shingles.
     """
     docs = t["documents"]
-    sh = shingles(docs, n)
+    # shingles join as xxhash64 longs — the overlap test only needs
+    # membership, so 8-byte keys replace n-word strings in the distinct,
+    # the bench join, and both groupBys (collision-free in practice:
+    # p < 1e-10 at 10^9 distinct shingles)
+    sh = shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("h"))
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    bench_sh = sh.filter(is_bench).select("h").distinct()
     cand_sh = sh.filter(~is_bench)
     totals = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        cand_sh.join(bench_sh, "shingle")
+        cand_sh.join(bench_sh, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
