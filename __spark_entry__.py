@@ -67,6 +67,17 @@ def _kv_try_put(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.try_put(col).orderBy("key")
 
 
+def _kv_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a paged multi-value column keyed by orderkey (the
+    PageWriter fixed-capacity page-chain analog, capacity 8)."""
+    t = load_tables(spark, sf_dir)
+    col = t["lineitem"].select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+    )
+    return kv.paginate(col)
+
+
 def _kv_get_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem as a multi-value KV column keyed by orderkey."""
     t = load_tables(spark, sf_dir)
@@ -264,6 +275,7 @@ def queries() -> dict[str, Query]:
         "agg_rollup": _rollup,
         "kv_try_put": _kv_try_put,
         "kv_get_many": _kv_get_many,
+        "kv_paginate": _kv_paginate,
         "kv_set_ops": _kv_set_ops,
         "kv_key_join": _kv_key_join,
         "events_hourly_rollup": _events_hourly,
@@ -333,6 +345,25 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
                 FROM orders
             ) WHERE rn = 1 ORDER BY key
+        """,
+        "kv_paginate": """
+            WITH paged AS (
+                SELECT l_orderkey AS key, l_linenumber AS seq,
+                       (ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber) - 1) // 8
+                           AS page_no
+                FROM lineitem
+            ),
+            per_page AS (
+                SELECT key, page_no, COUNT(*) AS n_values,
+                       MIN(seq) AS first_seq, MAX(seq) AS last_seq
+                FROM paged GROUP BY key, page_no
+            )
+            SELECT key, page_no, n_values, first_seq, last_seq,
+                   (SELECT COUNT(*) FROM per_page p2 WHERE p2.key = per_page.key)
+                       AS n_pages,
+                   n_values = 8 AS is_full
+            FROM per_page ORDER BY key, page_no
         """,
         "kv_get_many": """
             SELECT l_orderkey AS key,

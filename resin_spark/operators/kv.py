@@ -89,3 +89,40 @@ def key_join(column: DataFrame, keys: DataFrame, key: str = "key",
     if broadcast_keys:
         probe = broadcast(probe)
     return column.join(probe, on=key, how="inner")
+
+
+PAGE_CAPACITY = 8
+
+
+def paginate(column: DataFrame, key: str = "key", seq: str = "seq",
+             capacity: int = PAGE_CAPACITY) -> DataFrame:
+    """Page-level column organisation, the logical twin of the
+    reference's fixed-capacity page chain (PageWriter.cs — values land
+    in the current page until it fills, then a new page is linked;
+    OutOfPageStorageException is the full-page signal): each key's
+    values, in insertion order, are chunked into pages of ``capacity``;
+    the report gives per-(key, page) fill and the per-key page count —
+    what a storage auditor reads off the on-disk column.
+
+    Scale: one shuffle on key; the page number is a pure function of
+    the per-key row_number (``(rn-1) div capacity``), so the window and
+    the groupBy share the same partitioning and AQE plans one exchange.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq).asc())
+    paged = column.withColumn(
+        "page_no", ((F.row_number().over(w) - 1) / capacity).cast("long"))
+    per_page = (
+        paged.groupBy(key, "page_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.min(seq).alias("first_seq"),
+            F.max(seq).alias("last_seq"),
+        )
+    )
+    pages_per_key = per_page.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_pages"))
+    return (
+        per_page.join(pages_per_key, key)
+        .withColumn("is_full", F.col("n_values") == capacity)
+        .orderBy(key, "page_no")
+    )
