@@ -83,3 +83,88 @@ def test_set_ops_match_python_sets(spark, a, b):
     assert {r["key"] for r in kv.set_union(da, db).collect()} == a | b
     assert {r["key"] for r in kv.set_intersect(da, db).collect()} == a & b
     assert {r["key"] for r in kv.set_except(da, db).collect()} == a - b
+
+
+# --- time-series properties: random event sets vs brute-force oracles --------
+
+event_rows = st.lists(
+    st.tuples(st.integers(0, 3),          # user_id
+              st.integers(0, 5000),       # ts offset seconds
+              st.sampled_from(["signup", "click", "purchase", "view"])),
+    min_size=1, max_size=40,
+)
+
+
+def _ev_frame(spark, rows):
+    import datetime as dt
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et, 0.0, "{}")
+        for i, (u, s, et) in enumerate(rows)
+    ]
+    return {
+        "events": spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+    }
+
+
+@given(event_rows)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_bruteforce(spark, rows):
+    from resin_spark.operators import timeseries
+    got = {r["event_id"]: r["right_ts"]
+           for r in timeseries.asof_join(_ev_frame(spark, rows)).collect()}
+    # brute force: for each purchase, max click ts <= its ts, same user
+    base = 1704067200
+    want = {}
+    for i, (u, s, et) in enumerate(rows):
+        if et != "purchase":
+            continue
+        cands = [s2 for (u2, s2, e2) in rows if e2 == "click" and u2 == u and s2 <= s]
+        want[i] = (base + max(cands)) if cands else None
+    assert got == want
+
+
+@given(event_rows)
+@settings(max_examples=12, deadline=None)
+def test_funnel_matches_bruteforce(spark, rows):
+    from resin_spark.operators import timeseries
+    got = {r["event_type"]: r["n_users"]
+           for r in timeseries.funnel(_ev_frame(spark, rows)).collect()}
+
+    def reaches(u, steps):
+        # existence of a strictly increasing ts sequence of the step types
+        prev = None
+        for s in steps:
+            nxt = [ts for (u2, ts, e2) in rows
+                   if u2 == u and e2 == s and (prev is None or ts > prev)]
+            if not nxt:
+                return False
+            prev = min(nxt)   # greedy earliest is complete
+        return True
+
+    users = {u for (u, _, _) in rows}
+    steps = ("signup", "click", "purchase")
+    for k, s in enumerate(steps):
+        assert got[s] == sum(reaches(u, steps[:k + 1]) for u in users), s
+
+
+@given(event_rows)
+@settings(max_examples=12, deadline=None)
+def test_retention_matches_bruteforce(spark, rows):
+    from resin_spark.operators import timeseries
+    got = {(r["cohort_day"], r["offset_days"]): r["n_users"]
+           for r in timeseries.retention(_ev_frame(spark, rows)).collect()}
+    base_day = 1704067200 // 86400
+    days = {}
+    for (u, s, _) in rows:
+        days.setdefault(u, set()).add(base_day + (s // 86400))
+    want = {}
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            key = (c, d - c)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
