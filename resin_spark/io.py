@@ -181,3 +181,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def truncate(spark: SparkSession, path_or_table: str) -> None:
+    """Empty a store: drop a managed table (bucketed stores) or delete a
+    path-based parquet/csv/json output directory — the analog of the
+    reference CLI's TruncateCommand (truncate stores by collection id).
+
+    Uses the Hadoop FileSystem API, so it works on any configured
+    storage scheme (local, HDFS, object stores), not just the driver's
+    local disk.
+    """
+    if "/" not in path_or_table and "\\" not in path_or_table:
+        spark.sql(f"DROP TABLE IF EXISTS {path_or_table}")
+        return
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_or_table)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)

@@ -241,3 +241,21 @@ def test_vector_double_roundtrip_is_bit_exact(spark, tmp_path):
     back = {r["vec_id"]: r["vec"] for r in spark.read.parquet(out).collect()}
     assert back[1] == vals
     assert math.isnan(back[2][0])
+
+def test_truncate_removes_path_and_table(spark, tmp_path):
+    """TruncateCommand analog: path stores and managed tables both
+    empty out; truncating a missing store is a no-op."""
+    from resin_spark.io import truncate, write_bucketed
+    import os
+    t = load_tables(spark, SF)
+    out = str(tmp_path / "trunc_me")
+    write_parquet(t["region"], out)
+    assert os.path.exists(out)
+    truncate(spark, out)
+    assert not os.path.exists(out)
+    truncate(spark, out)  # no-op on missing store
+
+    write_bucketed(t["region"], "region_trunc", ["r_regionkey"], 2)
+    assert spark.catalog.tableExists("region_trunc")
+    truncate(spark, "region_trunc")
+    assert not spark.catalog.tableExists("region_trunc")
