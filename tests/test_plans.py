@@ -119,3 +119,42 @@ def test_dedup_components_runs_on_value_graph(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kv_paginate_single_key_exchange(spark):
+    """Window rank and both groupBys must share ONE hash exchange on the
+    key — the page number is a pure function of the per-key rank."""
+    from resin_spark.operators import kv
+    t = load_tables(spark, SF)
+    col = t["lineitem"].select(
+        F.col("l_orderkey").alias("key"), F.col("l_linenumber").alias("seq"))
+    plan = plan_of(kv.paginate(col))
+    assert plan.count("hashpartitioning(key") <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_moving_aggregates_single_user_exchange(spark):
+    from resin_spark.operators import timeseries
+    plan = plan_of(timeseries.moving_aggregates(load_tables(spark, SF)))
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+    assert "Join" not in plan
+
+
+def test_funnel_no_explosive_join(spark):
+    from resin_spark.operators import timeseries
+    plan = plan_of(timeseries.funnel(load_tables(spark, SF)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_grid_is_generated_not_scanned(spark):
+    """The dense grid comes from sequence()+explode over a 2-value agg,
+    not from a second scan of events."""
+    from resin_spark.operators import timeseries
+    plan = plan_of(timeseries.gap_fill_hourly(load_tables(spark, SF)))
+    assert "Generate" in plan, plan[:2000]   # sequence() explode
+    # the grid x type cross join is deliberate (and tiny); the join back
+    # to the sparse rollup must be an equi-join, not a nested loop over
+    # data-scale rows — count the nested-loop joins: exactly the one
+    # grid-building cross is allowed
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct") <= 1, plan[:3000]
