@@ -72,3 +72,19 @@ def test_lsh_path_agrees_with_exact_on_clustered_data(spark):
     lsh = [r["vec_id"]
            for r in graph.graph_dedup(emb, dims=4, use_lsh=True).collect()]
     assert exact == lsh == [0, 4, 8]
+
+
+def test_minhash_lsh_subset_of_exact_with_full_recall(spark):
+    """dedup_minhash_lsh is rows-only in the driver gate, so pin its real
+    contract here: every emitted pair is exact-verified (subset of the
+    exact jaccard pairs at the same tau) and, on this corpus where all
+    true pairs sit far above the banding S-curve knee, recall is 1.0."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert mh <= exact          # exact verification: no false positives
+    assert mh == exact          # S-curve: full recall on this corpus
