@@ -79,3 +79,21 @@ def test_lsh_topk_single_pass_buckets(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_topk_recall_floor_and_exact_scores(spark):
+    """ann_topk_lsh is rows-only in the driver gate, so pin its quality
+    contract here: bucketed recall@k vs brute force stays above the
+    S-curve floor (0.78 measured; assert >= 0.6 for seed robustness),
+    and every returned (query, neighbor) carries the EXACT brute-force
+    score — bucketing only prunes candidates, never changes scoring."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    brute = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in similarity.brute_topk(emb, q).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"]): r["score"]
+           for r in similarity.lsh_topk(emb, q).collect()}
+    recall = len(set(brute) & set(lsh)) / len(brute)
+    assert recall >= 0.6, recall
+    for pair in set(brute) & set(lsh):
+        assert abs(brute[pair] - lsh[pair]) < 1e-12, pair
