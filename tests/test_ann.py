@@ -42,8 +42,15 @@ def test_ivf_default_recall_and_exact_scores(spark):
         if key in brute:
             hits += 1
             assert r["score"] == brute[key]
-    # probing 4/16 cells must still recover a reasonable share of true top-k
-    assert hits / len(brute) >= 0.2
+    # probing 4/16 cells must still recover a solid share of true top-k
+    # (0.52 measured with the fixed k-means seed; floor leaves margin)
+    assert hits / len(brute) >= 0.4
+
+    # the driver-facing defaults (64 cells, probe 8) must do better
+    # still: 0.70 measured on this corpus
+    dflt = {(r["query_id"], r["neighbor_id"])
+            for r in similarity.ann_topk_ivf(emb, q).collect()}
+    assert len(dflt & set(brute)) / len(brute) >= 0.55
 
 
 def test_persisted_index_matches_direct_lsh(spark, tmp_path):
