@@ -153,8 +153,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("set_a"))
-    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("set_b"))
+    # verification sets skip the dfreq join + rarity sort — order is
+    # irrelevant to array_intersect/union, so the two verify branches
+    # read a strictly cheaper aggregate than the prefix index
+    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
