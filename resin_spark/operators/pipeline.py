@@ -227,10 +227,17 @@ def quality_repetition(t: Tables) -> DataFrame:
     """
     docs = t["documents"]
     tk = T.tokens("text")
+    # grams shuffle as (xxhash64, is_bigram) pairs — 9 bytes instead of
+    # the gram string; counts are what's aggregated, so hashing is
+    # transparent (collision-free in practice, p < 1e-10 at 1e9 grams)
+    unis = F.transform("tk", lambda x: F.struct(
+        F.xxhash64(x).alias("h"), F.lit(False).alias("b")))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("tk") - 2),
-        lambda i: F.concat_ws(" ", F.element_at("tk", i + 1),
-                              F.element_at("tk", i + 2)),
+        lambda i: F.struct(
+            F.xxhash64(F.concat_ws(" ", F.element_at("tk", i + 1),
+                                   F.element_at("tk", i + 2))).alias("h"),
+            F.lit(True).alias("b")),
     )
     grams = (
         docs.select("doc_id", tk.alias("tk"))
@@ -240,16 +247,16 @@ def quality_repetition(t: Tables) -> DataFrame:
             F.size("tk").alias("n_tokens"),
             F.size(F.array_distinct("tk")).alias("n_distinct"),
             F.explode(
-                F.concat("tk", F.when(F.size("tk") >= 2, bigrams)
+                F.concat(unis, F.when(F.size("tk") >= 2, bigrams)
                          .otherwise(F.array()))
-            ).alias("gram"),
+            ).alias("g"),
         )
     )
     counts = (
-        grams.groupBy("doc_id", "n_tokens", "n_distinct", "gram")
+        grams.groupBy("doc_id", "n_tokens", "n_distinct", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    is_bigram = F.col("gram").contains(" ")
+    is_bigram = F.col("g.b")
     return (
         counts.groupBy("doc_id", "n_tokens", "n_distinct")
         .agg(
