@@ -252,3 +252,31 @@ def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
             "n_events",
         )
     )
+
+
+def stream_dedup_exact(spark: SparkSession, docs_parquet_dir: str):
+    """Streaming exact dedup — the streaming twin of the batch
+    dedup_exact (D1): documents arrive as a file stream and only the
+    FIRST occurrence of each content hash is emitted; later copies, in
+    the same or any later micro-batch, are dropped by Spark's stateful
+    dropDuplicates (state = the seen-hash set, hash-partitioned across
+    executors exactly like a batch groupBy).
+
+    This is the online form a continuous ingestion pipeline runs: dedup
+    against everything already ingested without re-reading it. No
+    watermark is set, so state is unbounded by design here (content
+    hashes live forever, as an ingestion ledger must); a real deploy
+    with bounded re-crawl windows adds ``withWatermark`` on an event
+    time to age state out.
+    """
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .select("doc_id", "content_hash")
+    )

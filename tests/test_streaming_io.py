@@ -259,3 +259,41 @@ def test_truncate_removes_path_and_table(spark, tmp_path):
     assert spark.catalog.tableExists("region_trunc")
     truncate(spark, "region_trunc")
     assert not spark.catalog.tableExists("region_trunc")
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming dedup must suppress copies that arrive in LATER
+    micro-batches: batch 2 replays half of batch 1's documents plus
+    fresh ones; only the fresh ones may emit."""
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 40)
+    replay = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60)) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)  # new ids, old text
+    flat = tmp_path / "docs_stream"
+    flat.mkdir()
+    first.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    replay.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    import glob, shutil as sh
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "b*" / "*.parquet")))):
+        sh.copy(f, flat / f"part-{i:04d}.parquet")
+
+    q = (
+        ev.stream_dedup_exact(spark, str(flat))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    emitted_ids = {r["doc_id"] for r in rows}
+    # every batch-1 doc emits (distinct texts in the corpus)...
+    assert set(range(40)) <= emitted_ids
+    # ...replayed texts (ids 100020..100039 carry batch-1 text) do NOT
+    assert not {i + 100000 for i in range(20, 40)} & emitted_ids
+    # fresh texts in batch 2 do emit
+    assert {i + 100000 for i in range(40, 60)} <= emitted_ids
+    # and hashes are globally unique across everything emitted
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
