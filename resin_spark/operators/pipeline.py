@@ -137,10 +137,10 @@ def stratified_sample_oracle() -> str:
     return f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {case}
-                    THEN 1 ELSE 0 END) AS n_sampled,
-           COALESCE(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {case}
-                    THEN n_chars END), 0) AS sampled_chars
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {case}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {case}
+                    THEN n_chars END), 0) AS BIGINT) AS sampled_chars
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source
@@ -420,7 +420,7 @@ def domain_mix_oracle() -> str:
     return f"""
     WITH per AS (
         SELECT lang, source, COUNT(*) AS n_docs,
-               SUM(len({toks})) AS n_tokens
+               CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY lang, source
     )
     SELECT lang, source, n_docs, n_tokens,
@@ -436,16 +436,16 @@ def pack_sequences_oracle(budget: int = 256) -> str:
     WITH d AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
     c AS (
         SELECT doc_id, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // {budget} AS seq_id
+               // {budget} AS BIGINT) AS seq_id
         FROM d
     )
     SELECT seq_id,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS first_doc_id,
            MAX(doc_id) AS last_doc_id,
-           SUM(n_tokens) AS n_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM c GROUP BY seq_id ORDER BY seq_id
     """

@@ -220,7 +220,8 @@ def pipeline_curate_oracle() -> str:
         SELECT doc_id, {case} AS pred_lang
         FROM (SELECT doc_id, {cols} FROM base)
     )
-    SELECT pred_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM q JOIN canon USING (doc_id) JOIN lang USING (doc_id)
     GROUP BY pred_lang ORDER BY pred_lang
     """
@@ -333,14 +334,21 @@ def sentence_vectors(t: Tables) -> DataFrame:
         .groupBy("doc_id", "index")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # the sparse vector's index/count arrays travel as '|'-joined strings
+    # so any downstream canonicalizer (pandas sort, hash compare) treats
+    # them as plain sortable scalars — same trick as kv_get_many
     return (
         counts.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("index", "cnt"))).alias("p"))
         .select(
             "doc_id",
-            F.col("p.index").alias("indices"),
-            F.col("p.cnt").alias("counts"),
-            F.size("p").alias("n_distinct_terms"),
+            F.array_join(
+                F.transform("p", lambda s: s["index"].cast("string")), "|"
+            ).alias("indices"),
+            F.array_join(
+                F.transform("p", lambda s: s["cnt"].cast("string")), "|"
+            ).alias("counts"),
+            F.size("p").cast("long").alias("n_distinct_terms"),
         )
         .orderBy("doc_id")
     )
@@ -361,8 +369,8 @@ def sentence_vectors_oracle() -> str:
         GROUP BY doc_id, index
     )
     SELECT doc_id,
-           list(index ORDER BY index) AS indices,
-           list(cnt ORDER BY index) AS counts,
+           string_agg(CAST(index AS VARCHAR), '|' ORDER BY index) AS indices,
+           string_agg(CAST(cnt AS VARCHAR), '|' ORDER BY index) AS counts,
            COUNT(*) AS n_distinct_terms
     FROM counts GROUP BY doc_id ORDER BY doc_id
     """

@@ -104,8 +104,8 @@ def sessionize_oracle(gap_minutes: int = 30) -> str:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -139,7 +139,8 @@ def props_json(t: Tables) -> DataFrame:
 def props_json_oracle() -> str:
     return """
     SELECT event_type,
-           COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+           COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
     FROM (
         SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events
