@@ -267,34 +267,47 @@ def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Query]:
+    # Dict order is the driver's check order, and the driver verifies a
+    # bounded prefix (round 2 covered exactly the first 50 entries).
+    # Ordering contract: entries that have never had a correctness row
+    # come FIRST; the tail holds (a) rows-only entries whose driver row
+    # carries no hash either way and (b) entries already hash-verified
+    # green in a prior round (CORRECTNESS_r02.json).
     return {
-        "q1_pricing_summary": _q1,
+        # -- never driver-verified before round 3: E-block tail + F-block
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "vector_analyze": _vector_analyze,
+        "knn_classify": _knn_classify,
+        "graph_dedup": _graph_dedup,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_resize_plan": _mm_resize_plan,
+        "mm_feature_extract": _mm_feature_extract,
+        # -- red in round 2 (HUGEINT / array canonicalization), fixed since
+        "events_sessionize": _events_sessionize,
+        "events_props_json": _events_props,
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "domain_mix": _mk_text(pipeline.domain_mix),
+        # -- newly oracle-backed / previously rows-only
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        # -- green in round 2, oracle-backed
         "q3_shipping_priority": _q3,
         "q5_local_supplier": _q5,
         "topk_per_group": _topk,
-        "agg_rollup": _rollup,
-        "kv_try_put": _kv_try_put,
         "kv_get_many": _kv_get_many,
         "kv_paginate": _kv_paginate,
-        "kv_set_ops": _kv_set_ops,
-        "kv_key_join": _kv_key_join,
-        "events_hourly_rollup": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        "events_props_json": _events_props,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "term_frequencies": _mk_text(textops.term_frequencies),
         "lexicon_build": _mk_text(textops.lexicon_build),
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
-        "lexicon_validate": _mk_text(textops.lexicon_validate),
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        "pipeline_curate": _mk_text(textops.pipeline_curate),
         "contamination_check": _mk_text(pipeline.contamination_check),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
         "quality_repetition": _mk_text(pipeline.quality_repetition),
         "pii_redact": _mk_text(pipeline.pii_redact),
-        "domain_mix": _mk_text(pipeline.domain_mix),
         "events_asof_join": _mk_text(timeseries.asof_join),
         "session_overlap": _mk_text(timeseries.session_overlap),
         "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
@@ -310,25 +323,25 @@ def queries() -> dict[str, Query]:
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "string_compare": _string_compare,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "dedup_components": _dedup_components,
+        # ---- tail: past the round-2 driver window from here down ----
+        # rows-only by design (no exact-SQL oracle exists)
+        "string_compare": _string_compare,
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
+        # hash-green in CORRECTNESS_r02.json; re-check when window allows
         "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
-        "vector_analyze": _vector_analyze,
-        "knn_classify": _knn_classify,
-        "graph_dedup": _graph_dedup,
-        "label_centroids": _label_centroids,
-        "closest_match": _closest_match,
-        "mm_binary_meta": _mm_binary_meta,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_resize_plan": _mm_resize_plan,
-        "mm_feature_extract": _mm_feature_extract,
+        "events_hourly_rollup": _events_hourly,
+        "q1_pricing_summary": _q1,
+        "agg_rollup": _rollup,
+        "kv_try_put": _kv_try_put,
+        "kv_set_ops": _kv_set_ops,
+        "kv_key_join": _kv_key_join,
+        "term_frequencies": _mk_text(textops.term_frequencies),
     }
 
 
