@@ -597,14 +597,16 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
        order) and filtered at ≥ tau, so the output hash-matches DuckDB.
 
     The margin (1e-9 ≫ the f64 summation-order bound for 64 dims)
-    guarantees stage 1 never drops a true pair. Broadcast sizing caveat
-    in similarity.broadcast_unit_matrix; past it, bucket with LSH first.
+    guarantees stage 1 never drops a true pair. Stage 1 is size-gated
+    (similarity.cosine_threshold_candidates_auto): past the broadcast
+    ceiling it auto-routes to the multi-probe LSH bucketed self-join —
+    recall ≈ 0.95 at tau 0.4, rising toward 1 with tau — with no driver
+    collect anywhere in the plan.
     """
     from resin_spark.operators.similarity import (
-        broadcast_unit_matrix, cosine_threshold_candidates,
+        cosine_threshold_candidates_auto, maybe_broadcast,
     )
-    bc = broadcast_unit_matrix(emb)
-    cand = cosine_threshold_candidates(emb, bc, tau)
+    cand, fits = cosine_threshold_candidates_auto(emb, tau)
     # zero vectors can't reach any tau > 0 and would hit ANSI division-
     # by-zero in the normalise; the oracle excludes them too (NaN cos)
     normed = emb.filter(V.norm("embedding") > 0).select(
@@ -612,8 +614,8 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(maybe_broadcast(a, fits), "vec_a")
+        .join(maybe_broadcast(b, fits), "vec_b")
         .filter(V.dot("ua", "ub") >= tau)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")

@@ -7,9 +7,10 @@ Build/AddOrMerge; GraphOptions.cs:5 IdenticalAngle = 0.99). The
 distributed re-expression: vector j is dropped when some earlier vector
 i < j has cos(i, j) ≥ IdenticalAngle; survivors keep their ids.
 
-Candidate generation defaults to one matmul pass against the broadcast
-unit matrix (exact recall); ``use_lsh=True`` switches to banded
-random-hyperplane tables for corpora past the broadcast ceiling —
+Candidate generation is size-gated: one matmul pass against the
+broadcast unit matrix (exact recall) while the corpus fits the
+broadcast ceiling, switching automatically to banded random-hyperplane
+tables past it —
 near-identical vectors agree on almost every hyperplane sign, so 8
 planes × 6 tables miss a cos ≥ 0.99 pair with probability < 5e-5, and
 the join is (table, bucket) equi-keyed: never a cross join.
@@ -49,23 +50,27 @@ def _candidate_pairs_lsh(emb: DataFrame, dims: int, n_planes: int,
 
 def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
                 dims: int = 64, n_planes: int = 8, n_tables: int = 6,
-                use_lsh: bool = False) -> DataFrame:
+                use_lsh: bool | None = None) -> DataFrame:
     """Vectors surviving the reference's IdenticalAngle build dedup.
 
     Returns (vec_id, label) of kept vectors — j is dropped when any
     i < j has cos(i, j) ≥ identical_angle.
 
-    Default candidate generation is the broadcast-matrix matmul pass
-    (similarity.cosine_threshold_candidates): exact recall, one corpus
-    scan, no join explosion. ``use_lsh=True`` switches to the banded
-    hyperplane tables for corpora past the broadcast ceiling — candidate
-    quality drops to ~1-5e-5 miss probability per cos ≥ 0.99 pair.
-    Either way candidates are verified with the strict JVM fold, so the
-    kept set is oracle-exact whenever recall is complete.
+    Candidate generation is size-gated (use_lsh=None, the default):
+    under similarity.BROADCAST_CEILING_BYTES it is the broadcast-matrix
+    matmul pass (exact recall, one corpus scan); past it, the banded
+    hyperplane tables take over automatically — candidate quality drops
+    to ~1-5e-5 miss probability per cos ≥ 0.99 pair. ``use_lsh`` forces
+    either path. Candidates are always verified with the strict JVM
+    fold, so the kept set is oracle-exact whenever recall is complete.
     """
     from resin_spark.operators.similarity import (
         broadcast_unit_matrix, cosine_threshold_candidates,
+        corpus_bytes_estimate, maybe_broadcast, BROADCAST_CEILING_BYTES,
     )
+    if use_lsh is None:
+        est, _n, _d = corpus_bytes_estimate(emb)
+        use_lsh = est > BROADCAST_CEILING_BYTES
     if use_lsh:
         cand = _candidate_pairs_lsh(emb, dims, n_planes, n_tables).select(
             F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
