@@ -148,9 +148,12 @@ def stratified_sample_oracle() -> str:
 
 
 # pack_sequences: docs per cumsum bucket. Contiguous doc_id ranges, so
-# per-bucket token totals prefix-sum into exact global offsets; widen at
-# scale (e.g. 2^20 docs/bucket) to keep the collected offset table tiny.
+# per-bucket token totals prefix-sum into exact global offsets.
 _PACK_BUCKET = 1024
+# buckets per superbucket for the second prefix-sum level: the only
+# unpartitioned window runs over n_docs / (1024*4096) ≈ n/2^22 rows
+# (24k rows at 10^11 docs) — bounded, never the doc frame.
+_PACK_SUPER = 4096
 
 
 def pack_sequences(t: Tables, budget: int = 256) -> DataFrame:
@@ -161,14 +164,16 @@ def pack_sequences(t: Tables, budget: int = 256) -> DataFrame:
     exceed ``budget`` where a doc straddles a cut — the standard
     pretraining concat-packing semantic).
 
-    Scale: the exclusive global cumsum is NOT a single-partition window —
-    docs bucket by ``doc_id div 1024`` (contiguous ranges), pass one
-    collects per-bucket token totals (tiny) and prefix-sums them into
-    bucket offsets, pass two runs the running sum within each bucket in
-    parallel and adds the offset. Identical output to
-    ``SUM(...) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)`` with
-    every window partition distributed; same two-pass shape as
-    textops.lexicon_build's rank.
+    Scale: the exclusive global cumsum is a LAZY two-level distributed
+    prefix sum — no ``collect()``, no window over the doc frame without a
+    partition key. Docs bucket by ``doc_id div 1024`` (contiguous
+    ranges); level 1 prefix-sums bucket totals within each superbucket
+    of 4096 buckets (window partitioned by superbucket, distributed);
+    level 2 prefix-sums the superbucket totals — the only unpartitioned
+    window, over an aggregate frame of n/2^22 rows. The per-doc running
+    sum then adds its bucket's offset inside a window partitioned by
+    bucket. Identical output to ``SUM(...) OVER (ORDER BY doc_id ROWS
+    UNBOUNDED PRECEDING)`` with every doc-touching window distributed.
     """
     d = (
         t["documents"]
@@ -178,24 +183,37 @@ def pack_sequences(t: Tables, budget: int = 256) -> DataFrame:
             (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("bucket"),
         )
     )
+    span = _PACK_BUCKET * _PACK_SUPER
     per_bucket = (
-        d.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
-        .orderBy("bucket")
-        .collect()
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn("super", F.col("bucket") - F.col("bucket") % span)
     )
-    offsets, acc = [], 0
-    for r in per_bucket:
-        offsets.append((r["bucket"], acc))
-        acc += r["bt"]
-    spark = t["documents"].sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "bucket long, offset long")
+    wb = (
+        Window.partitionBy("super")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_bucket = per_bucket.withColumn(
+        "within", F.coalesce(F.sum("bt").over(wb), F.lit(0))
+    )
+    ws = Window.orderBy("super").rowsBetween(Window.unboundedPreceding, -1)
+    per_super = (
+        per_bucket.groupBy("super")
+        .agg(F.sum("bt").alias("st"))
+        .withColumn("soff", F.coalesce(F.sum("st").over(ws), F.lit(0)))
+    )
+    off = (
+        per_bucket.join(per_super.select("super", "soff"), "super")
+        .select("bucket", (F.col("soff") + F.col("within")).alias("offset"))
+    )
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        d.join(F.broadcast(off), "bucket")
+        d.join(off, "bucket")
         .withColumn(
             "cum_excl",
             F.col("offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),

@@ -71,6 +71,28 @@ def test_lexicon_build_has_no_global_window(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_pack_sequences_lazy_distributed_prefix_sum(spark):
+    """The global exclusive cumsum is a two-level windowed prefix sum:
+    fully lazy (no collect → no LocalTableScan of driver rows), every
+    window that touches per-doc rows carries a partition spec, and the
+    single unpartitioned window consumes only the superbucket aggregate
+    (n/2^22 rows)."""
+    from resin_spark.operators import pipeline
+
+    df = pipeline.pack_sequences(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "LocalTableScan" not in plan  # nothing was collected+reparallelized
+    unpartitioned = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln
+        and "windowspecdefinition(super" not in ln
+        and "windowspecdefinition(bucket" not in ln
+    ]
+    # only the superbucket-total window may be unpartitioned
+    assert all("sum(st" in ln for ln in unpartitioned), unpartitioned
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_brute_topk_broadcasts_queries(spark):
     t = load_tables(spark, SF)
     emb = t["embeddings"]
