@@ -227,18 +227,55 @@ def pipeline_curate_oracle() -> str:
     """
 
 
-def lexicon_validate(t: Tables, dims: int = 512) -> DataFrame:
+def probe_missing_angles(t: Tables, dims: int = 512, n_probes: int = 200,
+                         precision: int = 2) -> DataFrame:
+    """LexiconInspector analog (LexiconInspector.cs:20-45,
+    SampleAngles/FindMissingAngles): probe angle candidates across
+    [-1, 1] and report the ones with no lexicon entry nearby.
+
+    The reference draws probes from a seeded uniform rng and checks
+    exact KV-key presence; distributed, the order-dependent serial rng
+    becomes an evenly spaced grid (``-1 + 2i/(n-1)``, deterministic
+    under any partitioning — documented divergence, same gap-probing
+    purpose), and "present" is bucketed at 10^-precision — exact-double
+    probing of a float key space reports every probe missing, which the
+    reference comment ("probe gap buckets") doesn't intend. The probe
+    side is ``spark.range`` (generated, never scanned) left-anti joined
+    against distinct lexicon key buckets — both sides tiny aggregates at
+    any corpus size.
+    """
+    spark = t["documents"].sparkSession
+    scale = 10 ** precision
+    probes = spark.range(n_probes).select(
+        (F.lit(-1.0) + 2.0 * F.col("id") / (n_probes - 1)).alias("probe_angle")
+    ).withColumn("bucket", F.floor(F.col("probe_angle") * scale))
+    keys = (
+        lexicon_angle(t, dims)
+        .select(F.floor(F.col("angle_key") * scale).alias("bucket"))
+        .distinct()
+    )
+    return (
+        probes.join(keys, "bucket", "left_anti")
+        .select(F.round("probe_angle", 9).alias("probe_angle"))
+        .orderBy("probe_angle")
+    )
+
+
+def lexicon_validate(t: Tables, dims: int = 512, n_probes: int = 200,
+                     precision: int = 2) -> DataFrame:
     """ValidateLexicon analog (StringAnalyzer.cs:97-130; CLI
     ValidateLexiconCommand): integrity stats of the angle-keyed lexicon
     in one aggregate pass — every distinct token must be reachable
     through its angle key (tokens_covered == n_tokens), collision
     pressure is the max/mean tokens sharing one key (the reference logs
     the least-entropic collision), and the key range confirms the
-    locality-sensitive scalar stays in [-1, 1]. One row out; every
-    stat is a plain aggregate — no global sort, no window.
+    locality-sensitive scalar stays in [-1, 1]. Plus the
+    LexiconInspector probe (probe_missing_angles): how many of n_probes
+    grid angles have no key in their 10^-precision bucket. One row out;
+    every stat is a plain aggregate — no global sort, no window.
     """
     lex = lexicon_angle(t, dims)
-    return lex.agg(
+    stats = lex.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_collisions").alias("tokens_covered"),
         F.max("n_collisions").alias("max_collisions"),
@@ -248,6 +285,10 @@ def lexicon_validate(t: Tables, dims: int = 512) -> DataFrame:
         (F.min("angle_key") >= -1.0).alias("keys_in_range_lo"),
         (F.max("angle_key") <= 1.0).alias("keys_in_range_hi"),
     )
+    missing = probe_missing_angles(t, dims, n_probes, precision).agg(
+        F.count(F.lit(1)).alias("n_missing_angles")
+    ).withColumn("n_probes", F.lit(n_probes))
+    return stats.crossJoin(missing)
 
 
 def tfidf_topterms(t: Tables, k: int = 5) -> DataFrame:
