@@ -21,9 +21,10 @@ Full feature-family parity with the reference's TokenizeIntoVectors
 - L2 normalisation                                               (:687-696)
 
 All hashing is the reference's FNV-1a-over-code-units HashToIndex
-(:196-207). C# iterates UTF-16 code units; we iterate codepoints, which
-is identical for BMP text (divergence only for surrogate pairs — noted,
-matching knuth_hash's documented handling below which does use UTF-16).
+(:196-207), iterated over UTF-16 code units exactly as C# does — the
+token stream, window positions, lengths, and FNV inputs all count
+units, so supplementary-plane text hashes identically (knuth_hash
+below shares the same handling).
 
 Execution shape: a pandas UDF over Arrow batches, where every feature
 family is a vectorised numpy pass over the batch-wide token stream
@@ -106,11 +107,13 @@ def _is_geo_token(s: str) -> bool:
 
 
 def _fnv1a(s: str) -> int:
-    """Scalar FNV-1a over codepoints (HashToIndex's hash, pre-modulo)."""
+    """Scalar FNV-1a over UTF-16 code units (HashToIndex's hash,
+    pre-modulo) — non-BMP chars contribute two surrogate halves,
+    exactly as C#'s char iteration does."""
     with np.errstate(over="ignore"):
         h = FNV_OFFSET
-        for ch in s:
-            h = np.uint64(h ^ np.uint64(ord(ch)))
+        for u in np.frombuffer(s.encode("utf-16-le"), dtype="<u2"):
+            h = np.uint64(h ^ np.uint64(u))
             h = np.uint64(h * FNV_PRIME)
         return int(h)
 
@@ -127,16 +130,51 @@ def _fnv1a_windows(win: np.ndarray) -> np.ndarray:
     return h
 
 
-_WORD_RE = re.compile(r"[0-9A-Za-z]+(?:\.[0-9]+)?|[+<=>|~^]", re.UNICODE)
+# _validData (StringAnalyzer.cs:16-23): all letters, all numbers, and
+# the Sc/Sk/So symbol categories run together into words; Sm is data but
+# emitted standalone (SplitWords :252-309); everything else separates.
+_DATA_CATS = frozenset(
+    {"Lu", "Ll", "Lt", "Lm", "Lo", "Nd", "Nl", "No", "Sc", "Sk", "So"}
+)
+_CHAR_CLASS: dict[str, int] = {}  # 0 separator, 1 data, 2 standalone math
+
+
+def _char_class(ch: str) -> int:
+    cls = _CHAR_CLASS.get(ch)
+    if cls is None:
+        if ord(ch) > 0xFFFF:
+            # C# walks UTF-16 chars: a non-BMP char is two surrogate
+            # halves, category Cs — never data, so it splits words
+            cls = 0
+        else:
+            cat = unicodedata.category(ch)
+            cls = 2 if cat == "Sm" else (1 if cat in _DATA_CATS else 0)
+        _CHAR_CLASS[ch] = cls
+    return cls
 
 
 def _tokenize(text: str) -> list[str]:
-    """SplitWords analog (StringAnalyzer.cs:255-309): runs of data chars
-    form words (case preserved — the case features depend on it), math
-    symbols stand alone. Decimal numbers keep their point so the
-    numeric/geo features can fire, mirroring IsData accepting symbol
-    categories inside tokens."""
-    return _WORD_RE.findall(text or "")
+    """SplitWords transliteration (StringAnalyzer.cs:252-309 with IsData
+    :173-177): case-preserving, full Unicode-category parity. Note the
+    consequences the reference's rules imply: '.' and ',' are Po (not
+    data), so '3.14' tokenizes as ['3', '14'] and the numeric/geo
+    features only ever see the token shapes the reference can produce;
+    non-BMP characters split words (see _char_class)."""
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in text or "":
+        cls = _char_class(ch)
+        if cls == 1:
+            buf.append(ch)
+        else:
+            if buf:
+                out.append("".join(buf))
+                buf.clear()
+            if cls == 2:
+                out.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
 
 
 class _FeatureTables:
@@ -236,8 +274,12 @@ def accumulate_token_features(tokens: list[str], owners: np.ndarray,
     if not tokens:
         return mats.reshape(n_owners, dims)
 
-    codes_list = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-                  for t in tokens]
+    # UTF-16 code units, not codepoints: C# strings index by unit, so
+    # window positions, lengths, and FNV inputs must all count units
+    codes_list = [
+        np.frombuffer(t.encode("utf-16-le"), dtype="<u2").astype(np.uint32)
+        for t in tokens
+    ]
     t_len = np.array([len(c) for c in codes_list], dtype=np.int64)
     n_tok = len(tokens)
     owners = np.asarray(owners, dtype=np.int64)

@@ -131,20 +131,21 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     vector (CompareToUnitVector, :752-757) and TryPut into a KV column —
     first-wins per angle key, sorted by angle for write locality.
 
-    Spark shape: distinct tokens (case-preserving tokenizer matching the
-    embedder's) → Arrow-batched angle UDF → groupBy(angle_key) with
-    min(token) as the stored entry + collision count. The angle key is a
-    locality-sensitive scalar, so the final orderBy(angle_key) is the
-    same range partitioning the reference exploits — at scale it becomes
-    the bucketing key for similarity probes. Rows-only check (the
-    feature hashing is procedural, not SQL-expressible).
+    Spark shape: distinct tokens (the case-preserving full-parity
+    SplitWords tokenizer, functions/text.split_words) → Arrow-batched
+    angle UDF → groupBy(angle_key) with min(token) as the stored entry +
+    collision count. The angle key is a locality-sensitive scalar, so
+    the final orderBy(angle_key) is the same range partitioning the
+    reference exploits — at scale it becomes the bucketing key for
+    similarity probes. Rows-only check (the feature hashing is
+    procedural, not SQL-expressible). Footnote: Java regex classifies
+    whole codepoints, so non-BMP letters survive here where C#'s
+    UTF-16 walk would split them — irrelevant for BMP corpora.
     """
     from resin_spark.functions import hashing
-    pat = r"[0-9A-Za-z]+(?:\.[0-9]+)?|[+<=>|~^]"
     toks = (
         t["documents"]
-        .select(F.explode(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
-                .alias("token"))
+        .select(F.explode(T.split_words("text")).alias("token"))
         .distinct()
     )
     ak = hashing.angle_key_udf(dims)

@@ -152,3 +152,62 @@ def test_lexicon_angle_validates(spark):
     probes = rng.uniform(-1, 1, 200)
     hits = np.isin(np.round(probes, 12), np.round(keys, 12)).sum()
     assert hits == 0
+
+
+def splitwords_reference(text: str) -> list[str]:
+    """Line-for-line transliteration of SplitWords + IsData
+    (StringAnalyzer.cs:252-309, :173-177, _validData :16-23): walks
+    UTF-16 chars, so non-BMP chars are surrogate halves (Cs, never
+    data)."""
+    valid = {"Lu", "Ll", "Lt", "Lm", "Lo", "Nd", "Nl", "No",
+             "Sc", "Sm", "Sk", "So"}
+    units = text.encode("utf-16-le")
+    chars = [units[i:i + 2].decode("utf-16-le", "surrogatepass")
+             for i in range(0, len(units), 2)]
+    words, buf = [], []
+    for c in chars:
+        cat = unicodedata.category(c)
+        if cat in valid:
+            if cat == "Sm":
+                if buf:
+                    words.append("".join(buf))
+                    buf = []
+                words.append(c)
+            else:
+                buf.append(c)
+        else:
+            if buf:
+                words.append("".join(buf))
+                buf = []
+    if buf:
+        words.append("".join(buf))
+    return words
+
+
+def test_tokenize_matches_splitwords_reference():
+    cases = [
+        "hello world",
+        "Tokyo2020 + café ÉCOLE",
+        "3.14 is pi, 1,234 thousands",     # '.'/',' are Po: digits split
+        "a+b=c",                           # Sm standalone: +, =
+        "price $9 99¢ 5€",                 # Sc runs with digits
+        "emoji \U0001F600 splits",         # non-BMP: surrogate halves
+        "x\U0001D54Fy",                    # math alphanumeric is non-BMP
+        "汉字 and ひらがな",
+        "", "   ", "...",
+    ]
+    for s in cases:
+        assert H._tokenize(s) == splitwords_reference(s), repr(s)
+
+
+def test_fnv1a_utf16_units():
+    # independent scalar over UTF-16 units: emoji = two surrogate halves
+    def fnv_units(units):
+        h = 14695981039346656037
+        for u in units:
+            h = ((h ^ u) * 1099511628211) % (1 << 64)
+        return h
+
+    s = "a\U0001F600b"
+    units = [0x61, 0xD83D, 0xDE00, 0x62]
+    assert H._fnv1a(s) == fnv_units(units)
