@@ -478,21 +478,53 @@ def embed_text_udf(dims: int = 512):
     return embed
 
 
-def angle_key_udf(dims: int = 512):
-    """Returns a pandas UDF: token column → cos(token_vector, unit_vector).
+def analyze_signatures(m: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Row-wise 10-component Analyze signature vs a reference vector
+    (VectorOperations.cs:316-448): cos (gated on dot/norms, clamped),
+    acos angle, dot, both norms, euclidean, manhattan, projection onto
+    ``u``, nonzero-overlap count, index-set jaccard. ``u`` is dense
+    (every component nonzero), so overlap = nnz(row) and
+    jaccard = nnz / dims."""
+    dims = m.shape[1]
+    dot = m @ u
+    n1 = np.linalg.norm(m, axis=1)
+    n2 = np.linalg.norm(u)
+    raw = np.divide(dot, n1 * n2, out=np.zeros_like(dot),
+                    where=(dot != 0) & (n1 != 0) & (n2 != 0))
+    cos = np.clip(raw, -1.0, 1.0)
+    diff = m - u
+    euclid = np.linalg.norm(diff, axis=1)
+    manhattan = np.abs(diff).sum(axis=1)
+    proj = dot / n2 if n2 > 0 else np.zeros_like(dot)
+    overlap = (m != 0).sum(axis=1).astype(np.float64)
+    jaccard = overlap / dims
+    return np.column_stack([cos, np.arccos(cos), dot, n1,
+                            np.full_like(dot, n2), euclid, manhattan,
+                            proj, overlap, jaccard])
 
-    The reference's lexicon key (CompareToUnitVector,
-    StringAnalyzer.cs:752-757; BuildLexicon :35-80 keys the KV column by
-    an angle derived the same way): a locality-sensitive scalar in
-    [-1, 1] — similar spellings land near each other, so range
-    partitioning on it co-locates similar tokens."""
+
+def angle_key_udf(dims: int = 512):
+    """Returns a pandas UDF: token column → the reference's lexicon key.
+
+    BuildLexicon (StringAnalyzer.cs:55-56) keys each token by
+    ``CosAngle(Analyze(vec, unit), unit)``: Analyze returns a SPARSE
+    dims-length vector carrying its 10 components at indices 0..9
+    (VectorOperations.cs:437-448), so the key is
+    ``sum(components) / (sqrt(dims) · ‖components‖)`` — CosAngle's raw
+    ungated division (:305-314; ‖sig‖ > 0 always since norm2 = 1 is a
+    component). A locality-sensitive scalar — similar spellings land
+    near each other, so range partitioning on it co-locates similar
+    tokens, exactly like the reference's angle-sorted page writes."""
 
     @pandas_udf(DoubleType())
     def angle_key(tokens: pd.Series) -> pd.Series:
         toks = ["" if t is None else str(t) for t in tokens]
         m = token_vectors(toks, dims)
         unit = np.full(dims, 1.0 / np.sqrt(dims))
-        return pd.Series(m @ unit)
+        sig = analyze_signatures(m, unit)
+        return pd.Series(
+            sig.sum(axis=1) / np.sqrt(dims) / np.linalg.norm(sig, axis=1)
+        )
 
     return angle_key
 

@@ -188,12 +188,20 @@ def truncate(spark: SparkSession, path_or_table: str) -> None:
     path-based parquet/csv/json output directory — the analog of the
     reference CLI's TruncateCommand (truncate stores by collection id).
 
-    Uses the Hadoop FileSystem API, so it works on any configured
-    storage scheme (local, HDFS, object stores), not just the driver's
-    local disk.
+    Disambiguation is by catalog lookup, not by the presence of a path
+    separator: a separator-free name is treated as a table only when
+    ``spark.catalog.tableExists`` says so (backtick-quoted against
+    injection); otherwise it falls through to the filesystem path
+    branch, so a relative output directory like ``out_parquet`` is
+    actually deleted instead of being mistaken for a missing table.
+    The path branch uses the Hadoop FileSystem API, so it works on any
+    configured storage scheme (local, HDFS, object stores), not just
+    the driver's local disk.
     """
-    if "/" not in path_or_table and "\\" not in path_or_table:
-        spark.sql(f"DROP TABLE IF EXISTS {path_or_table}")
+    no_sep = "/" not in path_or_table and "\\" not in path_or_table
+    if no_sep and spark.catalog.tableExists(path_or_table):
+        quoted = path_or_table.replace("`", "``")
+        spark.sql(f"DROP TABLE IF EXISTS `{quoted}`")
         return
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc

@@ -134,7 +134,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
         .select(
             "doc_id", "n_sh",
             F.col("ordered.h").alias("sh_hashes"),
-            (F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
+            # round-safe ceil: when tau*n_sh is mathematically integral
+            # but the double product rounds up (0.1*10 -> 1.0000...2),
+            # a bare ceil would shorten the prefix by one and silently
+            # drop pairs with Jaccard exactly == tau
+            (F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9)) + 1)
             .cast("int").alias("plen"),
         )
     )
@@ -147,9 +151,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
-               # J <= min/max: unequal sizes can't reach tau
-               & (F.col("a.n_sh") * tau <= F.col("b.n_sh"))
-               & (F.col("b.n_sh") * tau <= F.col("a.n_sh")))
+               # J <= min/max: unequal sizes can't reach tau. The 1e-9
+               # slack keeps boundary pairs (J == tau) when the double
+               # product rounds up; verification filters exactly.
+               & (F.col("a.n_sh") * tau - 1e-9 <= F.col("b.n_sh"))
+               & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

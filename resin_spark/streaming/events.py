@@ -152,9 +152,22 @@ def props_json_oracle() -> str:
 
 def _event_stream(spark: SparkSession, events_parquet_dir: str):
     """readStream over an events parquet directory with the same ns→µs
-    timestamp handling as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet_dir).schema
+    timestamp handling as the batch loader.
+
+    nanosAsLong is an SQL conf (parquet exposes no per-reader option for
+    it), so it is set only around the one-off schema inference and then
+    restored — constructing a stream must not change how unrelated batch
+    reads in the same session interpret ns timestamp columns."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        schema = spark.read.parquet(events_parquet_dir).schema
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -144,7 +144,10 @@ def test_lexicon_angle_validates(spark):
     stored = [r["token"] for r in lex]
     m = H.token_vectors(stored, DIMS)
     unit = np.full(DIMS, 1.0 / np.sqrt(DIMS))
-    recomputed = m @ unit
+    # same key derivation as BuildLexicon (StringAnalyzer.cs:55-56):
+    # CosAngle(Analyze(vec, unit), unit) over the 10-component signature
+    sig = H.analyze_signatures(m, unit)
+    recomputed = sig.sum(axis=1) / np.sqrt(DIMS) / np.linalg.norm(sig, axis=1)
     present = np.isin(np.round(recomputed, 12), np.round(keys, 12))
     assert present.all()
     # inspector: uniform random angles should (almost) all be missing
