@@ -245,16 +245,19 @@ def probe_missing_angles(t: Tables, dims: int = 512, n_probes: int = 200,
     against distinct lexicon key buckets — both sides tiny aggregates at
     any corpus size.
     """
-    spark = t["documents"].sparkSession
+    return _probe_missing_from(t["documents"].sparkSession,
+                               lexicon_angle(t, dims), n_probes, precision)
+
+
+def _probe_missing_from(spark, lex: DataFrame, n_probes: int,
+                        precision: int) -> DataFrame:
     scale = 10 ** precision
     probes = spark.range(n_probes).select(
         (F.lit(-1.0) + 2.0 * F.col("id") / (n_probes - 1)).alias("probe_angle")
     ).withColumn("bucket", F.floor(F.col("probe_angle") * scale))
-    keys = (
-        lexicon_angle(t, dims)
-        .select(F.floor(F.col("angle_key") * scale).alias("bucket"))
-        .distinct()
-    )
+    keys = lex.select(
+        F.floor(F.col("angle_key") * scale).alias("bucket")
+    ).distinct()
     return (
         probes.join(keys, "bucket", "left_anti")
         .select(F.round("probe_angle", 9).alias("probe_angle"))
@@ -275,6 +278,7 @@ def lexicon_validate(t: Tables, dims: int = 512, n_probes: int = 200,
     grid angles have no key in their 10^-precision bucket. One row out;
     every stat is a plain aggregate — no global sort, no window.
     """
+    spark = t["documents"].sparkSession
     lex = lexicon_angle(t, dims)
     stats = lex.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -286,7 +290,10 @@ def lexicon_validate(t: Tables, dims: int = 512, n_probes: int = 200,
         (F.min("angle_key") >= -1.0).alias("keys_in_range_lo"),
         (F.max("angle_key") <= 1.0).alias("keys_in_range_hi"),
     )
-    missing = probe_missing_angles(t, dims, n_probes, precision).agg(
+    # share ONE lex frame between stats and probe so the two branches'
+    # subplans are identical and the lexicon exchange is reused, not
+    # recomputed (the embedding UDF is the expensive part)
+    missing = _probe_missing_from(spark, lex, n_probes, precision).agg(
         F.count(F.lit(1)).alias("n_missing_angles")
     ).withColumn("n_probes", F.lit(n_probes))
     return stats.crossJoin(missing)
