@@ -69,7 +69,8 @@ def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
         corpus_bytes_estimate, maybe_broadcast, BROADCAST_CEILING_BYTES,
     )
     if use_lsh is None:
-        est, _n, _d = corpus_bytes_estimate(emb)
+        est, _n, _d = corpus_bytes_estimate(
+            emb, ceiling_bytes=BROADCAST_CEILING_BYTES)
         use_lsh = est > BROADCAST_CEILING_BYTES
     if use_lsh:
         cand = _candidate_pairs_lsh(emb, dims, n_planes, n_tables).select(

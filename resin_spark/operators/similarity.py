@@ -71,18 +71,59 @@ def broadcast_unit_matrix(emb: DataFrame, id_col: str = "vec_id",
 BROADCAST_CEILING_BYTES = 2 << 30
 
 
+_STATS_CACHE: dict = {}
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Catalyst's sizeInBytes estimate for the optimized plan — pure
+    driver-side metadata (summed file sizes for a parquet scan), no job.
+    None when the accessor is unavailable OR the estimate is Catalyst's
+    cannot-estimate sentinel (spark.sql.defaultSizeInBytes, by default
+    Long.MaxValue — what RDD-backed frames report): a sentinel read as
+    a real size would route every createDataFrame corpus to the LSH
+    path regardless of its true size."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return size if 0 <= size < (1 << 60) else None
+
+
 def corpus_bytes_estimate(emb: DataFrame, id_col: str = "vec_id",
-                          vec_col: str = "embedding"):
+                          vec_col: str = "embedding",
+                          ceiling_bytes: int | None = None):
     """(est_bytes, n_rows, dims) of the corpus as a unit matrix.
 
-    count() resolves from parquet row-group statistics without scanning
-    the vector column, and dims is read from a single row — so the gate
-    itself stays cheap at 100 TB.
+    The gate itself must stay cheap at 100 TB, so it runs zero full
+    scans: if Catalyst's plan-statistics size (compressed on-disk
+    bytes, a strict lower bound on the float64 in-memory matrix)
+    already exceeds ``ceiling_bytes``, the answer is decided without
+    any count job and n_rows is a plane-sizing estimate derived from
+    the plan bytes. Only corpora under the ceiling pay an exact
+    count(), and results are memoized per (plan semanticHash, columns,
+    ceiling) so repeated candidate-generation calls in one session cost
+    nothing. dims always comes from a single-row probe.
     """
+    try:
+        key = (emb.semanticHash(), id_col, vec_col, ceiling_bytes)
+    except Exception:
+        key = None
+    if key is not None and key in _STATS_CACHE:
+        return _STATS_CACHE[key]
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     dims = int(first["d"]) if first and first["d"] is not None else 0
-    n = emb.count()
-    return n * (dims * 8 + 8), n, dims
+    plan_bytes = _plan_size_bytes(emb)
+    if (ceiling_bytes is not None and plan_bytes is not None
+            and dims > 0 and plan_bytes > ceiling_bytes):
+        out = (plan_bytes, max(1, plan_bytes // (dims * 8 + 8)), dims)
+    else:
+        n = emb.count()
+        out = (n * (dims * 8 + 8), n, dims)
+    if key is not None:
+        if len(_STATS_CACHE) > 256:
+            _STATS_CACHE.clear()
+        _STATS_CACHE[key] = out
+    return out
 
 
 def adaptive_planes(n_rows: int, target_bucket: int = 1024) -> int:
@@ -167,7 +208,7 @@ def cosine_topk_candidates_auto(emb: DataFrame, k: int,
     be broadcast in its own downstream joins. On the bucketed route the
     plane count is sized to the measured row count (adaptive_planes)
     unless the caller pins ``n_planes``."""
-    est, n, dims = corpus_bytes_estimate(emb, id_col, vec_col)
+    est, n, dims = corpus_bytes_estimate(emb, id_col, vec_col, ceiling_bytes)
     if est <= ceiling_bytes:
         bc = broadcast_unit_matrix(emb, id_col, vec_col)
         return cosine_topk_candidates(emb, bc, k, id_col, vec_col), True
@@ -184,7 +225,7 @@ def cosine_threshold_candidates_auto(emb: DataFrame, tau: float,
                                      n_tables: int = 6, probe_radius: int = 2):
     """Threshold-pair stage 1 with the same statistics-driven routing as
     cosine_topk_candidates_auto. Returns (candidates, fits)."""
-    est, n, dims = corpus_bytes_estimate(emb, id_col, vec_col)
+    est, n, dims = corpus_bytes_estimate(emb, id_col, vec_col, ceiling_bytes)
     if est <= ceiling_bytes:
         bc = broadcast_unit_matrix(emb, id_col, vec_col)
         return cosine_threshold_candidates(emb, bc, tau, id_col, vec_col), True
