@@ -1,0 +1,214 @@
+"""Command-line surface: the reference's Resin.WikipediaCommandLine
+re-expressed over the Spark operators.
+
+The reference ships four ICommand plugins resolved by name (PluginReader
+strips the "Command" suffix and lowercases — PluginReader.cs:40-47):
+
+  lexicon          LexiconCommand.cs        build the angle-keyed lexicon
+  validatelexicon  ValidateLexiconCommand.cs positive + synthetic-negative
+                                            validation and angle-gap probe
+  stringcompare    StringCompareCommand.cs  CompareToUnitVector of two strings
+  truncate         TruncateCommand.cs       empty a collection
+
+Argument syntax is ArgumentParser.cs parity: ``command --key value ...``,
+a ``--flag`` immediately followed by another ``--key`` parses as
+``"true"``, and a trailing valueless key parses as None. Unknown
+commands exit 0 after a notice, mirroring Program.cs:14/42 (null plugin,
+return 0).
+
+Sources: ``--source`` accepts a Wikipedia cirrussearch ``.json``/
+``.json.gz`` dump (the reference's only source) or a parquet file/dir
+with a ``text`` column (the native format here); detection is by
+extension. The lexicon store is a parquet directory ``<dir>/lexicon``
+ordered by angle_key — the Spark analog of the reference's angle-sorted
+KV pages (StringAnalyzer.cs:55-80).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resin_spark import io as rio
+from resin_spark.functions import hashing
+from resin_spark.functions import text as T
+from resin_spark.operators import synth
+from resin_spark.operators.textops import _probe_missing_from
+
+
+def parse_args(argv: list[str]) -> tuple[str, dict[str, str | None]]:
+    """(command, flags) with ArgumentParser.cs:6-24 semantics.
+
+    argv[0] is the command (defaulting to "validate" when empty —
+    Program.cs:11, which matches no plugin and is a notice-and-exit).
+    Pairs are consumed two at a time; a value starting with ``--`` means
+    the previous key was a bare flag and becomes ``"true"``.
+    """
+    command = argv[0].lower() if argv else "validate"
+    flags: dict[str, str | None] = {}
+    i = 1
+    while i < len(argv):
+        key = argv[i].replace("--", "")
+        value = argv[i + 1] if i + 1 < len(argv) else None
+        if value is not None and value.startswith("--"):
+            flags[key] = "true"
+            i += 1
+        else:
+            flags[key] = value
+            i += 2
+    return command, flags
+
+
+def _read_source(spark: SparkSession, source: str, field: str = "text",
+                 take: int | None = None) -> DataFrame:
+    """One ``text`` column from a cirrussearch dump or a parquet store."""
+    if ".json" in source:
+        df = rio.read_cirrussearch(spark, source, [field], take=take)
+        return df.select(F.col(field).alias("text"))
+    df = spark.read.parquet(source).select(F.col(field).alias("text"))
+    return df.limit(take) if take is not None else df
+
+
+def _lexicon_path(dir_: str) -> str:
+    return dir_.rstrip("/") + "/lexicon"
+
+
+def _build_lexicon_frame(docs: DataFrame, dims: int) -> DataFrame:
+    """Distinct tokens keyed by the reference's lexicon angle
+    (BuildLexicon, StringAnalyzer.cs:35-80): first-wins per key is
+    min(token), collisions counted, ordered by angle for the same write
+    locality the reference gets from its angle-sorted pages."""
+    ak = hashing.angle_key_udf(dims)
+    return (
+        docs.select(F.explode(T.split_words("text")).alias("token"))
+        .distinct()
+        .select("token", ak(F.col("token")).alias("angle_key"))
+        .groupBy("angle_key")
+        .agg(F.min("token").alias("token"),
+             F.count(F.lit(1)).alias("n_collisions"))
+        .orderBy("angle_key")
+    )
+
+
+def cmd_lexicon(flags: dict, spark: SparkSession, log=print) -> int:
+    """LexiconCommand.cs:15-60: optional truncate, read source, build
+    the lexicon, persist it."""
+    dir_ = flags["dir"]
+    take = int(flags["take"]) if flags.get("take") else None
+    dims = int(flags.get("dims") or 512)
+    if flags.get("truncate") == "true":
+        rio.truncate(spark, _lexicon_path(dir_))
+        log("truncate complete")
+    docs = _read_source(spark, flags["source"], flags.get("field") or "text",
+                        take)
+    lex = _build_lexicon_frame(docs, dims)
+    lex.write.mode("overwrite").parquet(_lexicon_path(dir_))
+    n = spark.read.parquet(_lexicon_path(dir_)).count()
+    log(f"lexicon build finished: {n} entries at {_lexicon_path(dir_)}")
+    return 0
+
+
+def cmd_validatelexicon(flags: dict, spark: SparkSession, log=print) -> int:
+    """ValidateLexiconCommand.cs:16-46: (1) positive validation — every
+    token of the source sample must be reachable through its angle key;
+    (2) LexiconInspector angle-gap probe; (3) synthetic negatives from
+    the TokenSynthesizer analog, which should NOT all be reachable."""
+    dims = int(flags.get("dims") or 512)
+    take = int(flags.get("take") or 100)
+    lex = spark.read.parquet(_lexicon_path(flags["dir"]))
+
+    docs = _read_source(spark, flags["source"], flags.get("field") or "text",
+                        take)
+    ak = hashing.angle_key_udf(dims)
+    keys = lex.select("angle_key").distinct()
+
+    def _unreachable(tokens: DataFrame) -> int:
+        return (
+            tokens.distinct()
+            .select(ak(F.col("token")).alias("angle_key"))
+            .join(keys, "angle_key", "left_anti")
+            .count()
+        )
+
+    missing_pos = _unreachable(
+        docs.select(F.explode(T.split_words("text")).alias("token")))
+    positive = missing_pos == 0
+    log(f"positive validation result: {positive} "
+        f"({missing_pos} unreachable tokens)")
+
+    n_sample = 32
+    missing = _probe_missing_from(spark, lex, n_sample, precision=2).count()
+    log(f"synthesized probe: sampled={n_sample}, missing={missing}")
+
+    synthetic = synth.synthesize_tokens(
+        spark, count=max(8, missing), dims=dims,
+        seed=int(flags.get("seed") or 12345),
+    ).select(F.col("token"))
+    missing_neg = _unreachable(synthetic)
+    negative = missing_neg == 0
+    log(f"synthetic negative validation result (should be false): "
+        f"{negative} ({missing_neg} unreachable of {max(8, missing)})")
+    return 0
+
+
+def cmd_stringcompare(flags: dict, spark: SparkSession, log=print) -> int:
+    """StringCompareCommand.cs:9-19: print CompareToUnitVector of both
+    strings. Runs through the same Arrow angle UDF as the lexicon so the
+    printed angles are exactly the stored key values."""
+    s1, s2 = flags["str1"], flags["str2"]
+    ak = hashing.angle_key_udf(int(flags.get("dims") or 512))
+    rows = (
+        spark.createDataFrame([(s1,), (s2,)], "token string")
+        .select("token", ak(F.col("token")).alias("angle"))
+        .collect()
+    )
+    angle = {r["token"]: r["angle"] for r in rows}
+    log(f"{s1}: {angle[s1]} and {s2}: {angle[s2]}")
+    return 0
+
+
+def cmd_truncate(flags: dict, spark: SparkSession, log=print) -> int:
+    """TruncateCommand.cs:9-15: empty a collection (managed table or
+    path-based store)."""
+    rio.truncate(spark, flags["collection"])
+    log(f"truncated {flags['collection']}")
+    return 0
+
+
+COMMANDS = {
+    "lexicon": cmd_lexicon,
+    "validatelexicon": cmd_validatelexicon,
+    "stringcompare": cmd_stringcompare,
+    "truncate": cmd_truncate,
+}
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None,
+         log=print) -> int:
+    """Program.cs:9-62: resolve the command, time it, always exit 0."""
+    argv = sys.argv[1:] if argv is None else argv
+    command, flags = parse_args(argv)
+    fn = COMMANDS.get(command)
+    if fn is None:
+        log(f"unknown command: {command}")
+        return 0
+    own_session = spark is None
+    if own_session:
+        from resin_spark.session import get_spark
+        spark = get_spark(f"resin-cli-{command}")
+    log(f"running command: {command}")
+    t0 = time.monotonic()
+    try:
+        rc = fn(flags, spark, log=log)
+    finally:
+        if own_session:
+            spark.stop()
+    log(f"finished in {time.monotonic() - t0:.3f}s")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

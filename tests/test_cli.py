@@ -1,0 +1,110 @@
+"""CLI surface tests: ArgumentParser parity (pure), then a full
+lexicon → validatelexicon → stringcompare → truncate round-trip mirroring
+the reference's command set (Resin.WikipediaCommandLine)."""
+
+import os
+
+import pytest
+
+from resin_spark import cli
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parse_args_pairs():
+    cmd, flags = cli.parse_args(
+        ["lexicon", "--dir", "/tmp/x", "--take", "100"])
+    assert cmd == "lexicon"
+    assert flags == {"dir": "/tmp/x", "take": "100"}
+
+
+def test_parse_args_bare_flag_before_pair():
+    # ArgumentParser.cs:13-17 — value starting with "--" means the
+    # previous key was a bare flag and becomes "true"
+    cmd, flags = cli.parse_args(
+        ["lexicon", "--truncate", "--take", "10"])
+    assert flags == {"truncate": "true", "take": "10"}
+
+
+def test_parse_args_trailing_valueless_key():
+    # ArgumentParser.cs:20 — last key with no value parses as null
+    _, flags = cli.parse_args(["lexicon", "--debug"])
+    assert flags == {"debug": None}
+
+
+def test_parse_args_empty_defaults_to_validate():
+    cmd, flags = cli.parse_args([])
+    assert cmd == "validate" and flags == {}
+
+
+def test_unknown_command_exits_zero(spark):
+    out = []
+    assert cli.main(["nosuchcmd"], spark=spark, log=out.append) == 0
+    assert any("unknown command" in line for line in out)
+
+
+@pytest.fixture(scope="module")
+def store_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli_store"))
+
+
+def test_cmd_lexicon_builds_store(spark, store_dir):
+    out = []
+    rc = cli.main(
+        ["lexicon", "--dir", store_dir,
+         "--source", os.path.join(SF_DIR, "documents.parquet"),
+         "--take", "50", "--truncate"],
+        spark=spark, log=out.append,
+    )
+    assert rc == 0
+    lex = spark.read.parquet(store_dir + "/lexicon")
+    assert lex.columns == ["angle_key", "token", "n_collisions"]
+    n = lex.count()
+    assert n > 0
+    # angle keys are the lexicon's primary key
+    assert lex.select("angle_key").distinct().count() == n
+
+
+def test_cmd_validatelexicon(spark, store_dir):
+    out = []
+    rc = cli.main(
+        ["validatelexicon", "--dir", store_dir,
+         "--source", os.path.join(SF_DIR, "documents.parquet"),
+         "--field", "text", "--take", "50"],
+        spark=spark, log=out.append,
+    )
+    assert rc == 0
+    text = "\n".join(out)
+    # every sampled token was stored, so positive validation holds
+    assert "positive validation result: True" in text
+    assert "synthesized probe: sampled=32" in text
+    # synthetic gibberish should not be fully reachable
+    assert "synthetic negative validation result (should be false): False" in text
+
+
+def test_cmd_stringcompare_matches_lexicon_keys(spark, store_dir):
+    out = []
+    rc = cli.main(
+        ["stringcompare", "--str1", "hello", "--str2", "world"],
+        spark=spark, log=out.append,
+    )
+    assert rc == 0
+    line = [l for l in out if "hello" in l and "world" in l][0]
+    # printed angles are the exact angle_key_udf values
+    from pyspark.sql import functions as F
+    from resin_spark.functions import hashing
+    ak = hashing.angle_key_udf(512)
+    exp = {
+        r["token"]: r["angle"]
+        for r in spark.createDataFrame([("hello",), ("world",)], "token string")
+        .select("token", ak(F.col("token")).alias("angle")).collect()
+    }
+    assert f"hello: {exp['hello']} and world: {exp['world']}" == line
+
+
+def test_cmd_truncate_removes_store(spark, store_dir):
+    assert cli.main(
+        ["truncate", "--collection", store_dir + "/lexicon"],
+        spark=spark, log=lambda *_: None,
+    ) == 0
+    assert not os.path.exists(store_dir + "/lexicon")
