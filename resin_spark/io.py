@@ -55,12 +55,30 @@ class LazyTables(dict):
     # table costs more than it saves.
     _FANOUT = frozenset({"documents", "embeddings"})
 
+    # (sf_dir, name) -> (schema, natural_split_count | None), shared
+    # across LazyTables instances: schema inference re-reads parquet
+    # footers on every spark.read.parquet call, and the fan-out probe
+    # converts the plan to an RDD just to count splits — both answers
+    # are stable per stored table, so a session that runs many queries
+    # (the bench, the correctness driver) pays them once, not per query.
+    # At cluster scale this is the difference between one object-store
+    # footer round-trip and one per query.
+    _META: dict = {}
+
     def _load(self, name: str) -> DataFrame:
-        df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+        path = f"{self._sf_dir}/{name}.parquet"
+        meta = self._META.get((self._sf_dir, name))
+        if meta is not None:
+            df = self._spark.read.schema(meta[0]).parquet(path)
+            raw_schema = meta[0]
+        else:
+            df = self._spark.read.parquet(path)
+            raw_schema = df.schema
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # ns→µs integer division: the same truncation DuckDB applies,
             # so timestamp semantics agree across engines.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        nparts = meta[1] if meta is not None else None
         if name in self._FANOUT:
             # A single small parquet file scans as ONE partition, which
             # serialises every downstream operator onto one core. When the
@@ -69,8 +87,14 @@ class LazyTables(dict):
             # scan already yields >= defaultParallelism splits and this is
             # a no-op (no shuffle added).
             target = self._spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < min(target, 32):
+            if nparts is None:
+                nparts = df.rdd.getNumPartitions()
+            if nparts < min(target, 32):
                 df = df.repartition(min(target, 32))
+        if meta is None:
+            if len(self._META) > 4096:
+                self._META.clear()
+            self._META[(self._sf_dir, name)] = (raw_schema, nparts)
         return df
 
     def __getitem__(self, name: str) -> DataFrame:
