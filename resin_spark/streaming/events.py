@@ -173,8 +173,15 @@ def _event_stream(spark: SparkSession, events_parquet_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(events_parquet_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local tz); an NTZ→LTZ cast
+        # interprets the wall-clock in the session timezone — the same
+        # interpretation unix_timestamp() applies to NTZ on the batch
+        # side, so stream and batch epoch values agree.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
