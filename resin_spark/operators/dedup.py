@@ -257,11 +257,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
     # of 8-byte longs — strings never survive past the first projection,
     # and jaccard on hashed sets is collision-free at any realistic
     # vocabulary (p < 1e-10 at 10^9 shingles).
+    # The plan references `grouped` three ways (signature input + both
+    # verification sides) and the banded self-join references the
+    # signature frame twice; without materialisation Catalyst compiles
+    # FOUR independent scan→shingle→groupBy subtrees and runs the
+    # minhash UDF twice (measured: 4 parquet scans in the formatted
+    # plan, ~1s extra at sf0.1). localCheckpoint each frame once —
+    # executor-resident, lineage-truncated, the same trade the dedup
+    # loops and PPJoin index already make: one corpus-sized
+    # materialisation beats recomputing tokenise+shingle+hash per
+    # reference, on local[32] and on 1000 executors alike.
     grouped = shingles(docs, n).groupBy("doc_id").agg(
         F.collect_list(F.xxhash64("shingle")).alias("hashes"),
-    )
+    ).localCheckpoint(eager=False)
     sig = _minhash_udf(num_perm, seed)
-    sigs = grouped.select("doc_id", sig("hashes").alias("sig"))
+    sigs = grouped.select(
+        "doc_id", sig("hashes").alias("sig")
+    ).localCheckpoint(eager=False)
     r = num_perm // bands
     bands_df = sigs.select(
         "doc_id",
