@@ -112,12 +112,33 @@ def session_overlap(t: Tables) -> DataFrame:
     candidate density; at 100 TB pick ~p95 session length. The oracle
     runs the quadratic inequality join directly.
     """
-    sess = _sessions(t["events"])
+    # sess feeds both self-join sides and the final left join; checkpoint
+    # so the sessionisation window runs once, not three times.
+    sess = _sessions(t["events"]).localCheckpoint(eager=False)
+    # Result is invariant to bucket width — only fan-out vs candidate
+    # density changes — so pick it from the data instead of a constant:
+    # W = max(1h, p95 session length) keeps >=95% of sessions in <=2
+    # buckets whatever the workload's interval lengths (the fixed-width
+    # degenerate case was a year-long interval exploding into 8760
+    # hourly buckets). percentile_approx is one partial-agg pass over
+    # the checkpointed session frame, resolved driver-side as a single
+    # scalar (same class as the dedup convergence probe) so the pair
+    # join stays a pure equi-join — joining the width in as a 1-row
+    # broadcast compiles to BroadcastNestedLoopJoin and muddies the
+    # plan the quadratic-join assertion guards. The probe also warms
+    # the sess checkpoint the main job then reuses.
+    row = sess.agg(
+        F.greatest(
+            F.lit(_BUCKET_S),
+            F.expr("percentile_approx(s_end - s_start, 0.95)").cast("long"),
+        ).alias("w_bucket")
+    ).first()
+    w_bucket = int(row["w_bucket"]) if row and row["w_bucket"] is not None else _BUCKET_S
     buckets = sess.withColumn(
         "bucket",
         F.explode(F.sequence(
-            (F.col("s_start") / _BUCKET_S).cast("long"),
-            (F.col("s_end") / _BUCKET_S).cast("long"),
+            (F.col("s_start") / w_bucket).cast("long"),
+            (F.col("s_end") / w_bucket).cast("long"),
         )),
     )
     a, b = buckets.alias("a"), buckets.alias("b")

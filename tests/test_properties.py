@@ -168,3 +168,48 @@ def test_retention_matches_bruteforce(spark, rows):
             key = (c, d - c)
             want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_session_overlap_long_sessions_adaptive_width(spark):
+    """Degenerate interval lengths: user 1 holds one multi-day session
+    (events every 20 min for 50 h), users 2/3 have short sessions inside
+    and outside it. The adaptive bucket width (p95 session length) keeps
+    the explode fan-out bounded — the old fixed 1h grid would emit 50
+    bucket rows for the long session — while the result stays exactly
+    the brute-force pairwise overlap count, re-derived here with the
+    same 30-min-gap sessionisation in plain Python."""
+    from resin_spark.operators import timeseries
+
+    rows = []
+    # user 1: one session spanning 50 hours (20-min cadence < 30-min gap)
+    rows += [(1, s, "click") for s in range(0, 50 * 3600 + 1, 1200)]
+    # user 2: short session inside the long one, and one far outside
+    rows += [(2, 10 * 3600 + s, "click") for s in (0, 600)]
+    rows += [(2, 400 * 3600 + s, "click") for s in (0, 600)]
+    # user 3: short session overlapping nothing
+    rows += [(3, 200 * 3600 + s, "click") for s in (0, 300)]
+    got = {(r["user_id"], r["session_start"]): r["n_concurrent"]
+           for r in timeseries.session_overlap(_ev_frame(spark, rows)).collect()}
+
+    # brute force: sessionise (gap > 30 min) then count overlapping
+    # sessions of OTHER users (closed intervals)
+    base = 1704067200
+    by_user: dict = {}
+    for (u, s, _t) in rows:
+        by_user.setdefault(u, []).append(s)
+    sess = []
+    for u, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        for s in ts[1:]:
+            if s - prev > 30 * 60:
+                sess.append((u, start, prev))
+                start = s
+            prev = s
+        sess.append((u, start, prev))
+    want = {}
+    for (u, s0, e0) in sess:
+        n = sum(1 for (v, s1, e1) in sess
+                if v != u and s0 <= e1 and s1 <= e0)
+        want[(u, base + s0)] = n
+    assert got == want
