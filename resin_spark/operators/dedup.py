@@ -242,6 +242,67 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 128,
     return hashed.select("doc_id", sig("hashes").alias("sig"))
 
 
+def shingle_hashes_from_tokens(tk_col: str, n: int = 3):
+    """Row-local array<long> of distinct hashed word-n-gram shingles —
+    the per-row twin of ``shingles() → groupBy → collect_list(xxhash64)``
+    (same tokens, same grams, same hash, so signatures and Jaccard sets
+    agree bit-for-bit with the batch index). Aggregation-free, which is
+    what lets a *streaming* frame compute its shingle set without a
+    watermarked groupBy. Docs with fewer than n tokens yield an empty
+    array (the batch path drops them at the explode)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk_col) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk_col, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(
+        F.size(F.col(tk_col)) >= n,
+        F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s)),
+    ).otherwise(F.lit(None).cast("array<long>"))
+
+
+def _band_hash_array(sig_col: str, num_perm: int, bands: int):
+    """array<long> of per-band hashes over a minhash signature column:
+    band i = xxhash64 of its r = num_perm/bands signature slots joined
+    as text. One expression, identical on the batch self-join side and
+    the streaming query side, so band buckets agree across both."""
+    r = num_perm // bands
+    return F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at(sig_col, i * r + j + 1) for j in range(r)
+        ]))
+        for i in range(bands)
+    ])
+
+
+def lsh_index(docs: DataFrame, n: int = 3, num_perm: int = 128,
+              bands: int = 32, seed: int = 42):
+    """(hashes_frame, bands_frame) — the reusable minhash-LSH index.
+
+    hashes_frame: (doc_id, hashes array<long>) distinct hashed shingles
+    per doc (signature input AND exact-verification set). bands_frame:
+    (doc_id, band, band_hash). Both localCheckpoint'ed: every consumer
+    (the batch self-join references them three ways; a stream-static
+    join re-evaluates the static side per micro-batch) reads the
+    materialised RDD instead of recompiling scan→shingle→groupBy —
+    measured 4 independent parquet scans in the un-checkpointed plan.
+    """
+    grouped = shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
+    ).localCheckpoint(eager=False)
+    sig = _minhash_udf(num_perm, seed)
+    sigs = grouped.select(
+        "doc_id", sig("hashes").alias("sig")
+    ).localCheckpoint(eager=False)
+    bands_df = sigs.select(
+        "doc_id",
+        F.posexplode(_band_hash_array("sig", num_perm, bands))
+        .alias("band", "band_hash"),
+    )
+    return grouped, bands_df
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
                       bands: int = 32, tau: float = 0.5,
                       seed: int = 42) -> DataFrame:
@@ -267,23 +328,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 128,
     # loops and PPJoin index already make: one corpus-sized
     # materialisation beats recomputing tokenise+shingle+hash per
     # reference, on local[32] and on 1000 executors alike.
-    grouped = shingles(docs, n).groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
-    ).localCheckpoint(eager=False)
-    sig = _minhash_udf(num_perm, seed)
-    sigs = grouped.select(
-        "doc_id", sig("hashes").alias("sig")
-    ).localCheckpoint(eager=False)
-    r = num_perm // bands
-    bands_df = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * r + j + 1) for j in range(r)]))
-                for i in range(bands)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    grouped, bands_df = lsh_index(docs, n, num_perm, bands, seed)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     candidates = (

@@ -301,3 +301,73 @@ def stream_dedup_exact(spark: SparkSession, docs_parquet_dir: str):
         .dropDuplicates(["content_hash"])
         .select("doc_id", "content_hash")
     )
+
+
+def stream_near_dedup(spark: SparkSession, docs_parquet_dir: str,
+                      index_docs, n: int = 3, num_perm: int = 128,
+                      bands: int = 32, tau: float = 0.5, seed: int = 42):
+    """Streaming NEAR-duplicate detection: documents arrive as a file
+    stream and each is checked against a static minhash-LSH index of the
+    already-ingested corpus — the ingestion-time twin of the batch
+    ``minhash_lsh_pairs`` (D3), sharing its index (``dedup.lsh_index``),
+    its banding expression, and its exact-Jaccard verification, so a
+    pair flagged here is exactly a pair the batch job would flag.
+
+    Shape: the stream side computes its shingle-hash set PER ROW
+    (``shingle_hashes_from_tokens`` — no groupBy, so no watermark
+    gymnastics), minhashes it with the same Arrow UDF, explodes its band
+    hashes, and stream-static joins the corpus band table on
+    (band, band_hash). Candidates that share a band are verified with
+    exact Jaccard over the hashed shingle sets; ``dropDuplicates`` on
+    (doc_id, dup_of) collapses pairs that collide in several bands
+    (stateful, unbounded by design — an ingestion ledger; bounded
+    deploys add a watermark). The static side is localCheckpoint'ed
+    once, so per-micro-batch re-evaluation reads a materialised RDD
+    instead of re-shingling the corpus.
+
+    Output (append mode): (doc_id, dup_of, jaccard) — every stream doc
+    paired with each corpus doc whose verified Jaccard ≥ tau.
+    """
+    from resin_spark.functions import text as T
+    from resin_spark.operators import dedup as D
+
+    idx_hashes, idx_bands = D.lsh_index(index_docs, n, num_perm, bands, seed)
+    idx_bands = idx_bands.select(
+        F.col("doc_id").alias("dup_of"), "band", "band_hash"
+    ).localCheckpoint(eager=False)
+    idx_hashes = idx_hashes.select(
+        F.col("doc_id").alias("dup_of"), F.col("hashes").alias("dup_hashes")
+    )
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    sig = D._minhash_udf(num_perm, seed)
+    docs = (
+        stream.select("doc_id", T.tokens("text").alias("tk"))
+        .select("doc_id", D.shingle_hashes_from_tokens("tk", n).alias("hashes"))
+        .filter(F.col("hashes").isNotNull())
+        .withColumn("sig", sig("hashes"))
+    )
+    banded = docs.select(
+        "doc_id", "hashes",
+        F.posexplode(D._band_hash_array("sig", num_perm, bands))
+        .alias("band", "band_hash"),
+    )
+    return (
+        banded.join(idx_bands, ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of", "hashes")
+        .join(idx_hashes, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("hashes", "dup_hashes"))
+            / F.size(F.array_union("hashes", "dup_hashes")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_id", "dup_of", "jaccard")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )

@@ -297,3 +297,44 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     # and hashes are globally unique across everything emitted
     hashes = [r["content_hash"] for r in rows]
     assert len(hashes) == len(set(hashes))
+
+
+def test_stream_near_dedup_matches_batch_lsh(spark, tmp_path):
+    """Streaming near-dup against a static LSH index must flag exactly
+    the pairs the batch minhash_lsh_pairs job flags (same index, same
+    banding, same exact-Jaccard verification): the corpus streams in as
+    two files against an index of the full corpus, so every batch pair
+    (a,b) must surface — as (a,b) when a streams, (b,a) when b streams —
+    with identical jaccard values."""
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text")
+    from resin_spark.operators import dedup as D
+
+    batch = {frozenset((r["doc_a"], r["doc_b"])): r["jaccard"]
+             for r in D.minhash_lsh_pairs(docs).collect()}
+    assert batch  # meaningless test on a pair-free corpus
+
+    flat = tmp_path / "nd_stream"
+    flat.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(tmp_path / "nb1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(tmp_path / "nb2"))
+    import glob, shutil as sh
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "nb*" / "*.parquet")))):
+        sh.copy(f, flat / f"part-{i:04d}.parquet")
+
+    q = (
+        ev.stream_near_dedup(spark, str(flat), docs)
+        .writeStream.format("memory")
+        .queryName("near_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM near_dedup_stream").collect()
+    got = {}
+    for r in rows:
+        got[frozenset((r["doc_id"], r["dup_of"]))] = r["jaccard"]
+    assert set(got) == set(batch)
+    for k, j in got.items():
+        assert abs(j - batch[k]) < 1e-12, k
