@@ -338,3 +338,46 @@ def test_stream_near_dedup_matches_batch_lsh(spark, tmp_path):
     assert set(got) == set(batch)
     for k, j in got.items():
         assert abs(j - batch[k]) < 1e-12, k
+
+
+def test_stream_ann_topk_matches_batch_lsh(spark, tmp_path):
+    """Streaming ANN must resolve each micro-batch of query vectors to
+    exactly the batch lsh_topk result (same index seeds, same probes,
+    same tie-break): 20 query vectors stream in two files against the
+    full embeddings corpus."""
+    from resin_spark.streaming import vectors as sv
+    from resin_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    want = {}
+    for r in S.lsh_topk(emb, queries).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"]))
+    assert want
+
+    qdir = tmp_path / "q_stream"
+    qdir.mkdir()
+    emb.filter(F.col("vec_id") < 10).coalesce(1).write.parquet(str(tmp_path / "qa"))
+    emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)) \
+        .coalesce(1).write.parquet(str(tmp_path / "qb"))
+    import glob, shutil as sh
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "q*" / "*.parquet")))):
+        sh.copy(f, qdir / f"part-{i:04d}.parquet")
+
+    q = (
+        sv.stream_ann_topk(spark, str(qdir), emb)
+        .writeStream.format("memory")
+        .queryName("ann_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM ann_stream").collect():
+        got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
+                              for n in r["neighbors"]]
+    assert got == want
