@@ -86,29 +86,35 @@ def lexicon_build(t: Tables) -> DataFrame:
     Scalable global rank without a single-partition window: tokens are
     [a-z0-9]+, so the first character is a prefix of the sort order and
     buckets the vocabulary into ≤36 contiguous lexicographic ranges. Pass
-    one counts per bucket (tiny collect → prefix-sum offsets); pass two
-    ranks within each bucket in parallel and adds the bucket offset.
+    one counts per bucket (alphabet-sized frame → in-plan prefix-sum
+    offsets); pass two ranks within each bucket in parallel and adds the
+    bucket offset.
     Output is identical to ``ROW_NUMBER() OVER (ORDER BY token) - 1`` but
     every window partition is distributed. At billions of tokens widen to
     a 2-char prefix (1296 buckets) — same shape.
     """
+    # Checkpointed: the offsets branch and the ranking branch both read
+    # the vocabulary; un-materialised, Catalyst compiles two independent
+    # corpus scans + explode + distinct (no exchange reuse across the
+    # branches — verified in the executed plan).
     toks = (
         t["documents"]
         .select(F.explode(T.tokens("text")).alias("token"))
         .distinct()
         .withColumn("bucket", F.substring("token", 1, 1))
+        .localCheckpoint(eager=False)
     )
-    counts = (
+    # bucket offsets = exclusive prefix sum over the per-bucket counts.
+    # The count frame is alphabet-bounded (≤36 rows here, ≤ distinct
+    # first codepoints ever), so the unpartitioned window runs on a
+    # frame whose size does NOT grow with the corpus — in-plan, no
+    # driver collect/createDataFrame round-trip.
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
         toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bucket")
-        .collect()
+        .select("bucket",
+                F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"))
     )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["bucket"], acc))
-        acc += r["n"]
-    spark = t["documents"].sparkSession
-    off = spark.createDataFrame(offsets or [("", 0)], "bucket string, offset long")
     w = Window.partitionBy("bucket").orderBy("token")
     return (
         toks.join(F.broadcast(off), "bucket")
