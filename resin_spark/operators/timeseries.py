@@ -318,34 +318,51 @@ def funnel(t: Tables, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
     min per user: the earliest step-k event after the user's layer-k-1
     timestamp.
 
-    Scale: |steps| chained aggregates, all keyed on user_id — the first
-    shuffle establishes the partitioning and every later join/agg reuses
-    it. No self-join explosion, no per-user event list in memory; output
-    is |steps| rows.
+    Scale: ONE scan of events, filtered to the step types (an isin
+    predicate the parquet scan can push), one shuffle on user_id
+    pivoting each user's per-step timestamp list, then the sequential
+    logic runs as higher-order array expressions on the aggregated
+    frame — t_k = array_min(filter(step_k_ts, x -> x > t_{k-1})), null
+    short-circuiting each later step. The previous chained-aggregate
+    formulation compiled |steps|·(|steps|+1)/2 independent UNfiltered
+    scans of events (layer k's plan re-contains every lower layer; the
+    step filter sat inside a conditional aggregate no scan could push).
+    Cost: per-user per-step timestamp lists during the aggregate —
+    bounded by a user's own funnel-step events, the usual trade for
+    single-pass funnels.
     """
-    ev = t["events"].select("user_id", "ts", "event_type")
-    layer = None
-    layers = []
+    ev = (
+        t["events"].select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(list(steps)))
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(steps))
+        .agg(F.collect_list("ts"))
+    )
     for i, s in enumerate(steps):
+        arr = F.col(f"`{s}`")
         if i == 0:
-            cond = F.col("event_type") == s
-            src = ev
+            tcol = F.array_min(arr)
         else:
-            cond = (F.col("event_type") == s) & (F.col("ts") > F.col(f"t{i-1}"))
-            src = ev.join(layer, "user_id")
-        layer = (
-            src.groupBy("user_id")
-            .agg(F.min(F.when(cond, F.col("ts"))).alias(f"t{i}"))
-            .filter(F.col(f"t{i}").isNotNull())
-        )
-        layers.append(layer)
-    spark = ev.sparkSession
-    out = None
-    for i, (s, l) in enumerate(zip(steps, layers)):
-        row = l.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).alias("step"), F.lit(s).alias("event_type"), "n_users")
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("step")
+            prev = F.col(f"t{i-1}")
+            tcol = F.array_min(F.filter(arr, lambda x: x > prev))
+        per_user = per_user.withColumn(f"t{i}", tcol)
+    cnts = per_user.agg(*[
+        F.count(F.col(f"t{i}")).alias(f"c{i}") for i in range(len(steps))
+    ])
+    return (
+        cnts.select(F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ])).alias("r"))
+        .select("r.*")
+        .orderBy("step")
+    )
 
 
 def funnel_oracle(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
