@@ -251,7 +251,10 @@ def _mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.feature_extract(load_tables(spark, sf_dir))
+    # flat form: the driver's pandas canonicaliser cannot sort array
+    # cells (round-2 sentence_vectors failure); the array-column
+    # operator stays the library API
+    return multimodal.feature_extract_flat(load_tables(spark, sf_dir))
 
 
 # --- block G: events ----------------------------------------------------------
@@ -455,5 +458,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_binary_meta": multimodal.binary_meta_oracle(),
         "mm_frame_sample": multimodal.frame_sample_oracle(),
         "mm_resize_plan": multimodal.resize_plan_oracle(),
-        "mm_feature_extract": multimodal.feature_extract_oracle(),
+        "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
     }

@@ -193,6 +193,33 @@ def feature_extract_oracle() -> str:
     """
 
 
+def feature_extract_flat(t: Tables) -> DataFrame:
+    """Driver-facing flat form of :func:`feature_extract`: one
+    (doc_id, feat_idx, feature) row per vector slot. The array column
+    is the right API for the E-block consumers, but the correctness
+    driver canonicalises results through a pandas sort that dies on
+    array cells (the round-2 sentence_vectors failure) — scalar rows
+    hash cleanly on both engines. feat_idx is cast long to match
+    DuckDB's range() output type. Feature values are dyadic rationals
+    (x/2^16), so float64 bits agree bit-exactly across engines."""
+    return (
+        feature_extract(t)
+        .select("doc_id", F.posexplode("features").alias("feat_idx", "feature"))
+        .select("doc_id", F.col("feat_idx").cast("long").alias("feat_idx"),
+                "feature")
+        .orderBy("doc_id", "feat_idx")
+    )
+
+
+def feature_extract_flat_oracle() -> str:
+    feat = _hex_to_int_sql("substr(md5(text), CAST(i * 4 + 1 AS INT), 4)")
+    return f"""
+    SELECT doc_id, i AS feat_idx, {feat} / 65536.0 AS feature
+    FROM documents, range(0, {N_FEATURES}) AS r(i)
+    ORDER BY doc_id, feat_idx
+    """
+
+
 MAX_FRAMES = 8
 FRAME_SPACING = 256
 FRAME_LEN = 64
