@@ -381,3 +381,42 @@ def test_stream_ann_topk_matches_batch_lsh(spark, tmp_path):
         got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
                               for n in r["neighbors"]]
     assert got == want
+
+
+def test_shingle_hashes_per_row_matches_batch_on_edge_docs(spark):
+    """The per-row shingle-hash expression (stream path) must produce
+    exactly the batch shingles()->groupBy hash set for every document,
+    including the edges: empty text, fewer tokens than n (null array ==
+    dropped by batch explode), and texts whose grams repeat."""
+    from resin_spark.operators import dedup as D
+    from resin_spark.functions import text as T
+
+    rows = [
+        (0, ""),
+        (1, "one two"),                      # < n tokens
+        (2, "a b c"),                        # exactly n
+        (3, "a b c a b c a b c"),            # repeated grams collapse
+        (4, "The quick brown fox jumps over the lazy dog"),
+        (5, "x " * 50),                      # one distinct gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: frozenset(r["hs"])
+        for r in D.shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.xxhash64("shingle")).alias("hs"))
+        .collect()
+    }
+    per_row = {
+        r["doc_id"]: (frozenset(r["h"]) if r["h"] is not None else None)
+        for r in docs.select(
+            "doc_id",
+            F.col("text").alias("t"),
+        ).select(
+            "doc_id", T.tokens("t").alias("tk")
+        ).select(
+            "doc_id", D.shingle_hashes_from_tokens("tk", 3).alias("h")
+        ).collect()
+    }
+    for i, _ in rows:
+        assert per_row.get(i) == batch.get(i), (i, per_row.get(i), batch.get(i))
