@@ -27,24 +27,28 @@ from resin_spark.operators.similarity import IDENTICAL_ANGLE
 
 def _candidate_pairs_lsh(emb: DataFrame, dims: int, n_planes: int,
                          n_tables: int) -> DataFrame:
-    """Distinct (i < j) candidate pairs sharing an LSH bucket in ≥1 table.
+    """Distinct (i < j) candidate pairs sharing an LSH bucket in ≥1 table,
+    with the embeddings equi-joined back AFTER the pair dedup.
 
-    All tables' buckets come from one Arrow pass (see
-    similarity.hyperplane_buckets_udf); the self-join key is
-    (table, bucket)."""
-    from resin_spark.operators.similarity import hyperplane_buckets_udf
-    h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0=101)
-    b = emb.select(F.col("vec_id"), F.col("embedding"),
-                   F.posexplode(h(F.col("embedding"))).alias("tbl", "bucket"))
-    a_side = b.select(F.col("vec_id").alias("id_a"),
-                      F.col("embedding").alias("emb_a"), "tbl", "bucket")
-    b_side = b.select(F.col("vec_id").alias("id_b"),
-                      F.col("embedding").alias("emb_b"), "tbl", "bucket")
+    Shuffle-width discipline (the round-3 flaw): the (tbl, bucket)
+    self-join and the pair dropDuplicates exchange move 16-byte id pairs
+    only — carrying the two 64-dim float arrays (~1 KB/row) through
+    those ×n_tables-inflated exchanges would widen the heaviest shuffle
+    ~60×. The embeddings rejoin is two plain equi-joins on the id after
+    the candidate set has collapsed to its distinct pairs (the shape
+    similarity.self_threshold_candidates_lsh establishes)."""
+    from resin_spark.operators.similarity import self_threshold_candidates_lsh
+    pairs = self_threshold_candidates_lsh(
+        emb, dims, n_planes=n_planes, n_tables=n_tables, probe_radius=0)
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
     return (
-        a_side.join(b_side, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"))
+        .join(ea.withColumnRenamed("vec_a", "id_a"), "id_a")
+        .join(eb.withColumnRenamed("vec_b", "id_b"), "id_b")
         .select("id_a", "id_b", "emb_a", "emb_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

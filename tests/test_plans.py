@@ -59,6 +59,28 @@ def test_no_quadratic_join_shapes(spark, build):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_graph_lsh_candidates_shuffle_ids_only(spark):
+    """The LSH candidate path's pair-dedup exchange must move 16-byte id
+    pairs, never the ~1 KB embedding arrays (the round-3 shuffle-width
+    flaw): embeddings re-join by id only AFTER the candidate set has
+    collapsed to distinct pairs."""
+    emb = load_tables(spark, SF)["embeddings"]
+    cand = graph._candidate_pairs_lsh(emb, 64, 8, 6)
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    import re
+    hash_exchanges = [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", plan)
+        if "hashpartitioning" in m.group(0)
+    ]
+    assert hash_exchanges, plan[:2000]  # the pair dedup must exist
+    for block in hash_exchanges:
+        input_line = next(ln for ln in block.splitlines() if "Input" in ln)
+        assert "emb" not in input_line, block
+
+
 def test_lexicon_build_has_no_global_window(spark):
     """The token rank is computed per first-char bucket + offset — the
     per-token row_number window (the round-1 scale-killer when global)
