@@ -204,15 +204,32 @@ def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (seeded hyperplanes) → rows-only check."""
+    """Oracle-checked against the exact brute-force top-k SQL (the same
+    promotion dedup_minhash_lsh got in round 3): candidates are always
+    rescored with the exact JVM cosine, and at this operating point
+    (6 planes, 8 tables, Hamming-2 multi-probe) bucketed recall is
+    measured complete at sf0.001/0.01/0.1, so the output equals
+    brute_topk row-for-row. A recall miss would surface as a red hash
+    row — which is the point. The plan stays the bucketed (tbl, bucket)
+    equi-join scale shape; pytest pins the recall floor at the leaner
+    general-purpose defaults (tests/test_ann.py)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return similarity.lsh_topk(emb, _query_vectors(emb))
+    return similarity.lsh_topk(emb, _query_vectors(emb),
+                               n_planes=6, n_tables=8, probe_radius=2)
 
 
 def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (k-means cells, seeded) → rows-only check."""
+    """Oracle-checked at the complete-probe operating point
+    (n_probe = n_cells): every cell is probed, so candidates provably
+    cover the corpus and the exact-rescored output equals brute_topk —
+    the hash row verifies the whole IVF machinery (k-means training,
+    cell assignment, probe explode, scoring, top-k window). Pruned-probe
+    recall on clustered data is pinned in tests/test_ann.py; these
+    synthetic near-uniform vectors spread true neighbors evenly across
+    cells, so no partial probe budget can be measured-complete here."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return similarity.ann_topk_ivf(emb, _query_vectors(emb))
+    return similarity.ann_topk_ivf(emb, _query_vectors(emb),
+                                   n_cells=64, n_probe=64)
 
 
 def _vector_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +251,21 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.closest_match(emb, _query_vectors(emb))
+
+
+def _synthesize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenSynthesizer analog (synth.py; TokenSynthesizer.cs:1-81).
+    Procedural seeded rng + FNV hashing — not SQL-expressible →
+    rows-only check. Array columns are flattened to comma-joined
+    strings for the driver's pandas canonicaliser (the r2
+    sentence_vectors lesson)."""
+    from resin_spark.operators import synth
+    return synth.synthesize_tokens(spark).select(
+        "label_id", "token",
+        F.concat_ws(",", "target_dims").alias("target_dims"),
+        F.concat_ws(",", "hit_dims").alias("hit_dims"),
+        "n_hits",
+    )
 
 
 # --- block F: multimodal ------------------------------------------------------
@@ -273,80 +305,84 @@ def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Query]:
     # Dict order is the driver's check order, and the driver verifies a
-    # bounded prefix (round 2 covered exactly the first 50 entries).
-    # Ordering contract: entries that have never had a correctness row
-    # come FIRST; the tail holds (a) rows-only entries whose driver row
-    # carries no hash either way and (b) entries already hash-verified
-    # green in a prior round (CORRECTNESS_r02.json).
+    # bounded prefix (50 entries in rounds 2-3). Ordering contract:
+    # entries whose status is stalest come FIRST — (a) r2-green entries
+    # whose modules were edited after their last driver check, (b) newly
+    # promoted/registered entries, (c) rows-only entries that have never
+    # had a driver row, (d) r3-green entries in modules edited this
+    # round. The tail (past position 50) holds only r3-hash-green
+    # entries whose modules are untouched in round 4
+    # (CORRECTNESS_r03.json keeps their standing).
     return {
-        # -- never driver-verified before round 3: E-block tail + F-block
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
-        "vector_analyze": _vector_analyze,
-        "knn_classify": _knn_classify,
-        "graph_dedup": _graph_dedup,
-        "label_centroids": _label_centroids,
-        "closest_match": _closest_match,
-        "mm_binary_meta": _mm_binary_meta,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_resize_plan": _mm_resize_plan,
-        "mm_feature_extract": _mm_feature_extract,
-        # -- red in round 2 (HUGEINT / array canonicalization), fixed since
-        "events_sessionize": _events_sessionize,
-        "events_props_json": _events_props,
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
-        "pipeline_curate": _mk_text(textops.pipeline_curate),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
-        "domain_mix": _mk_text(pipeline.domain_mix),
-        # -- newly oracle-backed (was rows-only in round 2)
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        # -- green in round 2, oracle-backed
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier": _q5,
-        "topk_per_group": _topk,
-        "kv_get_many": _kv_get_many,
-        "kv_paginate": _kv_paginate,
-        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "lexicon_build": _mk_text(textops.lexicon_build),
-        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        "contamination_check": _mk_text(pipeline.contamination_check),
-        "quality_repetition": _mk_text(pipeline.quality_repetition),
-        "pii_redact": _mk_text(pipeline.pii_redact),
-        "events_asof_join": _mk_text(timeseries.asof_join),
-        "session_overlap": _mk_text(timeseries.session_overlap),
-        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
-        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
-        "events_funnel": _mk_text(timeseries.funnel),
-        "events_retention": _mk_text(timeseries.retention),
-        "kmv_distinct": _mk_text(sketch.kmv_distinct),
-        "price_quantiles": _mk_text(sketch.price_quantiles),
-        "split_words_stats": _mk_text(textops.split_words_stats),
-        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
-        "text_quality_score": _mk_text(textops.quality_score),
-        "lang_id_heuristic": _mk_text(textops.lang_id),
-        "doc_fingerprint": _mk_text(textops.fingerprint),
-        "unicode_range": _mk_text(textops.unicode_range),
-        "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
-        "dedup_components": _dedup_components,
-        # ---- tail: past the round-2 driver window from here down ----
-        # rows-only by design (no exact-SQL oracle exists)
-        "string_compare": _string_compare,
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
-        "lexicon_validate": _mk_text(textops.lexicon_validate),
-        # hash-green in CORRECTNESS_r02.json; re-check when window allows
+        # -- r2-green, module edited since last driver check: re-window
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "events_hourly_rollup": _events_hourly,
+        "term_frequencies": _mk_text(textops.term_frequencies),
         "q1_pricing_summary": _q1,
         "agg_rollup": _rollup,
         "kv_try_put": _kv_try_put,
         "kv_set_ops": _kv_set_ops,
         "kv_key_join": _kv_key_join,
-        "term_frequencies": _mk_text(textops.term_frequencies),
+        # -- newly promoted rows-only -> oracle-backed (round 4)
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        # -- first driver row ever (rows-only by design)
+        "synthesize_tokens": _synthesize_tokens,
+        "string_compare": _string_compare,
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
+        # -- r3-green but module edited in round 4: re-window
+        "graph_dedup": _graph_dedup,
+        "vector_analyze": _vector_analyze,
+        "knn_classify": _knn_classify,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "dedup_embedding": _dedup_embedding,
+        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "events_funnel": _mk_text(timeseries.funnel),
+        # -- r3-green, kept inside the window
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_components": _dedup_components,
+        "split_words_stats": _mk_text(textops.split_words_stats),
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "text_quality_score": _mk_text(textops.quality_score),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "unicode_range": _mk_text(textops.unicode_range),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "contamination_check": _mk_text(pipeline.contamination_check),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
+        "pii_redact": _mk_text(pipeline.pii_redact),
+        "domain_mix": _mk_text(pipeline.domain_mix),
+        "events_props_json": _events_props,
+        "events_asof_join": _mk_text(timeseries.asof_join),
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
+        "events_retention": _mk_text(timeseries.retention),
+        # ---- tail: past the 50-entry window from here down ----
+        # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_resize_plan": _mm_resize_plan,
+        "mm_feature_extract": _mm_feature_extract,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "topk_per_group": _topk,
+        "kv_get_many": _kv_get_many,
+        "kv_paginate": _kv_paginate,
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        "price_quantiles": _mk_text(sketch.price_quantiles),
+        "events_sessionize": _events_sessionize,
     }
 
 
@@ -450,6 +486,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.embedding_dedup_oracle(),
         "dedup_components": dedup.dedup_components_oracle(),
         "ann_topk_bruteforce": similarity.brute_topk_oracle(),
+        # The approximate-ANN output contracts ARE the exact top-k at
+        # their driver operating points: ann_topk_lsh runs a
+        # measured-complete bucket configuration (6 planes x 8 tables,
+        # Hamming-2 multi-probe — recall 1.0 at sf0.001/0.01/0.1), and
+        # ann_topk_ivf probes every cell (provably complete candidates).
+        # Both always rescore with the exact JVM cosine, so any recall
+        # miss surfaces as a red hash row here.
+        "ann_topk_lsh": similarity.brute_topk_oracle(),
+        "ann_topk_ivf": similarity.brute_topk_oracle(),
         "vector_analyze": similarity.vector_analyze_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         "graph_dedup": graph.graph_dedup_oracle(),

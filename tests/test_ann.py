@@ -88,6 +88,33 @@ def test_lsh_topk_single_pass_buckets(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_lsh_driver_operating_point_is_complete(spark):
+    """The driver entry runs lsh_topk at (6 planes, 8 tables, Hamming-2
+    multi-probe), where bucketed recall is measured complete on the test
+    corpora — the operating point that lets ann_topk_lsh carry the
+    exact brute-force oracle (the dedup_minhash_lsh promotion pattern).
+    If a seed/data change ever breaks completeness, this fails before
+    the driver gate does."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    brute = [tuple(r) for r in similarity.brute_topk(emb, q).collect()]
+    lsh = [tuple(r) for r in similarity.lsh_topk(
+        emb, q, n_planes=6, n_tables=8, probe_radius=2).collect()]
+    assert lsh == brute
+
+
+def test_ivf_driver_operating_point_is_complete(spark):
+    """The driver entry probes every cell (n_probe = n_cells = 64):
+    candidates provably cover the corpus, so the output must equal
+    brute force exactly — verifying the full IVF machinery end-to-end."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    brute = [tuple(r) for r in similarity.brute_topk(emb, q).collect()]
+    ivf = [tuple(r) for r in similarity.ann_topk_ivf(
+        emb, q, n_cells=64, n_probe=64).collect()]
+    assert ivf == brute
+
+
 def test_lsh_topk_recall_floor_and_exact_scores(spark):
     """ann_topk_lsh is rows-only in the driver gate, so pin its quality
     contract here: bucketed recall@k vs brute force stays above the
