@@ -658,7 +658,11 @@ def split_words_stats_oracle() -> str:
     """
 
 
-def term_cooccurrence(t: Tables, min_pairs: int = 2) -> DataFrame:
+PER_DOC_TOKEN_CAP = 512
+
+
+def term_cooccurrence(t: Tables, min_pairs: int = 2,
+                      per_doc_cap: int = PER_DOC_TOKEN_CAP) -> DataFrame:
     """Document-level term co-occurrence with an exact PMI-style lift
     ratio: for token pair (a, b), ``lift = P(a,b) / (P(a)·P(b))``
     computed as the all-integer expression ``n_pairs · n_docs /
@@ -667,11 +671,15 @@ def term_cooccurrence(t: Tables, min_pairs: int = 2) -> DataFrame:
     but the ratio needs no transcendental at all).
 
     Scale: the pair explosion is a per-document self-join keyed on
-    doc_id — skew follows document length (bounded), never corpus-wide
-    term popularity; the (a, b) count then map-side-combines into at
-    most |vocab|² groups. At web scale, cap per-doc distinct tokens
-    (drop the ultra-long tail) before pairing; the fraction dropped is
-    reported by comparing n_docs to the pair totals.
+    doc_id, and the per-doc fan-out is HARD-CAPPED at ``per_doc_cap``
+    distinct tokens — without it one 100k-distinct-token doc emits
+    C(100k, 2) ≈ 5·10⁹ rows on a single key. The cap keeps each doc's
+    RAREST tokens (lowest document frequency, ties by token — the
+    PPJoin prefix-selection idea): stopword-ish pairs are dropped
+    first, the informative low-df pairs survive, and the selection is
+    deterministic in both engines. df_a/df_b are computed from the
+    FULL (uncapped) token sets. Use :func:`term_cooccurrence_cap_report`
+    for the dropped fraction at a given cap.
     """
     docs = t["documents"]
     toks = (
@@ -680,7 +688,14 @@ def term_cooccurrence(t: Tables, min_pairs: int = 2) -> DataFrame:
     )
     n_docs = docs.count()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    a, b = toks.alias("a"), toks.alias("b")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    capped = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_doc_cap)
+        .select("doc_id", "tok")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                & (F.col("a.tok") < F.col("b.tok")))
@@ -701,16 +716,43 @@ def term_cooccurrence(t: Tables, min_pairs: int = 2) -> DataFrame:
     )
 
 
-def term_cooccurrence_oracle(min_pairs: int = 2) -> str:
+def term_cooccurrence_cap_report(t: Tables,
+                                 per_doc_cap: int = PER_DOC_TOKEN_CAP) -> DataFrame:
+    """One-row accounting of what the per-doc cap drops: docs over the
+    cap, distinct-token occurrences dropped, and the dropped fraction —
+    the companion report term_cooccurrence's docstring promises."""
+    docs = t["documents"]
+    sizes = docs.select(
+        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias("n_distinct"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_distinct") > per_doc_cap).cast("long")).alias("n_docs_capped"),
+        F.sum(F.greatest(F.col("n_distinct") - per_doc_cap, F.lit(0).cast("long")))
+            .alias("n_tokens_dropped"),
+        (F.sum(F.greatest(F.col("n_distinct") - per_doc_cap, F.lit(0).cast("long")))
+         / F.sum("n_distinct")).alias("dropped_frac"),
+    )
+
+
+def term_cooccurrence_oracle(min_pairs: int = 2,
+                             per_doc_cap: int = PER_DOC_TOKEN_CAP) -> str:
     toks = T.tokens_sql("text")
     return f"""
     WITH tk AS (
         SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+    capped AS (
+        SELECT doc_id, tok FROM (
+            SELECT tk.doc_id, tk.tok,
+                   ROW_NUMBER() OVER (PARTITION BY tk.doc_id
+                                      ORDER BY dfreq.df, tk.tok) AS rn
+            FROM tk JOIN dfreq ON dfreq.tok = tk.tok
+        ) WHERE rn <= {per_doc_cap}
+    ),
     pairs AS (
         SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_pairs
-        FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok
         GROUP BY 1, 2
         HAVING COUNT(*) >= {min_pairs}
     )

@@ -105,3 +105,54 @@ def test_split_words_reference_parity(spark):
            df.select("s", split_words("s").alias("toks")).collect()}
     for s, want in cases.items():
         assert got[s] == want, (s, got[s], want)
+
+
+def test_term_cooccurrence_cap_bounds_megadoc(spark, tmp_path):
+    """A doc with distinct tokens far above the cap must contribute at
+    most C(cap, 2) pairs (the uncapped C(n, 2) explosion is the round-3
+    scale flaw), the capped selection keeps the RAREST tokens, and the
+    capped semantics stay in lockstep with the capped DuckDB oracle."""
+    import duckdb
+
+    from resin_spark.operators import textops
+
+    mega = " ".join(f"zz{i:04d}" for i in range(200))  # 200 df=1 tokens
+    docs = [
+        (0, "alpha beta gamma", "en", "web", 1),
+        (1, "alpha beta delta", "en", "web", 1),
+        (2, "alpha gamma delta", "en", "web", 1),
+        (3, mega + " alpha", "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    cap = 5
+    out = textops.term_cooccurrence({"documents": df}, min_pairs=1,
+                                    per_doc_cap=cap).collect()
+    # the mega doc can emit at most C(5,2) pairs; with 3 small docs of 3
+    # tokens each the total is tightly bounded
+    mega_only = [r for r in out
+                 if r["tok_a"].startswith("zz") and r["tok_b"].startswith("zz")]
+    assert len(mega_only) <= cap * (cap - 1) // 2
+    # rarest-first: every surviving mega token is among the 5 smallest
+    # df=1 tokens of that doc (ties broken lexicographically)
+    kept = {tok for r in out for tok in (r["tok_a"], r["tok_b"])
+            if tok.startswith("zz")}
+    assert kept <= {f"zz{i:04d}" for i in range(cap)}
+    # engine lockstep at a binding cap
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+        orows = con.execute(
+            textops.term_cooccurrence_oracle(min_pairs=1, per_doc_cap=cap)
+        ).fetchall()
+    finally:
+        con.close()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in orows)
+    # the cap report accounts for exactly the mega doc's overflow
+    rep = textops.term_cooccurrence_cap_report(
+        {"documents": df}, per_doc_cap=cap).collect()[0]
+    assert rep["n_docs"] == 4 and rep["n_docs_capped"] == 1
+    assert rep["n_tokens_dropped"] == 201 - cap
