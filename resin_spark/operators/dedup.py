@@ -248,8 +248,11 @@ def shingle_hashes_from_tokens(tk_col: str, n: int = 3):
     (same tokens, same grams, same hash, so signatures and Jaccard sets
     agree bit-for-bit with the batch index). Aggregation-free, which is
     what lets a *streaming* frame compute its shingle set without a
-    watermarked groupBy. Docs with fewer than n tokens yield an empty
-    array (the batch path drops them at the explode)."""
+    watermarked groupBy. Docs with fewer than n tokens yield an EMPTY
+    array (the batch path drops them at the explode; filter
+    ``size(col) > 0`` to mirror that drop). The short-doc branch cannot
+    fall through to the gram expression: ``sequence(0, size-n)`` with a
+    negative stop counts DOWN, which would fabricate grams."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tk_col) - n),
         lambda i: F.concat_ws(
@@ -259,7 +262,7 @@ def shingle_hashes_from_tokens(tk_col: str, n: int = 3):
     return F.when(
         F.size(F.col(tk_col)) >= n,
         F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s)),
-    ).otherwise(F.lit(None).cast("array<long>"))
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def _band_hash_array(sig_col: str, num_perm: int, bands: int):

@@ -109,8 +109,20 @@ def session_overlap(t: Tables) -> DataFrame:
     an hour, not the corpus square — then the exact overlap predicate
     filters and a distinct collapses pairs that met in several buckets.
     Bucket width trades fan-out (long sessions -> many buckets) against
-    candidate density; at 100 TB pick ~p95 session length. The oracle
-    runs the quadratic inequality join directly.
+    candidate density; at 100 TB pick ~p95 session length. Fan-out
+    bound: a session of length L explodes into 1 + floor(L/W) bucket
+    rows, so with W = max(1h, p95) at least 95% of sessions emit <= 2
+    rows and total explode size is <= n_sessions * (1 + L_max/W) —
+    linear in sessions with a tail-length coefficient, never quadratic
+    (tests/test_timeseries.py pits 3-day sessions against 2-minute
+    ones). The oracle runs the quadratic inequality join directly.
+
+    NOTE: construction is EAGER — the adaptive bucket-width probe below
+    runs a full sessionisation pass (percentile + .first()) when this
+    function is CALLED, not when the returned frame is acted on.
+    Plan-only callers (EXPLAIN, plan-shape tests, lazy composition) pay
+    that pass up front, and bad input fails here rather than at the
+    first action.
     """
     # sess feeds both self-join sides and the final left join; checkpoint
     # so the sessionisation window runs once, not three times.
@@ -330,7 +342,18 @@ def funnel(t: Tables, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
     Cost: per-user per-step timestamp lists during the aggregate —
     bounded by a user's own funnel-step events, the usual trade for
     single-pass funnels.
+
+    ``steps`` must be distinct event types: pivot() on a list with
+    repeats would yield duplicate/ambiguous columns, silently breaking
+    the repeated-step funnel the chained-aggregate form supported —
+    rejected loudly instead.
     """
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel steps must be distinct event types, got {steps!r}: "
+            "the pivoted single-scan plan cannot represent a repeated "
+            "step; deduplicate the sequence or split the repeated step "
+            "into separately named event types")
     ev = (
         t["events"].select("user_id", "ts", "event_type")
         .filter(F.col("event_type").isin(list(steps)))

@@ -349,7 +349,7 @@ def stream_near_dedup(spark: SparkSession, docs_parquet_dir: str,
     docs = (
         stream.select("doc_id", T.tokens("text").alias("tk"))
         .select("doc_id", D.shingle_hashes_from_tokens("tk", n).alias("hashes"))
-        .filter(F.col("hashes").isNotNull())
+        .filter(F.size(F.col("hashes")) > 0)
         .withColumn("sig", sig("hashes"))
     )
     banded = docs.select(

@@ -86,16 +86,19 @@ def stream_ann_topk(spark: SparkSession, queries_parquet_dir: str,
         V.cosine_gated(vec_col, "q_vec").alias("score"),
     )
     # sort key: score desc, then neighbor_id ASC (the batch window's
-    # tie-break) — encoded as (score, -neighbor_id) sorted desc.
+    # tie-break) — encoded as (-score, neighbor_id) sorted ASC, so the
+    # id is never negated: any orderable id type works (string vec_ids
+    # included) and LONG_MIN can't overflow under ANSI mode.
     ranked = (
         scored.groupBy("query_id")
         .agg(
             F.slice(
                 F.sort_array(
                     F.collect_list(F.struct(
-                        F.col("score"), (-F.col("neighbor_id")).alias("neg_id")
+                        (-F.col("score")).alias("neg_score"),
+                        F.col("neighbor_id"),
                     )),
-                    asc=False,
+                    asc=True,
                 ),
                 1, k,
             ).alias("top")
@@ -106,8 +109,8 @@ def stream_ann_topk(spark: SparkSession, queries_parquet_dir: str,
                 "top",
                 lambda s, i: F.struct(
                     (i + 1).alias("rank"),
-                    (-s["neg_id"]).alias("neighbor_id"),
-                    F.round(s["score"], 9).alias("score"),
+                    s["neighbor_id"].alias("neighbor_id"),
+                    F.round(-s["neg_score"], 9).alias("score"),
                 ),
             ).alias("neighbors"),
         )

@@ -386,7 +386,7 @@ def test_stream_ann_topk_matches_batch_lsh(spark, tmp_path):
 def test_shingle_hashes_per_row_matches_batch_on_edge_docs(spark):
     """The per-row shingle-hash expression (stream path) must produce
     exactly the batch shingles()->groupBy hash set for every document,
-    including the edges: empty text, fewer tokens than n (null array ==
+    including the edges: empty text, fewer tokens than n (EMPTY array ==
     dropped by batch explode), and texts whose grams repeat."""
     from resin_spark.operators import dedup as D
     from resin_spark.functions import text as T
@@ -408,7 +408,7 @@ def test_shingle_hashes_per_row_matches_batch_on_edge_docs(spark):
         .collect()
     }
     per_row = {
-        r["doc_id"]: (frozenset(r["h"]) if r["h"] is not None else None)
+        r["doc_id"]: (frozenset(r["h"]) if r["h"] else None)
         for r in docs.select(
             "doc_id",
             F.col("text").alias("t"),

@@ -123,3 +123,60 @@ def test_retention_offsets(spark):
     assert rows[(d0, 0)] == 1 and rows[(d0, 1)] == 1 and rows[(d0, 3)] == 1
     assert rows[(d0 + 1, 0)] == 1
     assert (d0 + 1, 1) not in rows
+
+
+def test_funnel_rejects_repeated_steps(spark):
+    """The pivoted single-scan funnel cannot represent a repeated event
+    type; it must fail loudly, not emit ambiguous columns."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        # validation fires before any table access
+        timeseries.funnel({}, steps=("view", "click", "view"))
+
+
+def test_session_overlap_adversarial_interval_mix(spark):
+    """Mixed workload the adaptive p95 bucket width must survive: many
+    2-minute web sessions interleaved with two 3-day-long sessions
+    (dense 25-min-gap events). The bucketed equi-join + exact filter
+    must equal a brute-force quadratic count over the session
+    intervals, whatever width the p95 probe picks."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from resin_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 40 short users: 2-min sessions, paired starts 60 s apart so each
+    # session overlaps its partner's
+    for u in range(40):
+        start = base + dt.timedelta(seconds=(u // 2) * 7200 + (u % 2) * 60)
+        rows.append((u, start))
+        rows.append((u, start + dt.timedelta(seconds=120)))
+    # 2 long users: one 3-day session each (events every 25 min < the
+    # 30-min gap, so gaps-and-islands keeps them whole)
+    for u in (100, 101):
+        for i in range(0, 3 * 24 * 60, 25):
+            rows.append((u, base + dt.timedelta(minutes=i)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    got = {(r["user_id"], r["session_start"]): r["n_concurrent"]
+           for r in timeseries.session_overlap({"events": ev}).collect()}
+
+    sess = timeseries._sessions(ev).collect()
+    want = {}
+    for a in sess:
+        n = sum(
+            1 for b in sess
+            if b["user_id"] != a["user_id"]
+            and a["s_start"] <= b["s_end"] and b["s_start"] <= a["s_end"]
+        )
+        want[(a["user_id"], a["s_start"])] = n
+    assert got == want
+    # sanity on the adversarial shape itself: long sessions overlap
+    # every short session (40) plus each other
+    long_keys = [k for k in want if k[0] in (100, 101)]
+    assert len(long_keys) == 2
+    assert all(want[k] == 41 for k in long_keys)
