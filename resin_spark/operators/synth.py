@@ -33,8 +33,10 @@ def bigram_dim(prev: str, nxt: str, pos: int, dims: int) -> int:
     """FNV-1a over the reference's 4-code-unit bigram key, mod dims
     (TokenSynthesizer.cs HashToIndex:17-29 on the key built at :49-53)."""
     h = FNV_OFFSET
-    for u in (ord(prev), ord(nxt), pos & 0xFF, (pos >> 8) & 0xFF):
-        h = np.uint64((h ^ np.uint64(u)) * FNV_PRIME)
+    # uint64 wraparound IS the FNV contract; mute numpy's overflow warn
+    with np.errstate(over="ignore"):
+        for u in (ord(prev), ord(nxt), pos & 0xFF, (pos >> 8) & 0xFF):
+            h = np.uint64((h ^ np.uint64(u)) * FNV_PRIME)
     return int(h % np.uint64(dims))
 
 
