@@ -522,18 +522,29 @@ def _train_ivf_centroids(emb: DataFrame, n_cells: int, dims: int,
                          id_col: str, vec_col: str) -> np.ndarray:
     """Spherical k-means coarse quantizer on a deterministic sample.
 
-    The sample is a hash-spread subset (xxhash64(id) order) capped at
-    sample_cap — at 100 TB the training set stays driver-sized while the
-    full corpus is only ever touched by the one-pass assignment UDF.
-    Lloyd iterations run in numpy on unit vectors (assign by dot,
-    re-mean, re-normalise); empty cells re-seed deterministically.
+    The sample is a hash-THRESHOLD subset: keep rows whose
+    xxhash64(id) mod 2^20 falls under ceil(1.1 · cap / n · 2^20) — a
+    pure filter, deterministic in the ids, expected size ≈ 1.1 ×
+    sample_cap. The earlier orderBy(xxhash64).limit(cap) form compiled
+    to TakeOrdered, whose merge step ships every partition's top-cap
+    rows to the driver — O(partitions × cap) rows at cluster scale; the
+    filter ships only the kept rows. The row count comes from the
+    memoized corpus_bytes_estimate (exact under the ceiling, plan-stats
+    estimate past it — either is fine for a sampling rate). Lloyd
+    iterations run in numpy on unit vectors (assign by dot, re-mean,
+    re-normalise); empty cells re-seed deterministically.
     """
-    sample = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_cap)
-        .toPandas()
-    )
+    _est, n_rows, _d = corpus_bytes_estimate(
+        emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
+    sampled = emb.select(id_col, vec_col)
+    if n_rows > sample_cap:
+        m = 1 << 20
+        keep = min(m, int(m * 1.1 * sample_cap / n_rows) + 1)
+        sampled = sampled.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) < keep)
+    # id-sort the driver-sized frame so the seeded k-means init sees the
+    # same row order whatever the scan's partitioning produced
+    sample = sampled.toPandas().sort_values(id_col).reset_index(drop=True)
     m = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
