@@ -610,12 +610,24 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     # doc → simhash → rep → component (rep itself when the super-node
     # had no cross-value edge — the clique, or singleton, stands alone)
     rep_labels = labels.select(F.col("doc_id").alias("rep"), "component")
-    return (
+    comp = (
         sims.join(nodes, "simhash")  # AQE broadcasts the small sides
         .join(rep_labels, "rep", "left")
         .select(
             "doc_id",
             F.coalesce("component", "rep").alias("component"),
+        )
+    )
+    # ZERO-TOKEN docs (empty text, punctuation-only, non-ASCII under the
+    # ASCII tokenizer) never reach `sims` — the explode drops them — but
+    # the contract is one row per DOCUMENT (the oracle's walk seeds from
+    # the documents table): re-join them as their own singleton
+    # components (tests/test_edge_docs.py docs 1/2/5).
+    return (
+        docs.select("doc_id").join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
         )
         .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
         .orderBy("doc_id")

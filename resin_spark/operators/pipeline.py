@@ -382,7 +382,13 @@ def pii_redact(t: Tables) -> DataFrame:
 
 def pii_redact_oracle() -> str:
     def esc(p: str) -> str:
-        return p.replace("\\", "\\\\").replace("'", "''")
+        # DuckDB single-quoted strings are escape-free: only quote
+        # doubling is needed. Doubling backslashes (the r3 bug) turned
+        # \+? into "one-or-more literal backslashes" and \b into
+        # "backslash then b" — the oracle could never match a phone/IP,
+        # which the generated corpus (no phone/IP spans) never exposed;
+        # the edge-doc harness did (tests/test_edge_docs.py doc 7).
+        return p.replace("'", "''")
     e, i, p = esc(PII_EMAIL_RE), esc(PII_IP_RE), esc(PII_PHONE_RE)
     return f"""
     SELECT doc_id,

@@ -20,6 +20,12 @@ DOC_QUERIES = [
     "text_tokenize_stats", "term_frequencies", "lexicon_build",
     "text_quality_score", "lang_id_heuristic", "doc_fingerprint",
     "unicode_range", "token_count_bpe", "dedup_exact",
+    # r4 widening: every remaining documents-only oracle-backed entry
+    "split_words_stats", "term_cooccurrence", "tfidf_topterms",
+    "sentence_vectors", "pipeline_curate", "stratified_sample",
+    "quality_repetition", "pii_redact", "domain_mix",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_components", "pack_sequences", "contamination_check",
 ]
 
 EDGE_DOCS = [
