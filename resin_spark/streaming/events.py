@@ -137,12 +137,18 @@ def props_json(t: Tables) -> DataFrame:
 
 
 def props_json_oracle() -> str:
+    # json_valid guard: Spark's get_json_object is NULL on malformed
+    # JSON (the right semantic for a scrubbing pipeline — one bad row
+    # must not kill the job); DuckDB's json_extract THROWS, so the
+    # oracle needs the explicit guard to express the same semantics.
     return """
     SELECT event_type,
            COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k, MAX(k) AS max_k
     FROM (
-        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
         FROM events
     )
     GROUP BY event_type
