@@ -405,7 +405,16 @@ def _multi_probe(qb: DataFrame, n_planes: int, radius: int) -> DataFrame:
     )
 
 
-def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
+def _probe_dims(emb: DataFrame, vec_col: str) -> int:
+    """Vector width from a single-row probe — schemas don't carry array
+    length, and a hardcoded dims crashes the hyperplane matmul on any
+    corpus whose width differs."""
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(first["d"]) if first and first["d"] is not None else 0
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             dims: int | None = None,
              n_planes: int = 8, n_tables: int = 4, probe_radius: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
@@ -421,7 +430,11 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
     over the corpus (hyperplane_buckets_udf) followed by a posexplode,
     and the single equi-join key is (table, bucket): cost ≈ corpus ×
     tables, never corpus².
+
+    ``dims=None`` (default) probes the vector width from the data.
     """
+    if dims is None:
+        dims = _probe_dims(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables)
     eb = emb.select(
         F.col(id_col), F.col(vec_col),
@@ -453,7 +466,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64,
     )
 
 
-def write_ann_index(emb: DataFrame, path: str, dims: int = 64,
+def write_ann_index(emb: DataFrame, path: str, dims: int | None = None,
                     n_planes: int = 8, n_tables: int = 4, seed0: int = 7,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Persist the LSH index as a partitioned parquet relation — the
@@ -463,8 +476,11 @@ def write_ann_index(emb: DataFrame, path: str, dims: int = 64,
     is (tbl, bucket, id, vector) partitioned by tbl and sorted by bucket
     within files, so a probe reads only its table's directory and skips
     row groups via bucket min/max statistics — seek-equivalent I/O with
-    zero custom file format.
+    zero custom file format. ``dims=None`` probes the vector width; the
+    reader side must hash queries with the SAME dims/planes/seed.
     """
+    if dims is None:
+        dims = _probe_dims(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
     idx = (
         emb.select(F.col(id_col), F.col(vec_col),
@@ -481,7 +497,8 @@ def read_ann_index(spark, path: str) -> DataFrame:
 
 
 def lsh_topk_indexed(index: DataFrame, queries: DataFrame, k: int = 10,
-                     dims: int = 64, n_planes: int = 8, n_tables: int = 4,
+                     dims: int | None = None, n_planes: int = 8,
+                     n_tables: int = 4,
                      seed0: int = 7, probe_radius: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
@@ -489,7 +506,10 @@ def lsh_topk_indexed(index: DataFrame, queries: DataFrame, k: int = 10,
     the same seeds (including the multi-probe ball), and the
     (tbl, bucket) equi-join prunes the scan to the probed
     partitions/row groups. Identical output to :func:`lsh_topk` on the
-    same corpus and parameters."""
+    same corpus and parameters. ``dims=None`` probes the query width —
+    it must equal the width the index was written with."""
+    if dims is None:
+        dims = _probe_dims(queries, q_vec)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
     qb = _multi_probe(
         queries.select(
