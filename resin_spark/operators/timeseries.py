@@ -80,11 +80,14 @@ def asof_join_oracle(left_type: str = "purchase",
 
 def _sessions(ev: DataFrame) -> DataFrame:
     """Gaps-and-islands sessions with start AND end epochs (the batch
-    sessionize reports start only)."""
+    sessionize reports start only). Null ts/user_id rows (corrupt
+    ingest) are dropped — sessionisation partitions and orders on both,
+    and null-ordering is engine-dependent."""
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return (
-        ev.select("user_id", "ts")
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts")
         .withColumn("new_sess",
                     F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0))
         .withColumn("sess_no", F.sum("new_sess").over(
@@ -191,6 +194,7 @@ def session_overlap_oracle() -> str:
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),
     s AS (
         SELECT user_id, ts,
@@ -284,8 +288,15 @@ def moving_aggregates(t: Tables, frame: int = 5) -> DataFrame:
     order), in decimal so accumulation is exact; the average divides
     two exact values in one correctly-rounded step. One shuffle on
     user_id; per-row state is the frame buffer.
+
+    Rows with a null ts or user_id (corrupt ingest) are dropped — the
+    frame is ordered/partitioned on them, and Spark and SQL engines
+    disagree on null ordering (nulls-first vs nulls-last), so keeping
+    them makes the result engine-dependent. Pushed to the scan as
+    IsNotNull filters.
     """
-    ev = t["events"]
+    ev = t["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     w = (
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-(frame - 1), 0)
@@ -313,6 +324,7 @@ def moving_aggregates_oracle(frame: int = 5) -> str:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS mov_avg
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)
     ORDER BY event_id

@@ -26,7 +26,10 @@ def hourly_rollup(t: Tables) -> DataFrame:
     carries only (type × hour) groups. Identical shape runs under
     structured streaming (see stream_hourly_rollup).
     """
-    e = t["events"]
+    # null-ts rows (corrupt ingest) are dropped EXPLICITLY: F.window
+    # silently drops them anyway, but SQL engines keep a null group, so
+    # the filter is what makes the semantics engine-independent.
+    e = t["events"].filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -50,6 +53,7 @@ def hourly_rollup_oracle() -> str:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY hour_start, event_type
     """
@@ -65,8 +69,11 @@ def sessionize(t: Tables, gap_minutes: int = 30) -> DataFrame:
     """
     gap = gap_minutes * 60
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # sessionisation partitions on user_id and orders on ts: null rows
+    # (corrupt ingest) would sort engine-dependently — drop them
     e = (
         t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "ts", "event_id", "value")
         .withColumn("prev_ts", F.lag("ts").over(by_user))
         .withColumn(
@@ -101,6 +108,7 @@ def sessionize_oracle(gap_minutes: int = 30) -> str:
                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {gap}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,

@@ -59,6 +59,13 @@ EDGE_EVENTS = [
     (11, _t(hours=6, minutes=1), 6, "purchase", 50.0, '{"k": 5}'),
     (12, _t(days=7, hours=6), 6, "click", 1.0, '{"k": 6}'),
     (13, _t(hours=7), 7, "error", -1.0, '{"k": -9}'),
+    # corrupt-ingest rows: the ts/user_id-keyed operators drop them
+    # explicitly (engines disagree on null ordering/grouping); the
+    # others must still agree with nulls present
+    (14, None, 1, "click", 3.0, '{"k": 30}'),          # null ts
+    (15, _t(hours=8), None, "purchase", 4.0, '{"k": 31}'),  # null user_id
+    (16, _t(hours=8, minutes=5), 2, None, 5.0, '{"k": 32}'),  # null type
+    (17, _t(hours=8, minutes=10), 2, "click", None, '{"k": 33}'),  # null value
 ]
 
 
