@@ -37,6 +37,11 @@ EDGE_DOCS = [
     (5, "汉字 العربية ελληνικά", "zh", "web", 20),  # non-ASCII only
     (6, "the quick brown fox", "en", "web", 19),   # exact duplicate of 0
     (7, "1234 5678", "en", "web", 9),              # digits only
+    # corrupt-ingest rows: all 24 doc queries agree with nulls present
+    # (measured r4) — pinned here so that stays true
+    (8, None, "en", "web", 0),                     # null text
+    (9, "alpha beta", None, "web", 10),            # null lang
+    (10, "gamma delta", "en", None, 11),           # null source
 ]
 
 
