@@ -682,8 +682,9 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     collect anywhere in the plan.
     """
     from resin_spark.operators.similarity import (
-        cosine_threshold_candidates_auto, maybe_broadcast,
+        cosine_threshold_candidates_auto, maybe_broadcast, valid_vectors,
     )
+    emb = valid_vectors(emb)
     cand, fits = cosine_threshold_candidates_auto(emb, tau)
     # zero vectors can't reach any tau > 0 and would hit ANSI division-
     # by-zero in the normalise; the oracle excludes them too (NaN cos)
@@ -703,11 +704,12 @@ def embedding_dedup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
 def embedding_dedup_oracle(tau: float = 0.4) -> str:
     ua = "list_transform(a.embedding, x -> CAST(x AS DOUBLE) / na)"
     # norms computed per-side first for the same normalise-then-dot order
+    from resin_spark.operators.similarity import VALID_VECTORS_SQL
     return f"""
     WITH normed AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE) / {V.norm_sql("embedding")}) AS u
-        FROM embeddings
+        FROM embeddings WHERE {VALID_VECTORS_SQL}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM normed a, normed b

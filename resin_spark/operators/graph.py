@@ -70,8 +70,10 @@ def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
     """
     from resin_spark.operators.similarity import (
         broadcast_unit_matrix, cosine_threshold_candidates,
-        corpus_bytes_estimate, maybe_broadcast, BROADCAST_CEILING_BYTES,
+        corpus_bytes_estimate, maybe_broadcast, valid_vectors,
+        BROADCAST_CEILING_BYTES,
     )
+    emb = valid_vectors(emb)
     if use_lsh is None:
         est, _n, _d = corpus_bytes_estimate(
             emb, ceiling_bytes=BROADCAST_CEILING_BYTES)
@@ -103,12 +105,14 @@ def graph_dedup(emb: DataFrame, identical_angle: float = IDENTICAL_ANGLE,
 
 
 def graph_dedup_oracle(identical_angle: float = IDENTICAL_ANGLE) -> str:
+    from resin_spark.operators.similarity import VALID_VECTORS_SQL
     cos = V.cosine_sql("a.embedding", "b.embedding")
     return f"""
+    WITH vemb AS (SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL})
     SELECT e.vec_id, e.label
-    FROM embeddings e
+    FROM vemb e
     WHERE NOT EXISTS (
-        SELECT 1 FROM embeddings a, embeddings b
+        SELECT 1 FROM vemb a, vemb b
         WHERE b.vec_id = e.vec_id AND a.vec_id < b.vec_id
           AND {cos} >= {identical_angle}
     )

@@ -42,6 +42,22 @@ IDENTICAL_ANGLE = 0.99
 _NUMERIC_MARGIN = 1e-9
 
 
+def valid_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corrupt-row gate every vector operator applies at its boundary:
+    a null array crashes the numpy batch paths outright
+    (np.array over a None is an inhomogeneous-shape error — one bad row
+    would kill a 100 TB job), and a NaN component poisons every cosine
+    it touches with engine-dependent NaN-comparison semantics. Both are
+    ingest corruption, not data: drop them. The oracle twin is
+    :data:`VALID_VECTORS_SQL`."""
+    c = F.col(vec_col)
+    return emb.filter(c.isNotNull() & ~F.exists(c, lambda x: F.isnan(x)))
+
+
+VALID_VECTORS_SQL = ("embedding IS NOT NULL"
+                     " AND len(list_filter(embedding, x -> isnan(x))) = 0")
+
+
 def broadcast_unit_matrix(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding"):
     """Collect the corpus as an L2-normalised float64 matrix (sorted by id)
@@ -152,6 +168,7 @@ def self_topk_candidates_lsh(emb: DataFrame, dims: int, n_planes: int = 8,
     bucket occupancy, not corpus². Recall is approximate (measured 0.80
     at the defaults on the 500-vector test corpus); downstream exact
     rescoring keeps returned scores oracle-grade."""
+    emb = valid_vectors(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables)
     eb = emb.select(
         F.col(id_col).alias("nb_id"),
@@ -179,6 +196,7 @@ def self_threshold_candidates_lsh(emb: DataFrame, dims: int,
     multi-probe on one side. Recall rises with cos threshold: ≥ 1-5e-5
     at IdenticalAngle 0.99, ≈ 0.95 at tau 0.4 with these defaults
     (P[Hamming ≤ 2 of 8 planes] per table, 6 tables)."""
+    emb = valid_vectors(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0=101)
     hashed = emb.select(
         F.col(id_col),
@@ -315,6 +333,8 @@ def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     (n_queries × n_corpus) scored rows, which AQE coalesces. Scoring is
     a JVM fold (functions/vectors.py), never per-row Python.
     """
+    emb = valid_vectors(emb, vec_col)
+    queries = valid_vectors(queries, q_vec)
     scored = (
         emb.select(id_col, vec_col)
         .join(broadcast(queries.select(q_id, q_vec)),
@@ -337,10 +357,11 @@ def brute_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 def brute_topk_oracle(k: int = 10, n_queries: int = 5) -> str:
     cos = V.cosine_gated_sql("e.embedding", "q.embedding")
     return f"""
-    WITH scored AS (
+    WITH vemb AS (SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL}),
+    scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                {cos} AS score
-        FROM embeddings e, embeddings q
+        FROM vemb e, vemb q
         WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id
     ), ranked AS (
         SELECT query_id, neighbor_id, score,
@@ -433,6 +454,8 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     ``dims=None`` (default) probes the vector width from the data.
     """
+    emb = valid_vectors(emb, vec_col)
+    queries = valid_vectors(queries, q_vec)
     if dims is None:
         dims = _probe_dims(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables)
@@ -479,6 +502,7 @@ def write_ann_index(emb: DataFrame, path: str, dims: int | None = None,
     zero custom file format. ``dims=None`` probes the vector width; the
     reader side must hash queries with the SAME dims/planes/seed.
     """
+    emb = valid_vectors(emb, vec_col)
     if dims is None:
         dims = _probe_dims(emb, vec_col)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
@@ -508,6 +532,7 @@ def lsh_topk_indexed(index: DataFrame, queries: DataFrame, k: int = 10,
     partitions/row groups. Identical output to :func:`lsh_topk` on the
     same corpus and parameters. ``dims=None`` probes the query width —
     it must equal the width the index was written with."""
+    queries = valid_vectors(queries, q_vec)
     if dims is None:
         dims = _probe_dims(queries, q_vec)
     h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
@@ -603,6 +628,8 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     n_probe = n_cells degrades gracefully to exact brute force (tested).
     """
+    emb = valid_vectors(emb, vec_col)
+    queries = valid_vectors(queries, q_vec)
     cent = _train_ivf_centroids(emb, n_cells, dims, sample_cap, seed,
                                 id_col, vec_col)
 
@@ -663,6 +690,7 @@ def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
     no caller flag, no driver collect — and the result becomes
     approximate-recall ANN-kNN (stage 2 exact rescoring unchanged).
     """
+    emb = valid_vectors(emb)
     cand, fits = cosine_topk_candidates_auto(emb, k)
     a = emb.select("vec_id", F.col("embedding").alias("va"),
                    F.col("label").alias("true_label"))
@@ -696,10 +724,11 @@ def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
 def knn_classify_oracle(k: int = 10) -> str:
     cos = V.cosine_gated_sql("a.embedding", "b.embedding")
     return f"""
-    WITH scored AS (
+    WITH vemb AS (SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL}),
+    scored AS (
         SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
                b.vec_id AS nb_id, {cos} AS score
-        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        FROM vemb a, vemb b WHERE a.vec_id <> b.vec_id
     ), topk AS (
         SELECT * FROM (
             SELECT vec_id, true_label, nb_label,
@@ -737,6 +766,7 @@ def vector_analyze(emb: DataFrame, n_pairs: int = 200) -> DataFrame:
     parallel, no window, no cartesian; at 100 TB this shape is a co-partitioned
     merge join on the id.
     """
+    emb = valid_vectors(emb)
     a = emb.filter(F.col("vec_id") < n_pairs).select(
         F.col("vec_id").alias("pair_id"), F.col("embedding").alias("va")
     )
@@ -797,12 +827,13 @@ def vector_analyze_oracle(n_pairs: int = 200) -> str:
         " THEN 1 ELSE 0 END), (acc, x) -> acc + x)"
     )
     return f"""
-    WITH base AS (
+    WITH vemb AS (SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL}),
+    base AS (
         SELECT a.vec_id AS pair_id,
                {dot} AS dot, {na} AS norm_a, {nb} AS norm_b,
                {l2} AS euclidean, {l1} AS manhattan,
                {ov} AS n_overlap, {un} AS n_union
-        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        FROM vemb a JOIN vemb b ON b.vec_id = a.vec_id + 1
         WHERE a.vec_id < {n_pairs}
     ), withcos AS (
         SELECT *, CASE WHEN dot <> 0 AND norm_a <> 0 AND norm_b <> 0
@@ -833,7 +864,8 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     disagree when casting float32 to decimal directly.
     """
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        valid_vectors(emb)
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
             (
@@ -848,15 +880,15 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 def label_centroids_oracle() -> str:
     # dims-agnostic: unnest (index, value) structs built with the scalar
     # list range over each vector's actual length
-    return """
+    return f"""
     SELECT label, CAST(p.i - 1 AS INT) AS dim,
            CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
                / COUNT(*) AS mean_val
     FROM (
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
-                      i -> {'i': i, 'x': embedding[i]})) AS p
-        FROM embeddings
+                      i -> {{'i': i, 'x': embedding[i]}})) AS p
+        FROM embeddings WHERE {VALID_VECTORS_SQL}
     )
     GROUP BY 1, 2 ORDER BY label, dim
     """
@@ -882,9 +914,10 @@ def closest_match(emb: DataFrame, queries: DataFrame,
 def closest_match_oracle(fold_angle: float = FOLD_ANGLE, n_queries: int = 5) -> str:
     cos = V.cosine_gated_sql("e.embedding", "q.embedding")
     return f"""
-    WITH scored AS (
+    WITH vemb AS (SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL}),
+    scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS score
-        FROM embeddings e, embeddings q
+        FROM vemb e, vemb q
         WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id
     )
     SELECT query_id, neighbor_id AS best_id, round(score, 9) AS score,

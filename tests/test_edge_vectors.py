@@ -22,6 +22,11 @@ EDGE_VECS = [
     (4, [0.5] * DIM, 2),
     (5, [0.5] * (DIM - 1) + [0.51], 2),         # near-dup of 4
     (6, [3.0, -2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 4.0], 0),
+    # corrupt-ingest rows: the valid_vectors gate must drop both in
+    # BOTH engines (a null array crashes the numpy paths outright; a
+    # NaN component has engine-dependent comparison semantics)
+    (7, None, 1),                               # null embedding
+    (8, [float("nan")] + [1.0] * (DIM - 1), 2),  # NaN component
 ]
 
 # ann_topk_lsh is deliberately absent: its exact-top-k oracle holds at
