@@ -398,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey AS key, o_orderkey AS seq, o_totalprice AS value,
                        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
                 FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
             ) WHERE rn = 1 ORDER BY key
         """,
         "kv_paginate": """
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY l_linenumber) - 1) // 8
                            AS page_no
                 FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
             ),
             per_page AS (
                 SELECT key, page_no, COUNT(*) AS n_values,
@@ -421,20 +423,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kv_get_many": """
             SELECT l_orderkey AS key,
-                   string_agg(CAST(l_partkey AS VARCHAR), '|' ORDER BY l_linenumber, l_partkey) AS concat_values,
+                   COALESCE(string_agg(CAST(l_partkey AS VARCHAR), '|'
+                            ORDER BY l_linenumber, l_partkey), '') AS concat_values,
                    COUNT(*) AS value_count
-            FROM lineitem GROUP BY l_orderkey ORDER BY key
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey ORDER BY key
         """,
         "kv_set_ops": """
             SELECT 'except_b_a' AS op,
                    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
-                                          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))) AS n
+                                          WHERE c_custkey IS NOT NULL
+                                            AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                                                  WHERE o_custkey IS NOT NULL))) AS n
             UNION ALL
             SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
-                                                       WHERE c_custkey IN (SELECT o_custkey FROM orders)))
+                                                       WHERE c_custkey IS NOT NULL
+                                                         AND c_custkey IN (SELECT o_custkey FROM orders)))
             UNION ALL
             SELECT 'union', (SELECT COUNT(DISTINCT key) FROM (
-                SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey FROM customer))
+                SELECT o_custkey AS key FROM orders WHERE o_custkey IS NOT NULL
+                UNION ALL SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
             ORDER BY op
         """,
         "kv_key_join": """

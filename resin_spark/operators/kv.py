@@ -24,12 +24,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def _valid(column: DataFrame, *cols: str) -> DataFrame:
+    """Corrupt-row gate for the key-addressed operators: a KV column's
+    key and insertion order are its identity — a null in either is
+    ingest corruption, and engines disagree on null grouping/ordering
+    (Spark's set ops are null-safe where SQL IN/NOT IN are null-
+    hostile; window null ordering is nulls-first vs nulls-last). The
+    filters push to the scan as IsNotNull."""
+    out = column
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
 def try_put(column: DataFrame, key: str = "key", seq: str = "seq") -> DataFrame:
     """First-wins dedup: the earliest ``seq`` row per key is kept.
 
     Matches ColumnWriter.TryPut returning false for duplicate keys
     anywhere in the column snapshot (ColumnWriter.cs: TryPut).
+    Deterministic when ``(key, seq)`` pairs are unique — an exact
+    (key, seq) tie has no defined winner (insertion order IS the
+    contract); null key/seq rows are dropped (see :func:`_valid`).
     """
+    column = _valid(column, key, seq)
     w = Window.partitionBy(key).orderBy(F.col(seq).asc())
     return (
         column.withColumn("_rn", F.row_number().over(w))
@@ -45,8 +62,11 @@ def get_many(column: DataFrame, key: str = "key", seq: str = "seq",
     ColumnReader.cs: GetMany).
 
     Values are also emitted concatenated (``sep``-joined) because the
-    reference returns the concatenated byte stream.
+    reference returns the concatenated byte stream. Null VALUES are
+    kept in the count but skipped by the concatenation (both engines'
+    behavior); null key/seq rows are dropped.
     """
+    column = _valid(column, key, seq)
     return (
         column.groupBy(key)
         .agg(
@@ -66,16 +86,20 @@ def get_many(column: DataFrame, key: str = "key", seq: str = "seq",
 
 
 def set_union(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
-    """Distinct union of two columns' key-sets."""
-    return a.select(key).union(b.select(key)).distinct()
+    """Distinct union of two columns' key-sets (null keys dropped — a
+    key-set has no null member, and Spark's null-safe set ops would
+    otherwise diverge from SQL IN/NOT IN null semantics)."""
+    return _valid(a, key).select(key).union(
+        _valid(b, key).select(key)).distinct()
 
 
 def set_intersect(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
-    return a.select(key).intersect(b.select(key))
+    return _valid(a, key).select(key).intersect(_valid(b, key).select(key))
 
 
 def set_except(a: DataFrame, b: DataFrame, key: str = "key") -> DataFrame:
-    return a.select(key).distinct().subtract(b.select(key))
+    return _valid(a, key).select(key).distinct().subtract(
+        _valid(b, key).select(key))
 
 
 def key_join(column: DataFrame, keys: DataFrame, key: str = "key",
@@ -107,7 +131,9 @@ def paginate(column: DataFrame, key: str = "key", seq: str = "seq",
     Scale: one shuffle on key; the page number is a pure function of
     the per-key row_number (``(rn-1) div capacity``), so the window and
     the groupBy share the same partitioning and AQE plans one exchange.
+    Null key/seq rows are dropped (see :func:`_valid`).
     """
+    column = _valid(column, key, seq)
     w = Window.partitionBy(key).orderBy(F.col(seq).asc())
     paged = column.withColumn(
         "page_no", ((F.row_number().over(w) - 1) / capacity).cast("long"))
