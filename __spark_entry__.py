@@ -358,9 +358,12 @@ def queries() -> dict[str, Query]:
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "contamination_check": _mk_text(pipeline.contamination_check),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        # kv.py / events.py null-gating changed these three's oracles in
+        # round 4 — they need fresh driver rows, so they trade places
+        # with three pipeline.py entries whose functions are untouched
+        "kv_get_many": _kv_get_many,
+        "kv_paginate": _kv_paginate,
+        "events_sessionize": _events_sessionize,
         "quality_repetition": _mk_text(pipeline.quality_repetition),
         "pii_redact": _mk_text(pipeline.pii_redact),
         "domain_mix": _mk_text(pipeline.domain_mix),
@@ -378,11 +381,14 @@ def queries() -> dict[str, Query]:
         "q3_shipping_priority": _q3,
         "q5_local_supplier": _q5,
         "topk_per_group": _topk,
-        "kv_get_many": _kv_get_many,
-        "kv_paginate": _kv_paginate,
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
-        "events_sessionize": _events_sessionize,
+        # r3-green; pipeline.py's only r4 edit is pii_redact_oracle's
+        # escaping (pii_redact itself is in-window) — these functions
+        # and their oracles are bit-identical to their r3-checked form
+        "contamination_check": _mk_text(pipeline.contamination_check),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
     }
 
 
