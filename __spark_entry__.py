@@ -18,7 +18,7 @@ from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
     dedup, graph, kv, multimodal, pipeline, similarity, sketch, textops,
-    timeseries,
+    timeseries, traindata,
 )
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
@@ -253,6 +253,10 @@ def _closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.closest_match(emb, _query_vectors(emb))
 
 
+def _centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traindata.centroid_assign(load_tables(spark, sf_dir)["embeddings"])
+
+
 def _synthesize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSynthesizer analog (synth.py; TokenSynthesizer.cs:1-81).
     Procedural seeded rng + FNV hashing — not SQL-expressible →
@@ -326,6 +330,10 @@ def queries() -> dict[str, Query]:
         # -- newly promoted rows-only -> oracle-backed (round 4)
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
+        # -- new operators (round 4): first driver check ever
+        "quality_perplexity": _mk_text(traindata.quality_perplexity),
+        "shard_export": _mk_text(traindata.shard_export),
+        "centroid_assign": _centroid_assign,
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -355,9 +363,6 @@ def queries() -> dict[str, Query]:
         "pipeline_curate": _mk_text(textops.pipeline_curate),
         "text_quality_score": _mk_text(textops.quality_score),
         "lang_id_heuristic": _mk_text(textops.lang_id),
-        "doc_fingerprint": _mk_text(textops.fingerprint),
-        "unicode_range": _mk_text(textops.unicode_range),
-        "token_count_bpe": _mk_text(textops.token_count_bpe),
         # kv.py / events.py null-gating changed these three's oracles in
         # round 4 — they need fresh driver rows, so they trade places
         # with three pipeline.py entries whose functions are untouched
@@ -389,6 +394,13 @@ def queries() -> dict[str, Query]:
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
+        # r3-green; textops.py's r4 edits touch only term_cooccurrence
+        # and split_words_stats_oracle (both in-window) — these three
+        # functions and their oracles are bit-identical to their
+        # r3-checked form
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "unicode_range": _mk_text(textops.unicode_range),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
     }
 
 
@@ -510,6 +522,9 @@ def oracle_sql() -> dict[str, str]:
         # miss surfaces as a red hash row here.
         "ann_topk_lsh": similarity.brute_topk_oracle(),
         "ann_topk_ivf": similarity.brute_topk_oracle(),
+        "quality_perplexity": traindata.quality_perplexity_oracle(),
+        "shard_export": traindata.shard_export_oracle(),
+        "centroid_assign": traindata.centroid_assign_oracle(),
         "vector_analyze": similarity.vector_analyze_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         "graph_dedup": graph.graph_dedup_oracle(),

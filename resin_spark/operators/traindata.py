@@ -1,0 +1,286 @@
+"""Training-data export & model-based curation ops (SURVEY.md §2 block C/E
+extensions — operators a 100 TB pretraining pipeline needs beyond the
+reference's own surface).
+
+Three operators, each with a bit-exact DuckDB oracle twin:
+
+- quality_perplexity — CCNet-style unigram-LM cross-entropy scoring.
+  The corpus IS the language model (token unigram frequencies), and each
+  doc is scored by its mean per-token information content in bits. Low
+  bits/token ≈ repetitive/templated text, high ≈ rare-token noise — the
+  standard two-sided quality signal for pretraining filtering.
+- shard_export — deterministic hash-sharding for training export:
+  every doc gets a (shard, position) that is a pure function of its id,
+  so a re-run of the pipeline (or a resumed job) produces byte-identical
+  shards. The physical analog is repartition(n, shard) +
+  sortWithinPartitions(pos) + partitionBy("shard") parquet write
+  (see write_shards).
+- centroid_assign — nearest-class-centroid assignment over the
+  embeddings table (Rocchio classifier): per-label mean vectors built
+  with order-independent decimal sums, every vector assigned to its
+  max-cosine centroid. The batch "label new data with the model you
+  just built" step of a curation loop; also the assignment kernel an
+  IVF/k-means clustering pass reuses.
+
+Reference ties: cosine assignment mirrors the reference's best-hit
+search semantics (src/Resin.MachineLearning/GraphExtensions.cs:46-73
+ClosestMatch) applied to class centroids; the unigram scoring reuses
+the SplitWords tokenisation contract (StringAnalyzer.cs SplitWords →
+functions/text.py tokens).
+
+Scale notes are per-function; none of these collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from resin_spark.functions import exact, text as T
+from resin_spark.functions import vectors as V
+from resin_spark.operators.dedup import _token_hash60, _token_hash60_sql
+from resin_spark.operators.similarity import VALID_VECTORS_SQL, valid_vectors
+
+Tables = dict[str, DataFrame]
+
+N_SHARDS = 16
+
+
+# --- unigram-LM perplexity scoring -------------------------------------------
+
+def quality_perplexity(t: Tables) -> DataFrame:
+    """Per-doc mean negative log2 unigram probability (bits/token).
+
+    Plan shape: one token explode → one groupBy(tok) for the LM (maps
+    side partial, one shuffle on tok), a single-row total joined back
+    by broadcast, then tokens ⋈ LM on tok and a final groupBy(doc_id).
+    The LM join key is Zipf-skewed (stopwords); AQE's skew-join split
+    handles it, and when the vocabulary fits the broadcast threshold
+    Catalyst broadcasts the LM side outright. No driver collect.
+
+    Cross-engine exactness: each DISTINCT token's bit value is rounded
+    to 6 decimals once (identical doubles in both engines — tf/total is
+    an exact IEEE division and log2 agrees to well under the rounding
+    grain), then per-doc aggregation is an order-independent decimal
+    sum (functions/exact.py). Docs with zero tokens vanish at the
+    explode in both engines.
+    """
+    toks = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    )
+    # localCheckpoint the vocabulary-sized LM: both the total and the
+    # per-token bits read it, which without the checkpoint re-runs the
+    # full tokenise+aggregate lineage (3 corpus scans instead of the
+    # inherent 2 — build the LM, then score with it). The checkpointed
+    # frame is |vocab| rows, safe to pin at any corpus size.
+    lm = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    total = lm.agg(F.sum("tf").alias("total"))
+    bits = lm.join(broadcast(total)).select(
+        "tok",
+        F.round(-F.log2(F.col("tf").cast("double")
+                        / F.col("total").cast("double")), 6).alias("bits"),
+    )
+    return (
+        toks.join(bits, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(exact.davg("bits", scale=6, precision=18), 6)
+            .alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_perplexity_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks}) AS tok
+        FROM documents WHERE doc_id IS NOT NULL
+    ), lm AS (
+        SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT SUM(tf) AS total FROM lm
+    ), bits AS (
+        SELECT tok, round(-log2(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                   AS bits
+        FROM lm, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round({exact.davg_sql("bits", scale=6, precision=18)}, 6)
+               AS bits_per_token
+    FROM tok JOIN bits USING (tok)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# --- deterministic shard export ----------------------------------------------
+
+def shard_export(t: Tables, n_shards: int = N_SHARDS) -> DataFrame:
+    """(doc_id, shard, pos, n_in_shard): a reproducible training-shard
+    layout that is a pure function of the doc ids.
+
+    shard = md5-60bit(doc_id) mod n_shards gives near-uniform shard
+    sizes with no coordination; pos orders within the shard by the same
+    hash (a deterministic pseudo-random shuffle — adjacent source docs
+    land far apart, which is exactly what a training loader wants). One
+    shuffle on shard; the window never sees more than corpus/n_shards
+    rows per partition. At export time the same expressions drive
+    ``write_shards`` so the parquet layout equals this plan's output.
+    """
+    h = _token_hash60(F.col("doc_id").cast("string"))
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", h.alias("h"), (h % n_shards).alias("shard"))
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    wc = Window.partitionBy("shard")
+    return (
+        base.select(
+            "doc_id", "shard",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(wc).alias("n_in_shard"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+def shard_export_oracle(n_shards: int = N_SHARDS) -> str:
+    h = _token_hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, {h} AS h, {h} % {n_shards} AS shard
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+           COUNT(*) OVER (PARTITION BY shard) AS n_in_shard
+    FROM hashed ORDER BY shard, pos
+    """
+
+
+def write_shards(docs: DataFrame, path: str,
+                 n_shards: int = N_SHARDS) -> None:
+    """Materialise the shard_export layout: one parquet directory per
+    shard, rows in deterministic intra-shard order. Byte-reproducible
+    across re-runs (hash order, no timestamps, no task-order effects):
+    repartition on the shard key then sortWithinPartitions(h) pins both
+    the file assignment and the row order."""
+    h = _token_hash60(F.col("doc_id").cast("string"))
+    (
+        docs.filter(F.col("doc_id").isNotNull())
+        .withColumn("h", h)
+        .withColumn("shard", F.col("h") % n_shards)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("h", "doc_id")
+        .drop("h")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    )
+
+
+# --- nearest-centroid assignment ---------------------------------------------
+
+def label_centroid_vectors(emb: DataFrame) -> DataFrame:
+    """(c_label, centroid array<double>) — per-label mean vectors with
+    order-independent decimal sums (the label_centroids parity recipe),
+    reassembled into arrays via a dim-sorted collect_list. The centroid
+    table has one row per label — driver-safe and broadcast-safe at any
+    corpus size."""
+    return (
+        valid_vectors(emb)
+        .filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(28,15)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("s", lambda st: st["mean_val"]).alias("centroid"),
+        )
+    )
+
+
+def centroid_assign(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine class centroid (Rocchio /
+    nearest-centroid classification; the per-vector kernel of a k-means
+    assignment step).
+
+    Plan: centroids (|labels| rows) are BROADCAST and every corpus
+    vector scores against all of them in one scan — cost |corpus| ×
+    |labels| JVM folds, no shuffle of the big side; the only exchange
+    is the per-vector rank-1 window, which AQE coalesces. Scoring uses
+    the strict left-to-right JVM cosine (functions/vectors.py), so
+    scores hash-match the DuckDB oracle bit-for-bit.
+    """
+    cents = label_centroid_vectors(emb)
+    scored = (
+        valid_vectors(emb)
+        .filter(F.col("label").isNotNull())
+        .join(broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "c_label",
+            V.cosine_gated("embedding", "centroid").alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "true_label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("score", 9).alias("score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def centroid_assign_oracle() -> str:
+    cos = V.cosine_gated_sql("e.embedding", "c.centroid")
+    return f"""
+    WITH vemb AS (
+        SELECT * FROM embeddings
+        WHERE {VALID_VECTORS_SQL} AND label IS NOT NULL
+    ), dims AS (
+        SELECT label, CAST(p.i - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'i': i, 'x': embedding[i]}})) AS p
+            FROM vemb
+        )
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS c_label, list(mean_val ORDER BY dim) AS centroid
+        FROM dims GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label AS true_label, c.c_label, {cos} AS score
+        FROM vemb e, cent c
+    )
+    SELECT vec_id, true_label, c_label AS assigned_label,
+           round(score, 9) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, c_label) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
