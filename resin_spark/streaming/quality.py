@@ -1,0 +1,119 @@
+"""Streaming document-quality scoring (ingestion-time twin of
+operators/traindata.quality_perplexity).
+
+A continuous ingestion pipeline can't rebuild the corpus LM per
+micro-batch — the model is a frozen ARTIFACT built from the already-
+ingested corpus and shipped to executors, exactly how a production
+quality gate deploys a KenLM/CCNet scorer. Here the artifact is the
+unigram bits table (token → −log2 tf/total, the same values the batch
+operator computes), capped to a top-``vocab_cap`` vocabulary with an
+out-of-vocabulary fallback, broadcast once, and applied per micro-batch
+with an Arrow-batched mapInPandas — no stream-side shuffle, no
+stateful aggregation, so the scoring cost is exactly one pass over each
+arriving batch at any cluster size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resin_spark.functions import text as T
+
+VOCAB_CAP = 1 << 16
+
+
+def build_unigram_lm(docs: DataFrame, vocab_cap: int = VOCAB_CAP,
+                     min_tf: int = 1):
+    """(bits_by_token, oov_bits): the frozen scorer artifact.
+
+    bits values are computed with the batch operator's exact recipe
+    (tf/total as an IEEE division, −log2, rounded to 6 once per
+    DISTINCT token), so streaming scores over in-vocabulary text equal
+    the batch ``quality_perplexity`` output bit-for-bit. The vocabulary
+    keeps the ``vocab_cap`` highest-tf tokens (ties: token asc); any
+    other token scores ``oov_bits`` — the information content of a
+    singleton (−log2 1/total), the standard pessimistic OOV prior.
+
+    The collect is vocab-sized (≤ vocab_cap rows), never corpus-sized.
+    The top-cap's TakeOrdered merge ships at most partitions × cap
+    rows to the driver; a web-scale vocabulary (garbage tokens make it
+    ~|corpus tokens| in the limit) should first drop the hapax tail
+    with ``min_tf >= 2`` — the filter runs before the ordered take, so
+    the merge only ever sees the surviving vocabulary. min_tf stays 1
+    by default because the exact batch-parity contract needs every
+    corpus token in vocabulary.
+    """
+    toks = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(F.explode(T.tokens("text")).alias("tok"))
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    rows = (
+        lm.filter(F.col("tf") >= min_tf)
+        .join(F.broadcast(lm.agg(F.sum("tf").alias("total"))))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(vocab_cap)
+        .select("tok", "tf", "total")
+        .collect()
+    )
+    total = rows[0]["total"] if rows else 1
+    bits_by_token = {
+        r["tok"]: round(-math.log2(r["tf"] / total), 6) for r in rows
+    }
+    oov_bits = round(-math.log2(1.0 / total), 6)
+    return bits_by_token, oov_bits
+
+
+def stream_quality_score(spark: SparkSession, docs_parquet_dir: str,
+                         lm_docs: DataFrame,
+                         vocab_cap: int = VOCAB_CAP) -> DataFrame:
+    """Score a document stream with a static unigram LM built from
+    ``lm_docs``: (doc_id, n_tokens, bits_per_token), append mode.
+
+    Per-row scoring only — tokenise, look each token up in the
+    broadcast bits table, HALF_UP-round the exact micro-bits mean — so
+    there is no watermark, no state store, and no shuffle on the stream
+    side; docs with zero tokens are dropped (the batch twin's explode
+    semantics). On a shared-vocabulary corpus the emitted rows equal
+    the batch ``quality_perplexity`` output exactly (pinned in
+    tests/test_streaming_io.py); unseen tokens score the OOV prior.
+    """
+    import pandas as pd
+
+    bits_by_token, oov_bits = build_unigram_lm(lm_docs, vocab_cap)
+    bc = spark.sparkContext.broadcast((bits_by_token, oov_bits))
+    tokenize_re = T.TOKEN_SPLIT_RE
+
+    def score(batches):
+        import re
+        table, oov = bc.value
+        splitter = re.compile(tokenize_re)
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or text is None:
+                    continue
+                toks = [t for t in splitter.split(text.lower()) if t]
+                if not toks:
+                    continue
+                # exact integer micro-bits sum, then one HALF_UP round —
+                # the same value chain as the batch decimal-sum mean
+                micro = sum(int(round(table.get(t, oov) * 1e6)) for t in toks)
+                mean = (float(micro) / 1e6) / len(toks)
+                out.append((doc_id, len(toks),
+                            math.floor(mean * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_tokens", "bits_per_token"])
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return stream.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, n_tokens long, bits_per_token double"
+    )

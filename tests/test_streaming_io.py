@@ -420,3 +420,74 @@ def test_shingle_hashes_per_row_matches_batch_on_edge_docs(spark):
     }
     for i, _ in rows:
         assert per_row.get(i) == batch.get(i), (i, per_row.get(i), batch.get(i))
+
+
+def test_stream_quality_score_matches_batch(spark, tmp_path):
+    """Ingestion-time quality scoring with a frozen LM artifact must
+    emit exactly the batch quality_perplexity rows when the stream is
+    the corpus the LM was built from (full vocabulary coverage)."""
+    from resin_spark.operators import traindata as td
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    batch = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+             for r in td.quality_perplexity(t).collect()}
+    assert batch
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0000.parquet")
+    sq = (
+        q.stream_quality_score(spark, str(src_dir), t["documents"])
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+           for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    assert got == batch
+
+
+def test_stream_quality_score_oov_prior(spark, tmp_path):
+    """Tokens absent from the LM vocabulary score the singleton
+    information content (-log2 1/total), and vocab_cap truncation
+    routes dropped tokens through the same prior."""
+    import math
+
+    from resin_spark.streaming import quality as q
+
+    lm_docs = spark.createDataFrame(
+        [(0, "aa aa aa aa"), (1, "aa aa bb bb")], "doc_id long, text string")
+    # total tokens = 8: aa tf=6, bb tf=2
+    bits, oov = q.build_unigram_lm(lm_docs)
+    assert bits["aa"] == round(-math.log2(6 / 8), 6)
+    assert oov == round(-math.log2(1 / 8), 6)
+
+    src_dir = tmp_path / "docs_oov"
+    src_dir.mkdir()
+    stream_docs = spark.createDataFrame(
+        [(10, "zz zz"), (11, "aa zz")], "doc_id long, text string")
+    stream_docs.coalesce(1).write.parquet(str(src_dir / "p"))
+    sq = (
+        q.stream_quality_score(spark, str(src_dir / "p"), lm_docs)
+        .writeStream.format("memory")
+        .queryName("quality_oov")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_oov"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: r["bits_per_token"]
+           for r in spark.sql("SELECT * FROM quality_oov").collect()}
+    assert got[10] == oov  # all-OOV doc scores the prior exactly
+    mixed = (bits["aa"] + oov) / 2
+    assert abs(got[11] - mixed) < 1e-6
+
+    # vocab_cap=1 keeps only 'aa'; 'bb' now scores the prior
+    bits1, oov1 = q.build_unigram_lm(lm_docs, vocab_cap=1)
+    assert set(bits1) == {"aa"} and oov1 == oov
