@@ -207,3 +207,44 @@ def test_gap_fill_grid_is_generated_not_scanned(spark):
     # data-scale rows — count the nested-loop joins: exactly the one
     # grid-building cross is allowed
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct") <= 1, plan[:3000]
+
+
+def test_perplexity_two_corpus_scans_only(spark):
+    """quality_perplexity's LM checkpoint must hold the documents scan
+    count at the inherent two (build + score); a third scan means the
+    total/bits branches re-run the tokenise lineage."""
+    from resin_spark.operators import traindata as td
+    df = td.quality_perplexity(load_tables(spark, SF))
+    plan = plan_of(df)
+    # the final plan holds ONE documents scan (the scoring pass); the LM
+    # build scan lives behind the lazy localCheckpoint and runs once at
+    # materialisation — total corpus scans = 2 (build + score), and both
+    # LM consumers (total, bits) read the materialised RDD
+    assert plan.count("documents.parquet") == 1, plan[:3000]
+    assert plan.count("Scan ExistingRDD") == 2, plan[:3000]
+
+
+def test_shard_export_scans_id_only_one_wide_exchange(spark):
+    """shard_export must prune the scan to doc_id and shuffle once (on
+    shard) besides the presentation sort."""
+    from resin_spark.operators import traindata as td
+    df = td.shard_export(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_centroid_assign_no_corpus_shuffle_for_join(spark):
+    """The scoring join must broadcast the |labels|-row centroid side;
+    the corpus side reaches the join from the scan with no exchange."""
+    from resin_spark.operators import traindata as td
+    df = td.centroid_assign(load_tables(spark, SF)["embeddings"])
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-side scan feeds the broadcast join directly: no
+    # hashpartitioning exchange between the embeddings scan and the join
+    join_at = plan.find("BroadcastNestedLoopJoin")
+    scan_at = plan.find("Scan parquet", join_at)
+    seg = plan[join_at:scan_at]
+    assert "Exchange hashpartitioning" not in seg, seg
