@@ -26,6 +26,8 @@ DOC_QUERIES = [
     "quality_repetition", "pii_redact", "domain_mix",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_components", "pack_sequences", "contamination_check",
+    # r4 traindata block
+    "quality_perplexity", "shard_export",
 ]
 
 EDGE_DOCS = [

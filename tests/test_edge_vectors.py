@@ -37,7 +37,8 @@ EDGE_VECS = [
 # robustness it needs on odd-width data is covered below.
 VEC_QUERIES = ["vector_analyze", "label_centroids", "graph_dedup",
                "dedup_embedding", "knn_classify",
-               "ann_topk_bruteforce", "closest_match", "ann_topk_ivf"]
+               "ann_topk_bruteforce", "closest_match", "ann_topk_ivf",
+               "centroid_assign"]
 
 
 @pytest.fixture(scope="module")
