@@ -334,6 +334,7 @@ def queries() -> dict[str, Query]:
         "quality_perplexity": _mk_text(traindata.quality_perplexity),
         "shard_export": _mk_text(traindata.shard_export),
         "centroid_assign": _centroid_assign,
+        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -362,7 +363,6 @@ def queries() -> dict[str, Query]:
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         "pipeline_curate": _mk_text(textops.pipeline_curate),
         "text_quality_score": _mk_text(textops.quality_score),
-        "lang_id_heuristic": _mk_text(textops.lang_id),
         # kv.py / events.py null-gating changed these three's oracles in
         # round 4 — they need fresh driver rows, so they trade places
         # with three pipeline.py entries whose functions are untouched
@@ -401,6 +401,7 @@ def queries() -> dict[str, Query]:
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
     }
 
 
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity": traindata.quality_perplexity_oracle(),
         "shard_export": traindata.shard_export_oracle(),
         "centroid_assign": traindata.centroid_assign_oracle(),
+        "line_dedup_stats": traindata.line_dedup_stats_oracle(),
         "vector_analyze": similarity.vector_analyze_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         "graph_dedup": graph.graph_dedup_oracle(),

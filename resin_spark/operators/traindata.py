@@ -284,3 +284,88 @@ def centroid_assign_oracle() -> str:
     ) WHERE rn = 1
     ORDER BY vec_id
     """
+
+
+# --- line-level dedup (C4 / RefinedWeb style) --------------------------------
+
+def line_dedup_stats(t: Tables, min_count: int = 2) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4/RefinedWeb move:
+    boilerplate lines — nav bars, cookie banners, licence footers —
+    repeat across documents even when no two whole documents match).
+
+    A line is "duplicated" when its exact text occurs ``min_count`` or
+    more times across the corpus; every occurrence is dropped from
+    ``clean_text``. Per doc: line totals, the duplicate count, and the
+    cleaned text with original line order preserved.
+
+    Plan shape: explode lines (one pass), ONE shuffle on the md5 line
+    key for the corpus-wide count, a hash join back to the line stream,
+    and a per-doc reassembly aggregation. Lines move as 16-byte md5
+    keys through the counting shuffle — the text itself only travels
+    with its doc-keyed rows. Cost is linear in total lines; the join
+    key is skewed exactly on the boilerplate lines being hunted, which
+    is AQE-skew-split territory at web scale.
+    """
+    lines = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+        )
+        .withColumn("lh", F.md5("line"))
+    )
+    dup = (
+        lines.groupBy("lh").agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("lh", F.lit(True).alias("is_dup"))
+    )
+    flagged = lines.join(dup, "lh", "left").select(
+        "doc_id", "line_no", "line",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("is_dup"),
+                               F.struct("line_no", "line")))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def line_dedup_stats_oracle(min_count: int = 2) -> str:
+    return f"""
+    WITH lines AS (
+        SELECT doc_id, p.line_no, p.line, md5(p.line) AS lh
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       string_split(text, chr(10)),
+                       (l, i) -> {{'line_no': i - 1, 'line': l}})) AS p
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        )
+    ), dup AS (
+        SELECT lh FROM lines GROUP BY lh HAVING COUNT(*) >= {min_count}
+    ), flagged AS (
+        SELECT doc_id, line_no, line, lh IN (SELECT lh FROM dup) AS is_dup
+        FROM lines
+    )
+    SELECT doc_id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_lines,
+           COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10)
+                               ORDER BY line_no), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id ORDER BY doc_id
+    """

@@ -27,7 +27,7 @@ DOC_QUERIES = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_components", "pack_sequences", "contamination_check",
     # r4 traindata block
-    "quality_perplexity", "shard_export",
+    "quality_perplexity", "shard_export", "line_dedup_stats",
 ]
 
 EDGE_DOCS = [

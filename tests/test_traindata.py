@@ -108,3 +108,48 @@ def test_centroid_assign_perfect_on_separable_labels(spark):
     out = td.centroid_assign(emb).collect()
     assert all(r["assigned_label"] == r["true_label"] for r in out)
     assert all(r["score"] == 1.0 for r in out)
+
+
+def test_line_dedup_oracle(spark, tables):
+    assert compare(td.line_dedup_stats(tables),
+                   td.line_dedup_stats_oracle(), SF) is None
+
+
+def test_line_dedup_boilerplate_multiline(spark, tmp_path):
+    """Multi-line corpus with repeated boilerplate: the repeated lines
+    (and ONLY those) are dropped from clean_text, order preserved, and
+    the Spark output matches the DuckDB oracle on the same parquet."""
+    import duckdb
+
+    rows = [
+        (0, "COOKIE BANNER\nunique alpha text\nfooter licence"),
+        (1, "COOKIE BANNER\nanother body line\nfooter licence"),
+        (2, "totally unique doc\nno repeats here"),
+        (3, "COOKIE BANNER"),
+        (4, ""),          # single empty line (unique at count 1 here)
+        (5, "\n\n"),      # three empty lines -> corpus-dup with doc 4's
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(d)
+
+    out = {r["doc_id"]: r for r in
+           td.line_dedup_stats({"documents": spark.read.parquet(d)}).collect()}
+    assert out[0]["n_dup_lines"] == 2          # banner + footer
+    assert out[0]["clean_text"] == "unique alpha text"
+    assert out[1]["clean_text"] == "another body line"
+    assert out[2]["n_dup_lines"] == 0
+    assert out[2]["clean_text"] == "totally unique doc\nno repeats here"
+    assert out[3]["clean_text"] == ""          # all-boilerplate doc
+    # empty lines occur 4x across docs 4+5 -> all duplicated
+    assert out[4]["n_dup_lines"] == 1 and out[5]["n_dup_lines"] == 3
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/*.parquet')")
+        orows = con.execute(td.line_dedup_stats_oracle()).fetchall()
+    finally:
+        con.close()
+    got = sorted((r["doc_id"], r["n_lines"], r["n_dup_lines"], r["clean_text"])
+                 for r in out.values())
+    assert got == sorted(orows)
