@@ -257,6 +257,31 @@ def _centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traindata.centroid_assign(load_tables(spark, sf_dir)["embeddings"])
 
 
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traindata.embedding_quantize(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-index near-dup. Oracle = exact cross-side
+    Jaccard: candidates are exact-verified and cross-side banded recall
+    is complete at the operating point (a subset of the pair set
+    dedup_minhash_lsh measures complete), so a recall miss surfaces as
+    a red hash row."""
+    return dedup.incremental_dedup(load_tables(spark, sf_dir)["documents"])
+
+
+def _ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k at the complete-rerank operating point (rerank >=
+    corpus size): every ADC-ranked candidate is exactly rescored, so the
+    output provably equals brute_topk while the ADC window still forces
+    the train/encode/ADC machinery to execute (rerank=None would let
+    Catalyst prune the dead ADC subtree — see ann_topk_pq's docstring).
+    Lean-rerank recall is pinned in tests/test_ann.py (the IVF
+    complete-probe precedent)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.ann_topk_pq(emb, _query_vectors(emb), rerank=1_000_000)
+
+
 def _synthesize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSynthesizer analog (synth.py; TokenSynthesizer.cs:1-81).
     Procedural seeded rng + FNV hashing — not SQL-expressible →
@@ -335,6 +360,9 @@ def queries() -> dict[str, Query]:
         "shard_export": _mk_text(traindata.shard_export),
         "centroid_assign": _centroid_assign,
         "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
+        "embedding_quantize": _embedding_quantize,
+        "dedup_incremental": _dedup_incremental,
+        "ann_topk_pq": _ann_topk_pq,
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -362,7 +390,6 @@ def queries() -> dict[str, Query]:
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         "pipeline_curate": _mk_text(textops.pipeline_curate),
-        "text_quality_score": _mk_text(textops.quality_score),
         # kv.py / events.py null-gating changed these three's oracles in
         # round 4 — they need fresh driver rows, so they trade places
         # with three pipeline.py entries whose functions are untouched
@@ -374,10 +401,16 @@ def queries() -> dict[str, Query]:
         "domain_mix": _mk_text(pipeline.domain_mix),
         "events_props_json": _events_props,
         "events_asof_join": _mk_text(timeseries.asof_join),
-        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
-        "events_retention": _mk_text(timeseries.retention),
         # ---- tail: past the 50-entry window from here down ----
+        # r3-hash-green (CORRECTNESS_r03.json) entries displaced by the
+        # three new round-4 operators; their functions AND oracles are
+        # bit-identical to the r3-checked form (timeseries.py's r4 edits
+        # touch only session_overlap/funnel/moving_aggregates/asof_join,
+        # textops.py's only term_cooccurrence + split_words_stats_oracle)
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_retention": _mk_text(timeseries.retention),
+        "text_quality_score": _mk_text(textops.quality_score),
         # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -527,6 +560,11 @@ def oracle_sql() -> dict[str, str]:
         "shard_export": traindata.shard_export_oracle(),
         "centroid_assign": traindata.centroid_assign_oracle(),
         "line_dedup_stats": traindata.line_dedup_stats_oracle(),
+        "embedding_quantize": traindata.embedding_quantize_oracle(),
+        "dedup_incremental": dedup.incremental_dedup_oracle(),
+        # complete-rerank operating point: output provably equals the
+        # exact top-k (see _ann_topk_pq docstring)
+        "ann_topk_pq": similarity.brute_topk_oracle(),
         "vector_analyze": similarity.vector_analyze_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         "graph_dedup": graph.graph_dedup_oracle(),

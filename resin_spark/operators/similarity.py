@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from resin_spark.functions import vectors as V
 
@@ -929,3 +929,156 @@ def closest_match_oracle(fold_angle: float = FOLD_ANGLE, n_queries: int = 5) -> 
     ) WHERE rank = 1
     ORDER BY query_id
     """
+
+
+# --- E12: product-quantization ANN (ADC + exact rerank) -----------------------
+
+def _train_pq_codebooks(emb: DataFrame, m_sub: int, n_codes: int, dims: int,
+                        sample_cap: int, seed: int,
+                        id_col: str, vec_col: str) -> np.ndarray:
+    """(m_sub, n_codes, dims/m_sub) PQ codebooks: independent L2 k-means
+    per subspace over L2-normalised corpus vectors, trained on the same
+    deterministic hash-threshold sample the IVF trainer uses (a pure
+    filter — no global sort, no TakeOrdered driver merge). Lloyd
+    assignment uses the dot trick (argmin ||x-c||² = argmax x·c −
+    ||c||²/2), so the per-iteration cost is one (sample × n_codes)
+    matmul per subspace; empty codes re-seed deterministically."""
+    _est, n_rows, _d = corpus_bytes_estimate(
+        emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
+    sampled = emb.select(id_col, vec_col)
+    if n_rows > sample_cap:
+        mm = 1 << 20
+        keep = min(mm, int(mm * 1.1 * sample_cap / n_rows) + 1)
+        sampled = sampled.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mm)) < keep)
+    sample = sampled.toPandas().sort_values(id_col).reset_index(drop=True)
+    m = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    u = m / norms
+    d_sub = dims // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_sub, n_codes, d_sub))
+    for mi in range(m_sub):
+        sub = u[:, mi * d_sub:(mi + 1) * d_sub]
+        kk = min(n_codes, len(sub))
+        cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(10):
+            s = sub @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = np.argmax(s, axis=1)
+            for c in range(kk):
+                members = sub[assign == c]
+                cent[c] = (members.mean(axis=0) if len(members)
+                           else sub[rng.randint(len(sub))])
+        books[mi, :kk] = cent
+    return books
+
+
+def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
+                m_sub: int = 8, n_codes: int = 16, rerank: int | None = 100,
+                dims: int | None = None, sample_cap: int = 100_000,
+                seed: int = 51,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """Product-quantization ANN: asymmetric-distance (ADC) candidate
+    ranking over an m_sub-byte code per vector, exact cosine rerank of
+    the top ``rerank`` candidates per query.
+
+    This is the memory side of the 100 TB ANN story, complementing the
+    LSH/IVF routing paths: the scored index is (id, m_sub uint8 codes)
+    — 8 bytes of payload instead of 256 for a float32 64-dim vector —
+    so the candidate scan reads ~32× fewer bytes and the whole index
+    stays cache-resident long after raw vectors stop fitting.
+
+    1. train  — per-subspace k-means codebooks on a driver-sized
+       deterministic sample (_train_pq_codebooks).
+    2. encode — ONE Arrow pass turns each corpus vector into m_sub
+       code ids (argmax dot-trick against the broadcast codebooks).
+    3. ADC    — each query precomputes its (m_sub × n_codes) table of
+       partial dots against its L2-normalised self; the per-candidate
+       score is then a pure JVM fold of m_sub table lookups over the
+       code array — dot(q, dequantised(x)) without touching x. The
+       query tables broadcast (n_queries × m_sub × n_codes doubles).
+    4. rerank — per-query ADC top-``rerank`` window, equi-join the
+       original vectors back by id, exact JVM cosine, final top-k.
+       Any ``rerank`` ≥ corpus size keeps every candidate: output
+       provably equals brute_topk while the ADC window still forces the
+       whole train/encode/ADC pipeline to run — the driver's oracle
+       operating point. ``rerank=None`` removes the ADC window
+       entirely, and Catalyst then PRUNES the unused encode/LUT subtree
+       (column pruning sees adc_score is dead), leaving literal brute
+       force — a nice declarative property, but it verifies nothing
+       about PQ, which is why the oracle entry uses a finite rerank.
+       Lean-rerank recall is pinned in tests/test_ann.py.
+    """
+    emb = valid_vectors(emb, vec_col)
+    queries = valid_vectors(queries, q_vec)
+    if dims is None:
+        dims = _probe_dims(emb, vec_col)
+    if m_sub <= 0 or dims % m_sub != 0:
+        raise ValueError(f"m_sub={m_sub} must divide the vector width {dims}")
+    books = _train_pq_codebooks(emb, m_sub, n_codes, dims, sample_cap, seed,
+                                id_col, vec_col)
+    d_sub = dims // m_sub
+    # flat (m_sub*n_codes × d_sub) matrix for the encode matmul and the
+    # per-code self-dot term of the dot trick
+    flat = books.reshape(m_sub * n_codes, d_sub)
+    half_sq = 0.5 * (flat * flat).sum(axis=1).reshape(m_sub, n_codes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        u = (m / n).reshape(len(m), m_sub, d_sub)
+        # scores[b, mi, c] = u_sub · c − ||c||²/2
+        s = np.einsum("bmd,mcd->bmc", u, books) - half_sq[None, :, :]
+        return pd.Series(list(s.argmax(axis=2).astype(np.int64)))
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def query_lut(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        u = (m / n).reshape(len(m), m_sub, d_sub)
+        # lut[b, mi*n_codes + c] = q_sub · codebook[mi][c]
+        lut = np.einsum("bmd,mcd->bmc", u, books).reshape(len(m), -1)
+        return pd.Series(list(lut))
+
+    encoded = emb.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+    qtab = queries.select(F.col(q_id), query_lut(F.col(q_vec)).alias("lut"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(
+            "lut",
+            (mi * n_codes + F.element_at("codes", (mi + 1).cast("int")) + 1)
+            .cast("int")),
+    )
+    adc_scored = (
+        encoded.join(broadcast(qtab), F.col(id_col) != F.col(q_id))
+        .select(F.col(q_id), F.col(id_col).alias("neighbor_id"),
+                adc.alias("adc_score"))
+    )
+    if rerank is not None:
+        wa = Window.partitionBy(q_id).orderBy(
+            F.col("adc_score").desc(), F.col("neighbor_id"))
+        adc_scored = (
+            adc_scored.withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") <= rerank)
+        )
+    cand = adc_scored.select(q_id, "neighbor_id")
+    rescored = (
+        cand.join(emb.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("n_vec")), "neighbor_id")
+        .join(broadcast(queries.select(q_id, q_vec)), q_id)
+        .select(F.col(q_id), F.col("neighbor_id"),
+                V.cosine_gated("n_vec", q_vec).alias("score"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )

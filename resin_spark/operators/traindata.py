@@ -369,3 +369,101 @@ def line_dedup_stats_oracle(min_count: int = 2) -> str:
     FROM flagged
     GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --- int8 embedding quantization ---------------------------------------------
+
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization accounting: for each
+    vector, scale = max|x| / 127, q_i = clamp(floor(x_i/scale + 0.5),
+    -127, 127), and the report row carries the scale, the int8
+    sparsity, the L2 reconstruction error and the cosine between the
+    original and the dequantized vector.
+
+    This is the storage-side move that makes 100 TB ANN tractable: a
+    float32 corpus drops 4x (embeddings dominate index bytes), and the
+    cos_keep column is the measured evidence that scoring against
+    dequantized vectors preserves ranking geometry. The operator is a
+    single narrow projection — per-row JVM expressions only, no
+    shuffle, no UDF; at scale it pipelines into the parquet write of
+    the quantized index (int8 arrays + one float scale per row).
+
+    Cross-engine exactness: all arithmetic is double IEEE with the
+    same sequential fold order as functions/vectors.py; floor(x/s+0.5)
+    avoids round() (HALF_UP vs HALF_EVEN ambiguity across engines) and
+    the scale==0 branch (all-zero vector) is gated identically in both
+    engines. Outputs rounded once at the end.
+    """
+    xd = V.to_double(F.col("embedding"))
+    base = (
+        valid_vectors(emb)
+        .select("vec_id", xd.alias("xd"))
+        .withColumn(
+            "scale",
+            F.aggregate("xd", F.lit(0.0),
+                        lambda acc, y: F.greatest(acc, F.abs(y))) / F.lit(127.0),
+        )
+    )
+    # projection boundary: `scale` is computed once per row, not per
+    # element inside the transform lambda below
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform("xd", lambda y: F.lit(0.0)),
+    ).otherwise(
+        F.transform(
+            "xd",
+            lambda y: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0),
+                        F.floor(y / F.col("scale") + F.lit(0.5)).cast("double")),
+            ),
+        )
+    )
+    deq = F.transform("q", lambda v: v * F.col("scale"))
+    return (
+        base.withColumn("q", q)
+        .withColumn("deq", deq)
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.size(F.filter("q", lambda v: v != 0.0)).alias("n_nonzero"),
+            F.round(V.l2_distance("xd", "deq"), 9).alias("recon_err_l2"),
+            F.round(V.cosine_gated("xd", "deq"), 9).alias("cos_keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_quantize_oracle() -> str:
+    l2 = V.l2_distance_sql("xd", "deq")
+    cos = V.cosine_gated_sql("xd", "deq")
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        FROM embeddings WHERE {VALID_VECTORS_SQL}
+    ), s AS (
+        SELECT vec_id, xd,
+               list_reduce(list_transform(xd, x -> abs(x)),
+                           (a, b) -> greatest(a, b)) / 127.0 AS scale
+        FROM v
+    ), qd AS (
+        SELECT vec_id, xd, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(xd, x -> 0.0)
+                    ELSE list_transform(
+                        xd, x -> greatest(-127.0,
+                                 least(127.0, floor(x / scale + 0.5))))
+               END AS q
+        FROM s
+    ), dq AS (
+        SELECT vec_id, xd, scale, q,
+               list_transform(q, x -> x * scale) AS deq
+        FROM qd
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(len(list_filter(q, x -> x <> 0.0)) AS INT) AS n_nonzero,
+           round({l2}, 9) AS recon_err_l2,
+           round({cos}, 9) AS cos_keep
+    FROM dq ORDER BY vec_id
+    """

@@ -149,3 +149,52 @@ def test_ivf_subsampled_training_deterministic(spark):
         emb, q, n_cells=8, n_probe=4, sample_cap=64).collect()]
     assert r1 == r2
     assert len(r1) > 0
+
+
+def test_pq_complete_rerank_equals_brute_force(spark):
+    """rerank >= corpus rescores every ADC candidate exactly — PQ
+    degrades provably to brute force (the operating point the driver
+    oracle verifies) while the ADC window still executes the
+    train/encode/ADC machinery. rerank=None (no ADC window at all,
+    Catalyst prunes the encode subtree) must agree too."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    brute = [tuple(r) for r in similarity.brute_topk(emb, q).collect()]
+    pq = similarity.ann_topk_pq(emb, q, rerank=1_000_000).collect()
+    assert [tuple(r) for r in pq] == brute
+    pq_none = similarity.ann_topk_pq(emb, q, rerank=None).collect()
+    assert [tuple(r) for r in pq_none] == brute
+
+
+def test_pq_lean_rerank_recall_and_exact_scores(spark):
+    """The production operating point: ADC top-100 of ~500 candidates
+    reranked exactly. Recall@10 vs brute must clear the floor, and every
+    returned score must be the exact cosine (never the ADC estimate)."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    brute_rows = similarity.brute_topk(emb, q).collect()
+    brute = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute_rows}
+    pq = similarity.ann_topk_pq(emb, q, rerank=100).collect()
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["score"] == brute[key]
+    recall = len(set(brute) & {(r["query_id"], r["neighbor_id"]) for r in pq}) / len(brute)
+    assert recall >= 0.8, recall
+
+
+def test_pq_codebooks_deterministic(spark):
+    emb = load_tables(spark, SF)["embeddings"]
+    b1 = similarity._train_pq_codebooks(emb, 8, 16, 64, 100_000, 51,
+                                        "vec_id", "embedding")
+    b2 = similarity._train_pq_codebooks(emb, 8, 16, 64, 100_000, 51,
+                                        "vec_id", "embedding")
+    assert (b1 == b2).all()
+
+
+def test_pq_rejects_nondivisible_width(spark):
+    import pytest
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    with pytest.raises(ValueError, match="must divide"):
+        similarity.ann_topk_pq(emb, q, m_sub=7)

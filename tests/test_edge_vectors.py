@@ -38,7 +38,11 @@ EDGE_VECS = [
 VEC_QUERIES = ["vector_analyze", "label_centroids", "graph_dedup",
                "dedup_embedding", "knn_classify",
                "ann_topk_bruteforce", "closest_match", "ann_topk_ivf",
-               "centroid_assign"]
+               "centroid_assign", "embedding_quantize",
+               # complete-rerank PQ provably equals brute force on ANY
+               # table (unlike ann_topk_lsh's bucketed recall, which the
+               # comment above exempts), so the edge rows ride along
+               "ann_topk_pq"]
 
 
 @pytest.fixture(scope="module")

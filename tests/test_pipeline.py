@@ -72,3 +72,30 @@ def test_domain_mix_shares_sum_to_one(spark):
     assert sum(r["token_share"] for r in out) == pytest.approx(1.0)
     for r in out:
         assert r["temp_weight"] == pytest.approx(r["n_tokens"] ** 0.5)
+
+
+def test_incremental_dedup_matches_and_misses(spark):
+    """Odd (new) docs that copy an even (index) doc report is_dup with
+    the right best_match; unmatched new docs still appear with
+    is_dup=false; index-side duplicates never pair with each other."""
+    from resin_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # index
+            (1, "alpha beta gamma delta epsilon zeta"),   # new, dup of 0
+            (2, "one two three four five six"),           # index
+            (4, "one two three four five six"),           # index dup of 2 (no pair: same side)
+            (3, "totally different text with no overlap at all"),  # new, clean
+            (5, "one two three four five seven"),         # new, near-dup of 2/4
+            (7, "xx"),                                    # new, too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(docs).collect()}
+    assert set(out) == {1, 3, 5, 7}
+    assert out[1]["is_dup"] and out[1]["best_match"] == 0 \
+        and out[1]["best_jaccard"] == 1.0
+    assert not out[3]["is_dup"] and out[3]["best_match"] is None
+    # ties on jaccard break to the smallest index doc id
+    assert out[5]["is_dup"] and out[5]["best_match"] == 2
+    assert not out[7]["is_dup"]

@@ -248,3 +248,54 @@ def test_centroid_assign_no_corpus_shuffle_for_join(spark):
     scan_at = plan.find("Scan parquet", join_at)
     seg = plan[join_at:scan_at]
     assert "Exchange hashpartitioning" not in seg, seg
+
+
+def test_embedding_quantize_no_shuffle_pure_map(spark):
+    """Quantization accounting is a single narrow projection: one scan,
+    no hash exchange anywhere (the only exchange is the presentation
+    range sort), no Python/Arrow stage."""
+    from resin_spark.operators import traindata as td
+    df = td.embedding_quantize(load_tables(spark, SF)["embeddings"])
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_candidate_exchange_is_id_only(spark):
+    """The cross-side band join and its candidate distinct must move id
+    pairs only — the per-doc `hashes` arrays (the verify sets) join back
+    by id AFTER the candidate set collapses (the graph-dedup r3 lesson
+    applied to D7)."""
+    import re
+    docs = load_tables(spark, SF)["documents"]
+    df = dedup.incremental_dedup(docs)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    blocks = [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", plan)
+        if "hashpartitioning" in m.group(0)
+        and ("doc_new" in m.group(0) or "doc_idx" in m.group(0))
+    ]
+    assert blocks, plan[:2000]
+    for block in blocks:
+        assert "hashes" not in block, block
+
+
+def test_ann_topk_pq_broadcasts_queries_scans_codes(spark):
+    """ADC scoring broadcasts the tiny query-LUT side; no cartesian /
+    sort-merge join of the corpus against queries; the code fold is a
+    JVM expression (the only Arrow stages are encode + LUT build)."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    df = similarity.ann_topk_pq(emb, q, rerank=1_000_000)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two Arrow stages: corpus encode, query LUT (+1 more for
+    # the valid_vectors NaN gate would be a regression)
+    assert plan.count("ArrowEvalPython") == 2, plan[:3000]

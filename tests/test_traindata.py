@@ -153,3 +153,34 @@ def test_line_dedup_boilerplate_multiline(spark, tmp_path):
     got = sorted((r["doc_id"], r["n_lines"], r["n_dup_lines"], r["clean_text"])
                  for r in out.values())
     assert got == sorted(orows)
+
+
+def test_embedding_quantize_oracle(spark, tables):
+    compare(td.embedding_quantize(tables["embeddings"]),
+            td.embedding_quantize_oracle(), SF)
+
+
+def test_embedding_quantize_bounds(spark, tables):
+    """int8 reconstruction error is bounded by the quantization grid:
+    per-component error <= scale/2, so L2 error <= scale/2 * sqrt(d);
+    and quantization must keep cosine geometry nearly intact."""
+    rows = td.embedding_quantize(tables["embeddings"]).collect()
+    assert rows
+    for r in rows:
+        d = 64
+        assert r["recon_err_l2"] <= r["scale"] / 2 * (d ** 0.5) + 1e-9
+        assert r["cos_keep"] > 0.99 or r["scale"] == 0.0
+
+
+def test_embedding_quantize_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5, 0.25])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in td.embedding_quantize(emb).collect()}
+    assert out[0]["scale"] == 0.0
+    assert out[0]["n_nonzero"] == 0
+    assert out[0]["recon_err_l2"] == 0.0
+    assert out[0]["cos_keep"] == 0.0   # gated cosine on the zero vector
+    # max-abs component maps to exactly +/-127 -> reconstructs exactly
+    assert out[1]["scale"] == round(2.0 / 127.0, 9)
+    assert out[1]["n_nonzero"] == 4
