@@ -18,7 +18,7 @@ from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
     dedup, graph, kv, multimodal, pipeline, similarity, sketch, textops,
-    timeseries, traindata,
+    timeseries, tokenizer, traindata,
 )
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
@@ -261,6 +261,10 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traindata.embedding_quantize(load_tables(spark, sf_dir)["embeddings"])
 
 
+def _bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer.bpe_merge_step(load_tables(spark, sf_dir))
+
+
 def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental new-batch-vs-index near-dup. Oracle = exact cross-side
     Jaccard: candidates are exact-verified and cross-side banded recall
@@ -363,6 +367,7 @@ def queries() -> dict[str, Query]:
         "embedding_quantize": _embedding_quantize,
         "dedup_incremental": _dedup_incremental,
         "ann_topk_pq": _ann_topk_pq,
+        "bpe_merge_step": _bpe_merge_step,
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -398,7 +403,6 @@ def queries() -> dict[str, Query]:
         "events_sessionize": _events_sessionize,
         "quality_repetition": _mk_text(pipeline.quality_repetition),
         "pii_redact": _mk_text(pipeline.pii_redact),
-        "domain_mix": _mk_text(pipeline.domain_mix),
         "events_props_json": _events_props,
         "events_asof_join": _mk_text(timeseries.asof_join),
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
@@ -411,6 +415,10 @@ def queries() -> dict[str, Query]:
         "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
         "events_retention": _mk_text(timeseries.retention),
         "text_quality_score": _mk_text(textops.quality_score),
+        # domain_mix: r3-green; its function and oracle are bit-identical
+        # to the r3-checked form (pipeline.py's only r4 edit is
+        # pii_redact_oracle's escaping, and pii_redact sits in-window)
+        "domain_mix": _mk_text(pipeline.domain_mix),
         # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -562,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_stats": traindata.line_dedup_stats_oracle(),
         "embedding_quantize": traindata.embedding_quantize_oracle(),
         "dedup_incremental": dedup.incremental_dedup_oracle(),
+        "bpe_merge_step": tokenizer.bpe_merge_step_oracle(),
         # complete-rerank operating point: output provably equals the
         # exact top-k (see _ann_topk_pq docstring)
         "ann_topk_pq": similarity.brute_topk_oracle(),

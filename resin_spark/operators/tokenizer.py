@@ -1,0 +1,212 @@
+"""BPE tokenizer training at corpus scale (SURVEY.md §2 block C).
+
+The move that makes tokenizer training tractable at 100 TB is the
+word-frequency-table trick every production trainer uses: ONE corpus
+pass builds (word, count) — vocabulary-sized, millions of rows, not
+trillions — and every BPE merge iteration then runs on that small
+frame. The corpus is never re-read; merge k's cost is O(|vocab|)
+regardless of corpus bytes.
+
+Two surfaces:
+
+- ``bpe_merge_step`` — the fully-distributed single training step with
+  a bit-exact DuckDB oracle: adjacent symbol-pair frequencies over the
+  word-frequency table, ranked; the top row IS the next merge. This is
+  the driver-checkable contract for the whole counting machinery.
+- ``bpe_train`` — k merge iterations. Each iteration reads the current
+  vocab frame, picks the argmax pair (one driver scalar, same pattern
+  as the dedup convergence probe), and applies the merge with a
+  vectorized Arrow pass over the vocab frame. localCheckpoint every
+  iteration truncates the growing lineage (the dedup_components
+  recipe). Returns the ordered merge list — the artifact a tokenizer
+  ships. Pinned against a pure-Python reference BPE in
+  tests/test_tokenizer.py.
+
+Reference tie: the reference tokenizes into a lexicon of whole words
+(src/Resin.MachineLearning/LexiconBuilder.cs, Tokenizer.cs); BPE is
+the subword generalisation a training-data pipeline needs.
+
+Cross-engine exactness: the oracle-backed step restricts to
+lowercase-ASCII words (`^[a-z]+$`) so symbol slicing agrees across
+engines (Spark string ops walk UTF-16 units; DuckDB `substr` walks
+codepoints — identical only inside ASCII), and word-end markers use
+'</w>' per standard BPE so merges can't cross word boundaries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from resin_spark.functions import text as T
+
+Tables = dict[str, DataFrame]
+
+TOP_K = 50
+END = "</w>"
+
+
+def word_frequencies(t: Tables) -> DataFrame:
+    """(word, wf) over lowercase-ASCII words — the vocab-sized frame
+    all BPE iterations run on. One token explode + one shuffle on word."""
+    return (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select(F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+
+
+def _symbols(word_col):
+    """Initial BPE symbol array: chars + explicit end-of-word marker.
+    split on a non-end-anchored empty match — a bare split("") keeps a
+    trailing empty string under Spark's limit=-1 semantics."""
+    return F.concat(F.split(word_col, "(?!$)"), F.array(F.lit(END)))
+
+
+def bpe_merge_step(t: Tables, top_k: int = TOP_K) -> DataFrame:
+    """Rank adjacent symbol-pair frequencies over the word-frequency
+    table: (rank, sym_left, sym_right, pair_count). Row 1 is the pair
+    the next BPE merge would fuse.
+
+    Plan: corpus explode → word groupBy (the ONE corpus-wide shuffle),
+    then pair generation + count on the vocab frame — every pair
+    occurrence inside a word contributes that word's full corpus
+    count, which is exactly how production BPE counts (each textual
+    occurrence votes). The final top-k is a bounded single-partition
+    sort over |symbol-pairs| rows (≤ a few thousand), not corpus data.
+    """
+    wf = word_frequencies(t).select(
+        "wf", _symbols(F.col("word")).alias("syms"))
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", (i + 1).cast("int")).alias("l"),
+                    F.element_at("syms", (i + 2).cast("int")).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    counted = (
+        pairs.groupBy(F.col("p.l").alias("sym_left"),
+                      F.col("p.r").alias("sym_right"))
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "sym_left", "sym_right")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "sym_left", "sym_right", "pair_count")
+        .orderBy("rank")
+    )
+
+
+def bpe_merge_step_oracle(top_k: int = TOP_K) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH wfreq AS (
+        SELECT word, COUNT(*) AS wf FROM (
+            SELECT unnest({toks}) AS word
+            FROM documents WHERE doc_id IS NOT NULL
+        ) WHERE regexp_full_match(word, '[a-z]+')
+        GROUP BY word
+    ), pairs AS (
+        SELECT wf, p.l, p.r FROM (
+            SELECT wf,
+                   unnest(list_transform(range(1, length(word) + 1),
+                       i -> {{'l': substr(word, i, 1),
+                             'r': CASE WHEN i = length(word)
+                                       THEN '{END}'
+                                       ELSE substr(word, i + 1, 1) END}}))
+                       AS p
+            FROM wfreq
+        )
+    ), counted AS (
+        SELECT l AS sym_left, r AS sym_right, SUM(wf) AS pair_count
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT rank, sym_left, sym_right,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                                     sym_left, sym_right) AS rank
+        FROM counted
+    ) WHERE rank <= {top_k}
+    ORDER BY rank
+    """
+
+
+def _make_fuse(left: str, right: str):
+    """UDF factory: a fresh closure scope per merge so the (left, right)
+    pair is frozen at creation — the lazy checkpoint plans serialize at
+    materialisation time, and loop-scope variables would late-bind to
+    the final iteration's pair."""
+    @pandas_udf(ArrayType(StringType()))
+    def fuse(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+        return syms.map(one)
+    return fuse
+
+
+def bpe_train(t: Tables, n_merges: int = 20) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges. The corpus is read ONCE (the
+    word-frequency build); each iteration runs on the vocab-sized
+    symbol frame: count adjacent pairs, pull the argmax pair to the
+    driver (one scalar row — the convergence-probe pattern), and fuse
+    that pair in every word's symbol array with a vectorized Arrow
+    pass. localCheckpoint per iteration truncates lineage so iteration
+    k doesn't replay merges 1..k-1.
+    """
+    vocab = (
+        word_frequencies(t)
+        .select("wf", _symbols(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # fully-merged words (one symbol) can't pair again — and MUST be
+        # filtered: sequence(0, size-2) with size=1 counts DOWN, which
+        # fabricates out-of-range element_at indices (the
+        # shingle_hashes_from_tokens lesson)
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "wf",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.element_at("syms", (i + 1).cast("int")).alias("l"),
+                        F.element_at("syms", (i + 2).cast("int")).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .first()
+        )
+        if top is None or top["c"] is None:
+            break
+        merges.append((top["l"], top["r"]))
+        fuse = _make_fuse(top["l"], top["r"])
+        vocab = vocab.select("wf", fuse("syms").alias("syms")) \
+            .localCheckpoint(eager=False)
+    return merges
