@@ -1019,9 +1019,16 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
         raise ValueError(f"m_sub={m_sub} must divide the vector width {dims}")
     books = _train_pq_codebooks(emb, m_sub, n_codes, dims, sample_cap, seed,
                                 id_col, vec_col)
-    d_sub = dims // m_sub
-    # flat (m_sub*n_codes × d_sub) matrix for the encode matmul and the
-    # per-code self-dot term of the dot trick
+    encoded = emb.select(
+        F.col(id_col), _pq_encode_udf(books)(F.col(vec_col)).alias("codes"))
+    return _pq_adc_topk(encoded, books, queries, emb, k, rerank,
+                        id_col, vec_col, q_id, q_vec)
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow encoder: vector → m_sub code ids (argmax dot trick against
+    the codebooks on the L2-normalised vector)."""
+    m_sub, n_codes, d_sub = books.shape
     flat = books.reshape(m_sub * n_codes, d_sub)
     half_sq = 0.5 * (flat * flat).sum(axis=1).reshape(m_sub, n_codes)
 
@@ -1035,6 +1042,16 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
         s = np.einsum("bmd,mcd->bmc", u, books) - half_sq[None, :, :]
         return pd.Series(list(s.argmax(axis=2).astype(np.int64)))
 
+    return encode
+
+
+def _pq_adc_topk(encoded: DataFrame, books: np.ndarray, queries: DataFrame,
+                 emb: DataFrame, k: int, rerank: int | None,
+                 id_col: str, vec_col: str, q_id: str, q_vec: str) -> DataFrame:
+    """Shared ADC + exact-rerank tail: used by ann_topk_pq (fresh
+    encode) and pq_topk_indexed (codes read from a persisted index)."""
+    m_sub, n_codes, d_sub = books.shape
+
     @pandas_udf(ArrayType(DoubleType()))
     def query_lut(vecs: pd.Series) -> pd.Series:
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
@@ -1045,7 +1062,6 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
         lut = np.einsum("bmd,mcd->bmc", u, books).reshape(len(m), -1)
         return pd.Series(list(lut))
 
-    encoded = emb.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
     qtab = queries.select(F.col(q_id), query_lut(F.col(q_vec)).alias("lut"))
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m_sub - 1)),
@@ -1082,3 +1098,58 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
         .select(q_id, "rank", "neighbor_id", F.round("score", 9).alias("score"))
         .orderBy(q_id, "rank")
     )
+
+
+def write_pq_index(emb: DataFrame, path: str, m_sub: int = 8,
+                   n_codes: int = 16, dims: int | None = None,
+                   sample_cap: int = 100_000, seed: int = 51,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist a PQ index: ``{path}/codes`` holds (id, m_sub code ids) —
+    the compressed relation the candidate scan reads (~m_sub bytes of
+    payload per vector instead of 4·dims) — and ``{path}/codebooks``
+    holds the (m, c, centroid) rows that reconstruct the trained
+    codebook tensor. Train once, encode once, query forever: the write
+    is the "build the 100 TB ANN index" job, and re-running it with the
+    same seed is byte-stable (deterministic sample, seeded k-means).
+    The raw-vector corpus stays wherever it lives — the exact rerank
+    joins it back by id at query time."""
+    emb = valid_vectors(emb, vec_col)
+    if dims is None:
+        dims = _probe_dims(emb, vec_col)
+    if m_sub <= 0 or dims % m_sub != 0:
+        raise ValueError(f"m_sub={m_sub} must divide the vector width {dims}")
+    books = _train_pq_codebooks(emb, m_sub, n_codes, dims, sample_cap, seed,
+                                id_col, vec_col)
+    spark = emb.sparkSession
+    rows = [(int(mi), int(c), [float(x) for x in books[mi, c]])
+            for mi in range(books.shape[0]) for c in range(books.shape[1])]
+    spark.createDataFrame(rows, "m int, c int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    emb.select(F.col(id_col),
+               _pq_encode_udf(books)(F.col(vec_col)).alias("codes")) \
+        .write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def read_pq_index(spark, path: str):
+    """(codes DataFrame, codebooks ndarray) from a write_pq_index dir."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = max(r["m"] for r in rows) + 1
+    n_codes = max(r["c"] for r in rows) + 1
+    d_sub = len(rows[0]["centroid"])
+    books = np.zeros((m_sub, n_codes, d_sub))
+    for r in rows:
+        books[r["m"], r["c"]] = r["centroid"]
+    return spark.read.parquet(f"{path}/codes"), books
+
+
+def pq_topk_indexed(codes: DataFrame, books: np.ndarray, queries: DataFrame,
+                    emb: DataFrame, k: int = 10, rerank: int | None = 100,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """ann_topk_pq against a persisted index: the ADC candidate scan
+    reads ONLY the compressed codes relation; ``emb`` (the raw corpus)
+    is touched just for the exact rerank of the surviving candidates.
+    Identical output to ann_topk_pq with the same codebooks."""
+    return _pq_adc_topk(codes, books, valid_vectors(queries, q_vec),
+                        valid_vectors(emb, vec_col), k, rerank,
+                        id_col, vec_col, q_id, q_vec)

@@ -210,3 +210,64 @@ def bpe_train(t: Tables, n_merges: int = 20) -> list[tuple[str, str]]:
         vocab = vocab.select("wf", fuse("syms").alias("syms")) \
             .localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode(t: Tables, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges corpus-wide: (doc_id, n_words, n_subwords,
+    subword_text) — each doc's lowercase-ASCII words encoded to their
+    BPE subword sequence (space-joined, word pieces '|'-delimited).
+
+    The scale trick mirrors training: merges are applied ONCE per
+    DISTINCT word (the vocab-sized frame, a single Arrow pass with the
+    merge list in the closure — ranked merges applied in priority
+    order, exactly the trainer's semantics), and the corpus then
+    equi-joins word → encoding. The corpus-sized side never runs
+    Python; at web scale the word→encoding map is broadcast (it is a
+    vocabulary, not a corpus). Pinned against a pure-Python reference
+    encoder in tests/test_tokenizer.py.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(StringType())
+    def encode_word(words: pd.Series) -> pd.Series:
+        def one(w):
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return "|".join(syms)
+        return words.map(one)
+
+    words = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    vocab = words.select("word").distinct() \
+        .select("word", encode_word("word").alias("enc"))
+    from pyspark.sql.functions import broadcast
+    per_doc = (
+        words.join(broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size(F.split("enc", r"\|"))).alias("n_subwords"),
+            F.concat_ws(" ", F.collect_list("enc")).alias("subword_text"),
+        )
+    )
+    return per_doc.orderBy("doc_id")

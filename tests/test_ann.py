@@ -198,3 +198,18 @@ def test_pq_rejects_nondivisible_width(spark):
     q = _queries(emb)
     with pytest.raises(ValueError, match="must divide"):
         similarity.ann_topk_pq(emb, q, m_sub=7)
+
+
+def test_pq_persisted_index_matches_direct(spark, tmp_path):
+    """write → read → query must equal the direct ann_topk_pq run
+    (deterministic training makes the codebooks identical), at both the
+    lean and the complete rerank operating points."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = _queries(emb)
+    similarity.write_pq_index(emb, str(tmp_path / "pq"))
+    codes, books = similarity.read_pq_index(spark, str(tmp_path / "pq"))
+    for rer in (100, 1_000_000):
+        direct = similarity.ann_topk_pq(emb, q, rerank=rer).collect()
+        via = similarity.pq_topk_indexed(codes, books, q, emb,
+                                         rerank=rer).collect()
+        assert [tuple(r) for r in via] == [tuple(r) for r in direct]

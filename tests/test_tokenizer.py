@@ -79,3 +79,38 @@ def test_bpe_train_exhausts_gracefully(spark):
     m2 = tok.bpe_train({"documents": docs}, n_merges=50)
     assert m1 == m2
     assert ("a", "b") == m1[0]
+
+
+def test_bpe_encode_agrees_with_sequential_merges(spark):
+    """Priority-ranked encoding (bpe_encode's word UDF) must equal
+    applying the learned merges sequentially in training order — the
+    equivalence production BPE encoders rely on. One word per doc so
+    the per-doc output IS the per-word encoding."""
+    t = load_tables(spark, SF)
+    merges = tok.bpe_train(t, n_merges=30)
+    words = sorted(
+        r["word"] for r in tok.word_frequencies(t).collect())[:200]
+
+    def seq_apply(w):
+        syms = list(w) + [tok.END]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return "|".join(syms)
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tok.bpe_encode({"documents": docs}, merges).collect()}
+    for i, w in enumerate(words):
+        exp = seq_apply(w)
+        assert got[i]["subword_text"] == exp, (w, got[i]["subword_text"], exp)
+        assert got[i]["n_subwords"] == exp.count("|") + 1
+        assert got[i]["n_words"] == 1
