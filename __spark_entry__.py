@@ -368,6 +368,7 @@ def queries() -> dict[str, Query]:
         "dedup_incremental": _dedup_incremental,
         "ann_topk_pq": _ann_topk_pq,
         "bpe_merge_step": _bpe_merge_step,
+        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -401,7 +402,6 @@ def queries() -> dict[str, Query]:
         "kv_get_many": _kv_get_many,
         "kv_paginate": _kv_paginate,
         "events_sessionize": _events_sessionize,
-        "quality_repetition": _mk_text(pipeline.quality_repetition),
         "pii_redact": _mk_text(pipeline.pii_redact),
         "events_props_json": _events_props,
         "events_asof_join": _mk_text(timeseries.asof_join),
@@ -415,10 +415,12 @@ def queries() -> dict[str, Query]:
         "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
         "events_retention": _mk_text(timeseries.retention),
         "text_quality_score": _mk_text(textops.quality_score),
-        # domain_mix: r3-green; its function and oracle are bit-identical
-        # to the r3-checked form (pipeline.py's only r4 edit is
-        # pii_redact_oracle's escaping, and pii_redact sits in-window)
+        # domain_mix / quality_repetition: r3-green; functions and
+        # oracles bit-identical to the r3-checked form (pipeline.py's
+        # only r4 edit is pii_redact_oracle's escaping, and pii_redact
+        # sits in-window)
         "domain_mix": _mk_text(pipeline.domain_mix),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
         # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -571,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": traindata.embedding_quantize_oracle(),
         "dedup_incremental": dedup.incremental_dedup_oracle(),
         "bpe_merge_step": tokenizer.bpe_merge_step_oracle(),
+        "quality_perplexity_bigram": traindata.quality_perplexity_bigram_oracle(),
         # complete-rerank operating point: output provably equals the
         # exact top-k (see _ann_topk_pq docstring)
         "ann_topk_pq": similarity.brute_topk_oracle(),

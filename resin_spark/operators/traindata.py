@@ -2,7 +2,7 @@
 extensions — operators a 100 TB pretraining pipeline needs beyond the
 reference's own surface).
 
-Three operators, each with a bit-exact DuckDB oracle twin:
+Each operator has a bit-exact DuckDB oracle twin:
 
 - quality_perplexity — CCNet-style unigram-LM cross-entropy scoring.
   The corpus IS the language model (token unigram frequencies), and each
@@ -21,6 +21,12 @@ Three operators, each with a bit-exact DuckDB oracle twin:
   max-cosine centroid. The batch "label new data with the model you
   just built" step of a curation loop; also the assignment kernel an
   IVF/k-means clustering pass reuses.
+- line_dedup_stats — C4/RefinedWeb corpus-wide line-level dedup.
+- embedding_quantize — symmetric int8 quantization accounting (the 4×
+  ANN-index storage cut), a zero-shuffle narrow projection.
+- quality_perplexity_bigram — interpolated absolute-discount bigram LM
+  with Kneser-Ney continuation smoothing, self-scored; the stronger
+  two-sided quality signal beside the unigram scorer.
 
 Reference ties: cosine assignment mirrors the reference's best-hit
 search semantics (src/Resin.MachineLearning/GraphExtensions.cs:46-73
@@ -466,4 +472,174 @@ def embedding_quantize_oracle() -> str:
            round({l2}, 9) AS recon_err_l2,
            round({cos}, 9) AS cos_keep
     FROM dq ORDER BY vec_id
+    """
+
+
+# --- bigram Kneser-Ney-style perplexity --------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def quality_perplexity_bigram(t: Tables) -> DataFrame:
+    """Per-doc bits/token under an interpolated absolute-discount bigram
+    LM (Kneser-Ney continuation smoothing) trained on the corpus itself
+    — the stronger CCNet-grade quality signal beside the unigram one
+    (quality_perplexity): templated/boilerplate text scores LOW because
+    its bigrams are corpus-frequent, rare-token line noise scores HIGH.
+
+    Model (self-scored, so every scored bigram is observed — no unseen
+    branch): with instance counts c12(w1,w2), left totals c1(w1),
+    right-type fan-out N1r(w1), continuation types N1l(w2), bigram-type
+    count B and D = 0.75,
+
+        p(w2|w1) = (c12 − D + D·N1r(w1)·(N1l(w2)/B)) / c1(w1)
+
+    and each doc's FIRST token backs off to the unigram c(w)/T.
+
+    Plan shape: bigrams are built ROW-LOCALLY from the per-doc token
+    array (transform over sequence — no window, no per-doc shuffle);
+    the LM is three aggregates on (w1,w2) / w1 / w2 — vocabulary-sized
+    frames, one shuffle each — joined back to the distinct-bigram
+    frame; scoring is one corpus-side equi-join on the bigram key plus
+    the per-doc decimal-sum aggregate. No driver collect.
+
+    Cross-engine exactness: p is evaluated with an IDENTICAL operation
+    order in both engines (each step a single IEEE rounding), bits are
+    rounded once per distinct bigram/unigram type, and the per-doc mean
+    is an order-independent decimal sum (the quality_perplexity
+    recipe). D = 0.75 is binary-exact.
+    """
+    D = KN_DISCOUNT
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    # row-local bigram instances + the per-doc first token
+    bi = base.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.element_at("tk", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("tk", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    first = base.select("doc_id", F.element_at("tk", 1).alias("w"))
+
+    # LM stats: all vocabulary-sized; checkpoint the bigram-type frame —
+    # it feeds c12/N1r/N1l/B and the scoring join
+    big_types = (
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1r = big_types.groupBy("w1").agg(F.count(F.lit(1)).alias("n1r"))
+    n1l = big_types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    btot = big_types.agg(F.count(F.lit(1)).alias("b_types"))
+
+    # one bits value per distinct bigram type, identical op order to SQL:
+    # ((c12 - D) + (D * n1r) * (n1l / B)) / c1
+    bits_bi = (
+        big_types.join(c1, "w1").join(n1r, "w1").join(n1l, "w2")
+        .join(broadcast(btot))
+        .select(
+            "w1", "w2",
+            F.round(-F.log2(
+                ((F.col("c12").cast("double") - F.lit(D))
+                 + (F.lit(D) * F.col("n1r").cast("double"))
+                 * (F.col("n1l").cast("double")
+                    / F.col("b_types").cast("double")))
+                / F.col("c1").cast("double")
+            ), 6).alias("bits"),
+        )
+    )
+    # unigram stats for the first-token backoff (over ALL tokens)
+    toks = base.select(F.explode("tk").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw")) \
+        .localCheckpoint(eager=False)
+    utot = uni.agg(F.sum("cw").alias("total"))
+    bits_uni = uni.join(broadcast(utot)).select(
+        "w",
+        F.round(-F.log2(F.col("cw").cast("double")
+                        / F.col("total").cast("double")), 6).alias("bits"),
+    )
+    scored = (
+        bi.join(bits_bi, ["w1", "w2"]).select("doc_id", "bits")
+        .unionByName(first.join(bits_uni, "w").select("doc_id", "bits"))
+    )
+    # report the EXACT decimal total (6dp grid → integer*1e-6, always an
+    # exact double) rather than a rounded mean: one sf0.001 doc's mean
+    # sat on a .0000005 round-half boundary where Spark and DuckDB
+    # resolve the double's representation differently — the sum has no
+    # boundary to disagree on, and bits/token is total/n for any consumer
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            exact.dsum("bits", scale=6, precision=18).alias("bits_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_perplexity_bigram_oracle() -> str:
+    toks = T.tokens_sql("text")
+    D = KN_DISCOUNT
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS tk
+        FROM documents WHERE doc_id IS NOT NULL
+    ), docs1 AS (
+        SELECT doc_id, tk FROM base WHERE len(tk) >= 1
+    ), bi AS (
+        SELECT doc_id, p.w1, p.w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                       i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS p
+            FROM docs1 WHERE len(tk) >= 2
+        )
+    ), first_tok AS (
+        SELECT doc_id, tk[1] AS w FROM docs1
+    ), big_types AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+    ), n1r AS (
+        SELECT w1, COUNT(*) AS n1r FROM big_types GROUP BY 1
+    ), n1l AS (
+        SELECT w2, COUNT(*) AS n1l FROM big_types GROUP BY 1
+    ), btot AS (
+        SELECT COUNT(*) AS b_types FROM big_types
+    ), bits_bi AS (
+        SELECT bt.w1, bt.w2,
+               round(-log2(
+                   ((CAST(bt.c12 AS DOUBLE) - {D})
+                    + ({D} * CAST(n1r.n1r AS DOUBLE))
+                    * (CAST(n1l.n1l AS DOUBLE) / CAST(btot.b_types AS DOUBLE)))
+                   / CAST(c1.c1 AS DOUBLE)), 6) AS bits
+        FROM big_types bt
+        JOIN c1 USING (w1) JOIN n1r USING (w1) JOIN n1l USING (w2), btot
+    ), uni AS (
+        SELECT w, COUNT(*) AS cw FROM (
+            SELECT unnest(tk) AS w FROM docs1
+        ) GROUP BY 1
+    ), utot AS (
+        SELECT SUM(cw) AS total FROM uni
+    ), bits_uni AS (
+        SELECT w, round(-log2(CAST(cw AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                   AS bits
+        FROM uni, utot
+    ), scored AS (
+        SELECT doc_id, bits FROM bi JOIN bits_bi USING (w1, w2)
+        UNION ALL
+        SELECT doc_id, bits FROM first_tok JOIN bits_uni USING (w)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           {exact.dsum_sql("bits", scale=6, precision=18)} AS bits_total
+    FROM scored GROUP BY doc_id ORDER BY doc_id
     """

@@ -28,7 +28,7 @@ DOC_QUERIES = [
     "dedup_components", "pack_sequences", "contamination_check",
     # r4 traindata block
     "quality_perplexity", "shard_export", "line_dedup_stats",
-    "dedup_incremental", "bpe_merge_step",
+    "dedup_incremental", "bpe_merge_step", "quality_perplexity_bigram",
 ]
 
 EDGE_DOCS = [

@@ -184,3 +184,34 @@ def test_embedding_quantize_zero_vector(spark):
     # max-abs component maps to exactly +/-127 -> reconstructs exactly
     assert out[1]["scale"] == round(2.0 / 127.0, 9)
     assert out[1]["n_nonzero"] == 4
+
+
+def test_quality_perplexity_bigram_oracle(spark, tables):
+    compare(td.quality_perplexity_bigram(tables),
+            td.quality_perplexity_bigram_oracle(), SF)
+
+
+def test_bigram_perplexity_separates_template_from_noise(spark):
+    """The signal the filter exists for: a doc made of corpus-frequent
+    bigrams must score fewer bits/token than a doc of one-off word
+    salad on the same corpus."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((10, "zxq plomb vrenk daft quolling snerp walv"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bits_total"] / r["n_tokens"]
+           for r in td.quality_perplexity_bigram({"documents": docs}).collect()}
+    assert out[0] < out[10]
+
+
+def test_bigram_perplexity_single_token_docs(spark):
+    """A one-token doc is scored entirely by the unigram backoff; a
+    zero-token doc vanishes — in both engines (edge harness covers the
+    oracle side)."""
+    docs = spark.createDataFrame(
+        [(0, "hello"), (1, ""), (2, "hello world")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           td.quality_perplexity_bigram({"documents": docs}).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["n_tokens"] == 1
+    assert out[2]["n_tokens"] == 2
