@@ -537,7 +537,10 @@ def quality_perplexity_bigram(t: Tables) -> DataFrame:
         bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
         .localCheckpoint(eager=False)
     )
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1(w1) = Σ_w2 c12(w1,w2): derived from the checkpointed bigram
+    # types instead of re-scanning the corpus (measured: 3 → 2 documents
+    # scans in the final plan)
+    c1 = big_types.groupBy("w1").agg(F.sum("c12").alias("c1"))
     n1r = big_types.groupBy("w1").agg(F.count(F.lit(1)).alias("n1r"))
     n1l = big_types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
     btot = big_types.agg(F.count(F.lit(1)).alias("b_types"))

@@ -299,3 +299,14 @@ def test_ann_topk_pq_broadcasts_queries_scans_codes(spark):
     # exactly two Arrow stages: corpus encode, query LUT (+1 more for
     # the valid_vectors NaN gate would be a regression)
     assert plan.count("ArrowEvalPython") == 2, plan[:3000]
+
+
+def test_bigram_perplexity_two_scoring_scans(spark):
+    """The final bigram-LM plan re-reads documents only for the two
+    scoring streams (bigram join + first-token join); every LM
+    statistic, including c1 (= sum of c12 over the checkpointed bigram
+    types), comes from materialised vocab-sized frames."""
+    from resin_spark.operators import traindata as td
+    df = td.quality_perplexity_bigram(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert plan.count("documents.parquet") == 2, plan[:3000]
