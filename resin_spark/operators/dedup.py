@@ -763,6 +763,21 @@ def incremental_dedup(docs: DataFrame, n: int = 3, num_perm: int = 128,
     grouped, bands_df = lsh_index(base, n, num_perm, bands, seed)
     new_bands = bands_df.filter(F.col("doc_id") % 2 == 1)
     idx_bands = bands_df.filter(F.col("doc_id") % 2 == 0)
+    new_hashes = grouped.filter(F.col("doc_id") % 2 == 1)
+    idx_hashes = grouped.filter(F.col("doc_id") % 2 == 0)
+    new_ids = base.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return _incremental_verdicts(new_ids, new_bands, new_hashes,
+                                 idx_bands, idx_hashes, tau)
+
+
+def _incremental_verdicts(new_ids: DataFrame, new_bands: DataFrame,
+                          new_hashes: DataFrame, idx_bands: DataFrame,
+                          idx_hashes: DataFrame, tau: float) -> DataFrame:
+    """Shared tail of incremental dedup: cross-side band join → id-only
+    candidate distinct → exact-Jaccard verify against the two hash-set
+    frames → per-new-doc argmax → left join back to the batch roster.
+    Used by incremental_dedup (in-memory split) and
+    incremental_dedup_indexed (index side read from parquet)."""
     a = new_bands.alias("a")
     b = idx_bands.alias("b")
     candidates = (
@@ -772,10 +787,10 @@ def incremental_dedup(docs: DataFrame, n: int = 3, num_perm: int = 128,
                 F.col("b.doc_id").alias("doc_idx"))
         .distinct()
     )
-    sn = grouped.select(F.col("doc_id").alias("doc_new"),
-                        F.col("hashes").alias("sh_n"))
-    si = grouped.select(F.col("doc_id").alias("doc_idx"),
-                        F.col("hashes").alias("sh_i"))
+    sn = new_hashes.select(F.col("doc_id").alias("doc_new"),
+                           F.col("hashes").alias("sh_n"))
+    si = idx_hashes.select(F.col("doc_id").alias("doc_idx"),
+                           F.col("hashes").alias("sh_i"))
     pairs = (
         candidates.join(sn, "doc_new").join(si, "doc_idx")
         .withColumn(
@@ -792,9 +807,8 @@ def incremental_dedup(docs: DataFrame, n: int = 3, num_perm: int = 128,
         .filter(F.col("rn") == 1)
         .select("doc_new", "doc_idx", "jaccard")
     )
-    new_docs = base.filter(F.col("doc_id") % 2 == 1).select("doc_id")
     return (
-        new_docs.join(best, new_docs["doc_id"] == best["doc_new"], "left")
+        new_ids.join(best, new_ids["doc_id"] == best["doc_new"], "left")
         .select(
             "doc_id",
             F.col("doc_new").isNotNull().alias("is_dup"),
@@ -803,6 +817,48 @@ def incremental_dedup(docs: DataFrame, n: int = 3, num_perm: int = 128,
         )
         .orderBy("doc_id")
     )
+
+
+def write_dedup_index(docs: DataFrame, path: str, n: int = 3,
+                      num_perm: int = 128, bands: int = 32,
+                      seed: int = 42) -> None:
+    """Persist the minhash-LSH dedup index of a corpus: ``{path}/hashes``
+    = (doc_id, hashes) exact-verify sets, ``{path}/bands`` =
+    (doc_id, band, band_hash) bucket postings partitioned by band —
+    a probe for band b prunes to its directory, and within it the
+    band_hash equi-join is the only work. This is the bootstrap step
+    of continuous-ingest dedup: later runs sign ONLY their new batch
+    and join it against this stored relation
+    (incremental_dedup_indexed) — the whole-corpus shingle/signature
+    pass never happens again."""
+    grouped, bands_df = lsh_index(docs.filter(F.col("doc_id").isNotNull()),
+                                  n, num_perm, bands, seed)
+    grouped.write.mode("overwrite").parquet(f"{path}/hashes")
+    bands_df.repartition("band").write.mode("overwrite") \
+        .partitionBy("band").parquet(f"{path}/bands")
+
+
+def read_dedup_index(spark, path: str):
+    """(hashes_frame, bands_frame) from a write_dedup_index directory."""
+    return (spark.read.parquet(f"{path}/hashes"),
+            spark.read.parquet(f"{path}/bands"))
+
+
+def incremental_dedup_indexed(new_docs: DataFrame, idx_hashes: DataFrame,
+                              idx_bands: DataFrame, n: int = 3,
+                              num_perm: int = 128, bands: int = 32,
+                              tau: float = 0.5, seed: int = 42) -> DataFrame:
+    """incremental_dedup against a PERSISTED index: only ``new_docs``
+    is shingled/signed (one Arrow pass over the batch); the index side
+    is two parquet scans. Per-run cost is O(batch) + the bucketed band
+    join — the production continuous-ingest shape the parity-split demo
+    models. Same output schema and semantics as incremental_dedup;
+    seed/n/num_perm/bands must match the values the index was written
+    with."""
+    base = new_docs.filter(F.col("doc_id").isNotNull())
+    new_hashes, new_bands = lsh_index(base, n, num_perm, bands, seed)
+    return _incremental_verdicts(base.select("doc_id"), new_bands,
+                                 new_hashes, idx_bands, idx_hashes, tau)
 
 
 def incremental_dedup_oracle(n: int = 3, tau: float = 0.5) -> str:

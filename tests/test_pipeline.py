@@ -99,3 +99,37 @@ def test_incremental_dedup_matches_and_misses(spark):
     # ties on jaccard break to the smallest index doc id
     assert out[5]["is_dup"] and out[5]["best_match"] == 2
     assert not out[7]["is_dup"]
+
+
+def test_incremental_dedup_indexed_matches_inmemory(spark, tmp_path):
+    """Bootstrap the persisted index from the even (index) half, run
+    the odd (new) half against it — verdicts must equal the in-memory
+    parity-split operator row-for-row, and the new-batch side must be
+    the ONLY subtree with Python stages (the index side is pure parquet
+    scans)."""
+    from pyspark.sql import functions as F
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.write_dedup_index(evens, str(tmp_path / "didx"))
+    ih, ib = dedup.read_dedup_index(spark, str(tmp_path / "didx"))
+    via = dedup.incremental_dedup_indexed(odds, ih, ib)
+    direct = dedup.incremental_dedup(docs)
+    assert [tuple(r) for r in via.collect()] == \
+        [tuple(r) for r in direct.collect()]
+    # index side reads the stored parquet relations; the new batch's
+    # signature pass lives behind the two checkpointed lsh_index frames
+    # (hash sets + band postings), so the final plan holds exactly two
+    # ExistingRDD scans and the index path's parquet scans — no
+    # signature UDF ever touches the index side
+    # AQE's executed plan repeats every node under "== Initial Plan ==";
+    # assert on the final section only. 3 parquet scans: the new-batch
+    # roster + the index's hashes and bands relations; 2 ExistingRDD
+    # scans: the new batch's checkpointed signature frames (the only
+    # place the shingle/signature UDF ran)
+    plan = via._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 3, final[:3000]
+    assert final.count("Scan ExistingRDD") == 2, final[:3000]
