@@ -1110,7 +1110,8 @@ def write_pq_index(emb: DataFrame, path: str, m_sub: int = 8,
     holds the (m, c, centroid) rows that reconstruct the trained
     codebook tensor. Train once, encode once, query forever: the write
     is the "build the 100 TB ANN index" job, and re-running it with the
-    same seed is byte-stable (deterministic sample, seeded k-means).
+    same seed reproduces identical codebooks and codes (deterministic
+    hash-threshold sample, seeded k-means).
     The raw-vector corpus stays wherever it lives — the exact rerank
     joins it back by id at query time."""
     emb = valid_vectors(emb, vec_col)
