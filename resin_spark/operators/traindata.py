@@ -480,6 +480,82 @@ def embedding_quantize_oracle() -> str:
 KN_DISCOUNT = 0.75
 
 
+def _doc_token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, tk): per-doc token arrays, zero-token docs dropped."""
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+
+
+def _bigram_instances(base: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): row-local adjacent bigrams — transform over
+    sequence, no window, no per-doc shuffle."""
+    return base.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.element_at("tk", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("tk", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+
+
+def bigram_bits_frames(base: DataFrame):
+    """(bits_bi, bits_uni): the KN bigram LM as two vocabulary-sized
+    frames — (w1, w2, bits) for every observed bigram type and
+    (w, bits) for every unigram — shared by the batch scorer and the
+    streaming artifact build (streaming/quality.py). ``base`` is a
+    _doc_token_arrays frame. All stats derive from ONE checkpointed
+    bigram-type frame plus one unigram aggregate; the bits expression
+    keeps a fixed IEEE operation order so both engines and both
+    consumers agree bit-for-bit."""
+    D = KN_DISCOUNT
+    bi = _bigram_instances(base)
+    big_types = (
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    # c1(w1) = Σ_w2 c12(w1,w2): derived from the checkpointed bigram
+    # types instead of re-scanning the corpus (measured: 3 → 2 documents
+    # scans in the final plan)
+    c1 = big_types.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    n1r = big_types.groupBy("w1").agg(F.count(F.lit(1)).alias("n1r"))
+    n1l = big_types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    btot = big_types.agg(F.count(F.lit(1)).alias("b_types"))
+    # one bits value per distinct bigram type, identical op order to SQL:
+    # ((c12 - D) + (D * n1r) * (n1l / B)) / c1
+    bits_bi = (
+        big_types.join(c1, "w1").join(n1r, "w1").join(n1l, "w2")
+        .join(broadcast(btot))
+        .select(
+            "w1", "w2", "c12",
+            F.round(-F.log2(
+                ((F.col("c12").cast("double") - F.lit(D))
+                 + (F.lit(D) * F.col("n1r").cast("double"))
+                 * (F.col("n1l").cast("double")
+                    / F.col("b_types").cast("double")))
+                / F.col("c1").cast("double")
+            ), 6).alias("bits"),
+        )
+    )
+    toks = base.select(F.explode("tk").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw")) \
+        .localCheckpoint(eager=False)
+    utot = uni.agg(F.sum("cw").alias("total"))
+    bits_uni = uni.join(broadcast(utot)).select(
+        "w", "cw", "total",
+        F.round(-F.log2(F.col("cw").cast("double")
+                        / F.col("total").cast("double")), 6).alias("bits"),
+    )
+    return bits_bi, bits_uni
+
+
 def quality_perplexity_bigram(t: Tables) -> DataFrame:
     """Per-doc bits/token under an interpolated absolute-discount bigram
     LM (Kneser-Ney continuation smoothing) trained on the corpus itself
@@ -509,68 +585,10 @@ def quality_perplexity_bigram(t: Tables) -> DataFrame:
     is an order-independent decimal sum (the quality_perplexity
     recipe). D = 0.75 is binary-exact.
     """
-    D = KN_DISCOUNT
-    base = (
-        t["documents"]
-        .filter(F.col("doc_id").isNotNull())
-        .select("doc_id", T.tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 1)
-    )
-    # row-local bigram instances + the per-doc first token
-    bi = base.filter(F.size("tk") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - 2),
-                lambda i: F.struct(
-                    F.element_at("tk", (i + 1).cast("int")).alias("w1"),
-                    F.element_at("tk", (i + 2).cast("int")).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    base = _doc_token_arrays(t["documents"])
+    bi = _bigram_instances(base)
     first = base.select("doc_id", F.element_at("tk", 1).alias("w"))
-
-    # LM stats: all vocabulary-sized; checkpoint the bigram-type frame —
-    # it feeds c12/N1r/N1l/B and the scoring join
-    big_types = (
-        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
-    )
-    # c1(w1) = Σ_w2 c12(w1,w2): derived from the checkpointed bigram
-    # types instead of re-scanning the corpus (measured: 3 → 2 documents
-    # scans in the final plan)
-    c1 = big_types.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    n1r = big_types.groupBy("w1").agg(F.count(F.lit(1)).alias("n1r"))
-    n1l = big_types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
-    btot = big_types.agg(F.count(F.lit(1)).alias("b_types"))
-
-    # one bits value per distinct bigram type, identical op order to SQL:
-    # ((c12 - D) + (D * n1r) * (n1l / B)) / c1
-    bits_bi = (
-        big_types.join(c1, "w1").join(n1r, "w1").join(n1l, "w2")
-        .join(broadcast(btot))
-        .select(
-            "w1", "w2",
-            F.round(-F.log2(
-                ((F.col("c12").cast("double") - F.lit(D))
-                 + (F.lit(D) * F.col("n1r").cast("double"))
-                 * (F.col("n1l").cast("double")
-                    / F.col("b_types").cast("double")))
-                / F.col("c1").cast("double")
-            ), 6).alias("bits"),
-        )
-    )
-    # unigram stats for the first-token backoff (over ALL tokens)
-    toks = base.select(F.explode("tk").alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw")) \
-        .localCheckpoint(eager=False)
-    utot = uni.agg(F.sum("cw").alias("total"))
-    bits_uni = uni.join(broadcast(utot)).select(
-        "w",
-        F.round(-F.log2(F.col("cw").cast("double")
-                        / F.col("total").cast("double")), 6).alias("bits"),
-    )
+    bits_bi, bits_uni = bigram_bits_frames(base)
     scored = (
         bi.join(bits_bi, ["w1", "w2"]).select("doc_id", "bits")
         .unionByName(first.join(bits_uni, "w").select("doc_id", "bits"))

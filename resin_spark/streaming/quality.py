@@ -117,3 +117,101 @@ def stream_quality_score(spark: SparkSession, docs_parquet_dir: str,
     return stream.select("doc_id", "text").mapInPandas(
         score, "doc_id long, n_tokens long, bits_per_token double"
     )
+
+
+BIGRAM_CAP = 1 << 18
+
+
+def build_bigram_lm(docs: DataFrame, bigram_cap: int = BIGRAM_CAP,
+                    vocab_cap: int = VOCAB_CAP):
+    """(bits_by_bigram, bits_by_token, oov_bits): the frozen KN-bigram
+    scorer artifact (streaming twin of traindata.quality_perplexity_bigram).
+
+    Bigram and unigram bits come from the SAME DataFrame expressions the
+    batch operator scores with (traindata.bigram_bits_frames), so
+    streaming scores over fully-covered text equal the batch output
+    bit-for-bit. The bigram table keeps the ``bigram_cap`` highest-c12
+    types (ties: (w1, w2) asc), the unigram table the ``vocab_cap``
+    highest-tf tokens; both collects are vocabulary-sized, never
+    corpus-sized. Backoff at score time: an unseen bigram falls back to
+    the unigram bits of its RIGHT word (stupid backoff, α = 1), an
+    unseen word to the singleton OOV prior — same spirit as the unigram
+    twin's prior, and irrelevant to the batch-parity pin, which covers
+    the full vocabulary.
+    """
+    import math as _math
+
+    from pyspark.sql import functions as FF
+
+    from resin_spark.operators import traindata as td
+
+    base = td._doc_token_arrays(docs)
+    bits_bi, bits_uni = td.bigram_bits_frames(base)
+    bi_rows = (
+        bits_bi.orderBy(FF.col("c12").desc(), "w1", "w2")
+        .limit(bigram_cap).select("w1", "w2", "bits").collect()
+    )
+    uni_rows = (
+        bits_uni.orderBy(FF.col("cw").desc(), "w")
+        .limit(vocab_cap).select("w", "bits", "total").collect()
+    )
+    bits_by_bigram = {(r["w1"], r["w2"]): r["bits"] for r in bi_rows}
+    bits_by_token = {r["w"]: r["bits"] for r in uni_rows}
+    total = uni_rows[0]["total"] if uni_rows else 1
+    oov_bits = round(-_math.log2(1.0 / total), 6)
+    return bits_by_bigram, bits_by_token, oov_bits
+
+
+def stream_quality_score_bigram(spark: SparkSession, docs_parquet_dir: str,
+                                lm_docs: DataFrame,
+                                bigram_cap: int = BIGRAM_CAP,
+                                vocab_cap: int = VOCAB_CAP) -> DataFrame:
+    """Score a document stream with the frozen bigram LM:
+    (doc_id, n_tokens, bits_total), append mode.
+
+    Per-row scoring only (tokenise → first-token unigram lookup +
+    adjacent-bigram lookups → exact integer micro-bits sum) — no
+    watermark, no state, no stream-side shuffle. bits_total is an
+    integer number of micro-bits divided by 1e6 — exactly the batch
+    operator's decimal(18,6) sum — so on a shared-vocabulary corpus the
+    emitted rows equal the batch quality_perplexity_bigram output
+    row-for-row (pinned in tests/test_streaming_io.py).
+    """
+    import pandas as pd
+
+    bits_bi, bits_uni, oov = build_bigram_lm(lm_docs, bigram_cap, vocab_cap)
+    bc = spark.sparkContext.broadcast((bits_bi, bits_uni, oov))
+    tokenize_re = T.TOKEN_SPLIT_RE
+
+    def score(batches):
+        import re
+        table_bi, table_uni, oov_bits = bc.value
+        splitter = re.compile(tokenize_re)
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or text is None:
+                    continue
+                toks = [t for t in splitter.split(text.lower()) if t]
+                if not toks:
+                    continue
+                micro = int(round(
+                    table_uni.get(toks[0], oov_bits) * 1e6))
+                for w1, w2 in zip(toks, toks[1:]):
+                    b = table_bi.get((w1, w2))
+                    if b is None:
+                        b = table_uni.get(w2, oov_bits)
+                    micro += int(round(b * 1e6))
+                out.append((doc_id, len(toks), float(micro) / 1e6))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_tokens", "bits_total"])
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return stream.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, n_tokens long, bits_total double"
+    )

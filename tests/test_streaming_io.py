@@ -491,3 +491,69 @@ def test_stream_quality_score_oov_prior(spark, tmp_path):
     # vocab_cap=1 keeps only 'aa'; 'bb' now scores the prior
     bits1, oov1 = q.build_unigram_lm(lm_docs, vocab_cap=1)
     assert set(bits1) == {"aa"} and oov1 == oov
+
+
+def test_stream_bigram_score_matches_batch(spark, tmp_path):
+    """Ingestion-time KN-bigram scoring with a frozen artifact must emit
+    exactly the batch quality_perplexity_bigram rows when the stream is
+    the corpus the LM was built from (full bigram coverage)."""
+    from resin_spark.operators import traindata as td
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    batch = {r["doc_id"]: (r["n_tokens"], r["bits_total"])
+             for r in td.quality_perplexity_bigram(t).collect()}
+    assert batch
+
+    src_dir = tmp_path / "docs_bi"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0000.parquet")
+    sq = (
+        q.stream_quality_score_bigram(spark, str(src_dir), t["documents"])
+        .writeStream.format("memory")
+        .queryName("bigram_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bi"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_total"])
+           for r in spark.sql("SELECT * FROM bigram_stream").collect()}
+    assert got == batch
+
+
+def test_stream_bigram_backoff_and_oov(spark, tmp_path):
+    """An unseen bigram backs off to its right word's unigram bits; an
+    unseen word scores the OOV prior — scoring is total, never a KeyError."""
+    import math
+
+    from resin_spark.streaming import quality as q
+
+    lm_docs = spark.createDataFrame(
+        [(0, "aa bb aa bb"), (1, "bb cc")], "doc_id long, text string")
+    bi, uni, oov = q.build_bigram_lm(lm_docs)
+    assert ("aa", "bb") in bi and ("bb", "cc") in bi
+    assert oov == round(-math.log2(1 / 6), 6)
+
+    src = tmp_path / "docs_bo"
+    src.mkdir()
+    spark.createDataFrame(
+        [(7, "cc aa zz")],  # (cc,aa) unseen bigram; zz unseen word
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    sq = (
+        q.stream_quality_score_bigram(spark, str(src), lm_docs)
+        .writeStream.format("memory").queryName("bigram_backoff")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bo")).start()
+    )
+    sq.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bigram_backoff").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_tokens"] == 3
+    # first token cc: unigram; (cc,aa) unseen -> unigram(aa); (aa,zz) -> oov
+    exp = (int(round(uni["cc"] * 1e6)) + int(round(uni["aa"] * 1e6))
+           + int(round(oov * 1e6))) / 1e6
+    assert r["bits_total"] == exp
