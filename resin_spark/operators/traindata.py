@@ -664,3 +664,58 @@ def quality_perplexity_bigram_oracle() -> str:
            {exact.dsum_sql("bits", scale=6, precision=18)} AS bits_total
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --- n-gram novelty scoring --------------------------------------------------
+
+def ngram_novelty(t: Tables, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): per doc, the share of its
+    distinct word n-grams that occur NOWHERE else in the corpus
+    (corpus document frequency 1) — the diversity/novelty signal a
+    data-mixing pass weighs against dedup pressure: boilerplate-heavy
+    docs score near 0, genuinely fresh text near 1.
+
+    Reuses the dedup suite's shingle frame (distinct n-grams per doc,
+    hashed to 8-byte longs before the df shuffle): one groupBy on the
+    shingle hash for corpus df, a join back, and a per-doc aggregate —
+    the exact cost profile of contamination_check, linear at 100 TB.
+    The ratio is one IEEE division of two exact longs, identical in
+    both engines. Docs with fewer than n tokens vanish (no shingles),
+    matching the shingles() contract.
+    """
+    from resin_spark.operators.dedup import shingles
+    sh = shingles(t["documents"].filter(F.col("doc_id").isNotNull()), n) \
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_oracle(n: int = 3) -> str:
+    from resin_spark.operators.dedup import _shingles_sql
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, shingle
+        FROM ({_shingles_sql(n)}) WHERE doc_id IS NOT NULL
+    ), dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               / COUNT(*) AS novelty
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY doc_id ORDER BY doc_id
+    """

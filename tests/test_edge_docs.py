@@ -29,6 +29,7 @@ DOC_QUERIES = [
     # r4 traindata block
     "quality_perplexity", "shard_export", "line_dedup_stats",
     "dedup_incremental", "bpe_merge_step", "quality_perplexity_bigram",
+    "ngram_novelty",
 ]
 
 EDGE_DOCS = [

@@ -215,3 +215,26 @@ def test_bigram_perplexity_single_token_docs(spark):
     assert set(out) == {0, 2}
     assert out[0]["n_tokens"] == 1
     assert out[2]["n_tokens"] == 2
+
+
+def test_ngram_novelty_oracle(spark, tables):
+    compare(td.ngram_novelty(tables), td.ngram_novelty_oracle(), SF)
+
+
+def test_ngram_novelty_duplicates_score_zero(spark):
+    """Exact duplicates share every shingle (df 2) -> novelty 0; a
+    unique doc scores 1; short docs (< n tokens) vanish."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),     # exact dup of 0
+            (2, "utterly novel text right here"),
+            (3, "too short"),                  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           td.ngram_novelty({"documents": docs}).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
