@@ -370,6 +370,7 @@ def queries() -> dict[str, Query]:
         "bpe_merge_step": _bpe_merge_step,
         "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
         "ngram_novelty": _mk_text(traindata.ngram_novelty),
+        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -394,7 +395,6 @@ def queries() -> dict[str, Query]:
         "split_words_stats": _mk_text(textops.split_words_stats),
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
-        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
         # kv.py / events.py null-gating changed these three's oracles in
         # round 4 — they need fresh driver rows, so they trade places
@@ -421,10 +421,12 @@ def queries() -> dict[str, Query]:
         # sits in-window)
         "domain_mix": _mk_text(pipeline.domain_mix),
         "quality_repetition": _mk_text(pipeline.quality_repetition),
-        # pipeline_curate: r3-green; textops.py's r4 edits touch only
-        # term_cooccurrence + split_words_stats_oracle — this function
-        # and its oracle are bit-identical to the r3-checked form
+        # pipeline_curate / tfidf_topterms: r3-green; textops.py's r4
+        # edits touch only term_cooccurrence + split_words_stats_oracle
+        # — these functions and their oracles are bit-identical to the
+        # r3-checked form
         "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
         # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -579,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_step": tokenizer.bpe_merge_step_oracle(),
         "quality_perplexity_bigram": traindata.quality_perplexity_bigram_oracle(),
         "ngram_novelty": traindata.ngram_novelty_oracle(),
+        "dup_span_coverage": traindata.dup_span_coverage_oracle(),
         # complete-rerank operating point: output provably equals the
         # exact top-k (see _ann_topk_pq docstring)
         "ann_topk_pq": similarity.brute_topk_oracle(),

@@ -719,3 +719,135 @@ def ngram_novelty_oracle(n: int = 3) -> str:
     FROM sh JOIN dfreq USING (shingle)
     GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --- duplicated-span coverage (exact substring-dedup accounting) -------------
+
+SPAN_K = 10
+
+
+def dup_span_coverage(t: Tables, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, covered_tokens, dup_fraction): per doc, how
+    many token positions sit inside at least one ``k``-gram that occurs
+    ≥ 2 times in the whole corpus (counting within-doc repeats) — the
+    accounting pass of exact substring deduplication (the "dedup
+    training data at the span level" move): dup_fraction ≈ 0 means the
+    doc is substring-fresh, ≈ 1 means it is assembled from text that
+    exists elsewhere.
+
+    Plan: positional k-grams are built ROW-LOCALLY from the per-doc
+    token array; the only corpus-wide shuffle is the k-gram df count
+    (grams move as xxhash64 longs); duplicated occurrences come back as
+    (doc_id, pos) intervals [pos, pos+k-1], and per-doc coverage is a
+    classic gaps-and-islands merge — running-max-of-end window keyed by
+    doc_id, so no interval self-join and no driver work. Cost is linear
+    in corpus tokens; the df key is skewed exactly on boilerplate
+    spans (AQE skew-split territory), like every dedup join here.
+
+    Exactness: pure integer arithmetic until the final one-division
+    dup_fraction; the oracle mirrors the same island construction on
+    k-gram STRINGS (hashes are an internal shuffle-width optimisation —
+    df counts agree because xxhash64 is collision-free at any
+    realistic corpus). Docs with fewer than k tokens report coverage 0;
+    zero-token docs vanish (the suite's explode semantics).
+    """
+    base = _doc_token_arrays(t["documents"])
+    grams = base.filter(F.size("tk") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(F.concat_ws(
+                        " ", F.slice("tk", (i + 1).cast("int"), k))).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+    dfreq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        grams.join(dfreq.filter(F.col("df") >= 2), "h")
+        .select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("end"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "new_island",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+            .otherwise(0))
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("pos") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("covered_tokens"))
+    )
+    counts = base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    return (
+        counts.join(islands, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"))
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_coverage_oracle(k: int = SPAN_K) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS tk
+        FROM documents WHERE doc_id IS NOT NULL
+    ), docs1 AS (
+        SELECT doc_id, tk FROM base WHERE len(tk) >= 1
+    ), grams AS (
+        SELECT doc_id, g.pos, g.gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) - {k} + 2),
+                       i -> {{'pos': i - 1,
+                             'gram': array_to_string(tk[i : i + {k} - 1], ' ')}}))
+                       AS g
+            FROM docs1 WHERE len(tk) >= {k}
+        )
+    ), dfreq AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT doc_id, pos, pos + {k} - 1 AS "end"
+        FROM grams WHERE gram IN (SELECT gram FROM dfreq)
+    ), flagged AS (
+        SELECT doc_id, pos, "end",
+               CASE WHEN MAX("end") OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR pos > MAX("end") OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ), islands AS (
+        SELECT doc_id,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island,
+               pos, "end"
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, island, MAX("end") - MIN(pos) + 1 AS span_len
+        FROM islands GROUP BY doc_id, island
+    ), covered AS (
+        SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS covered_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           COALESCE(c.covered_tokens, 0) / CAST(len(d.tk) AS BIGINT)
+               AS dup_fraction
+    FROM docs1 d LEFT JOIN covered c USING (doc_id)
+    ORDER BY d.doc_id
+    """

@@ -29,7 +29,7 @@ DOC_QUERIES = [
     # r4 traindata block
     "quality_perplexity", "shard_export", "line_dedup_stats",
     "dedup_incremental", "bpe_merge_step", "quality_perplexity_bigram",
-    "ngram_novelty",
+    "ngram_novelty", "dup_span_coverage",
 ]
 
 EDGE_DOCS = [

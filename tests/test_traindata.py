@@ -238,3 +238,33 @@ def test_ngram_novelty_duplicates_score_zero(spark):
     assert set(out) == {0, 1, 2}
     assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
     assert out[2]["novelty"] == 1.0
+
+
+def test_dup_span_coverage_oracle(spark, tables):
+    compare(td.dup_span_coverage(tables), td.dup_span_coverage_oracle(), SF)
+
+
+def test_dup_span_coverage_islands(spark):
+    """Overlapping duplicated k-grams merge into one island; fresh docs
+    score 0; within-doc repeats count toward df; short docs (< k
+    tokens) report coverage 0 but still appear."""
+    dup_text = " ".join(f"w{i}" for i in range(12))      # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, dup_text),                                # dup of 1
+            (1, dup_text),
+            (2, " ".join(f"x{i}" for i in range(15))),    # fresh
+            (3, "short doc"),                             # < k tokens
+            # within-doc repeat: the same 10-gram twice in one doc
+            (4, " ".join(f"y{i % 10}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           td.dup_span_coverage({"documents": docs}, k=10).collect()}
+    # docs 0/1: three overlapping dup 10-grams -> one island covering all 12
+    assert out[0]["covered_tokens"] == 12 and out[0]["dup_fraction"] == 1.0
+    assert out[1]["covered_tokens"] == 12
+    assert out[2]["covered_tokens"] == 0 and out[2]["dup_fraction"] == 0.0
+    assert out[3]["covered_tokens"] == 0 and out[3]["n_tokens"] == 2
+    assert out[4]["covered_tokens"] == 20   # periodic text: all covered
