@@ -161,6 +161,10 @@ def _string_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- block D: deduplication ---------------------------------------------------
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup(load_tables(spark, sf_dir)["embeddings"])
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
 
@@ -371,6 +375,10 @@ def queries() -> dict[str, Query]:
         "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
         "ngram_novelty": _mk_text(traindata.ngram_novelty),
         "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
+        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
+        "importance_weights": _mk_text(traindata.importance_weights),
+        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
+        "semantic_dedup": _semantic_dedup,
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -387,15 +395,11 @@ def queries() -> dict[str, Query]:
         "session_overlap": _mk_text(timeseries.session_overlap),
         "events_funnel": _mk_text(timeseries.funnel),
         # -- r3-green, kept inside the window
-        "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_components": _dedup_components,
         "split_words_stats": _mk_text(textops.split_words_stats),
-        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "lexicon_build": _mk_text(textops.lexicon_build),
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
         # kv.py / events.py null-gating changed these three's oracles in
         # round 4 — they need fresh driver rows, so they trade places
         # with three pipeline.py entries whose functions are untouched
@@ -407,6 +411,16 @@ def queries() -> dict[str, Query]:
         "events_asof_join": _mk_text(timeseries.asof_join),
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
         # ---- tail: past the 50-entry window from here down ----
+        # displaced by the four late-r4 operators (nb_lang_classify,
+        # importance_weights, epoch_shuffle, semantic_dedup): r3-hash-
+        # green, and their functions AND oracles are bit-identical to
+        # the r3-checked form — dedup.py's late-r4 edit APPENDS
+        # semantic_dedup only, textops.py's r4 edits touch only
+        # term_cooccurrence + split_words_stats_oracle (both in-window)
+        "dedup_exact": _dedup_exact,
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
         # r3-hash-green (CORRECTNESS_r03.json) entries displaced by the
         # three new round-4 operators; their functions AND oracles are
         # bit-identical to the r3-checked form (timeseries.py's r4 edits
@@ -582,6 +596,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_bigram": traindata.quality_perplexity_bigram_oracle(),
         "ngram_novelty": traindata.ngram_novelty_oracle(),
         "dup_span_coverage": traindata.dup_span_coverage_oracle(),
+        "nb_lang_classify": traindata.nb_lang_classify_oracle(),
+        "importance_weights": traindata.importance_weights_oracle(),
+        "epoch_shuffle": traindata.epoch_shuffle_oracle(),
+        "semantic_dedup": dedup.semantic_dedup_oracle(),
         # complete-rerank operating point: output provably equals the
         # exact top-k (see _ann_topk_pq docstring)
         "ann_topk_pq": similarity.brute_topk_oracle(),

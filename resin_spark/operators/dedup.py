@@ -890,3 +890,132 @@ def incremental_dedup_oracle(n: int = 3, tau: float = 0.5) -> str:
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_new = d.doc_id
     ORDER BY d.doc_id
     """
+
+
+# --- D9: SemDeDup — cluster-partitioned semantic dedup ------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space first,
+    then prune near-identical pairs WITHIN clusters only — the design
+    that turns O(N²) semantic dedup into Σ_c O(n_c²).
+
+    Clusters here are the nearest-centroid cells of the per-label mean
+    vectors (traindata.label_centroid_vectors — the same assignment
+    kernel a k-means pass uses); each vector joins its max-cosine cell,
+    then an equi-join ON THE CELL KEY forms candidate pairs and the
+    exact JVM cosine keeps pairs ≥ tau. A vector is kept iff no
+    earlier (smaller id) in-cell vector is ≥-tau-close; dropped
+    vectors report how many earlier near-dups beat them.
+
+    Cross-cluster near-dup pairs are deliberately out of contract —
+    that is SemDeDup's recall trade, and the oracle mirrors it exactly
+    (same centroids, same assignment, same within-cell pairs), so the
+    result is hash-exact, not approximate.
+
+    Plan/scale: centroids are |cells| rows (broadcast); assignment is
+    one scan × |cells| JVM folds with no shuffle of the corpus; the
+    pair join is an equi-join on cell id — with balanced cells the
+    quadratic is bounded by the largest cell (SemDeDup runs k ≈ 10⁵
+    cells at web scale for exactly this reason; a hot cell here is what
+    AQE's skew split handles). The only corpus-scale exchanges are the
+    assignment window and the cell-keyed self-join. No driver collect.
+    """
+    from resin_spark.operators.similarity import valid_vectors
+    from resin_spark.operators.traindata import label_centroid_vectors
+
+    base = valid_vectors(emb).filter(F.col("label").isNotNull())
+    cents = label_centroid_vectors(base)
+    w = Window.partitionBy("vec_id") \
+        .orderBy(F.col("score").desc(), "c_label")
+    # localCheckpoint: three consumers (both pair-join sides + the final
+    # verdict frame) would otherwise re-run the scan + broadcast-score +
+    # assignment-window subtree each — measured 6 scans / 13 exchanges
+    # without it, 1 scan with. The checkpointed frame is linear in the
+    # corpus (one row per vector); at 100 TB the production form is the
+    # same assignment persisted as a cell-bucketed table
+    # (io.write_bucketed on cell), which also pre-co-locates the pair
+    # join. Carrying the embedding through the ONE assignment window is
+    # linear data motion — the r3 graph-dedup lesson (never carry
+    # vectors through a QUADRATIC candidate exchange) doesn't apply.
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "c_label",
+            V.cosine_gated("embedding", "centroid").alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"), "embedding")
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell",
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell",
+                        F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter((F.col("vec_a") < F.col("vec_b"))
+                & (V.cosine_gated("ea", "eb") >= tau))
+        .select("cell", "vec_a", "vec_b")
+    )
+    earlier = pairs.groupBy(F.col("vec_b").alias("vec_id")) \
+        .agg(F.count(F.lit(1)).alias("n_dups_earlier"))
+    return (
+        assigned.select("vec_id", "cell")
+        .join(earlier, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.coalesce("n_dups_earlier", F.lit(0)).alias("n_dups_earlier"),
+            (F.coalesce("n_dups_earlier", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    from resin_spark.operators.similarity import VALID_VECTORS_SQL
+    cos_assign = V.cosine_gated_sql("e.embedding", "c.centroid")
+    cos_pair = V.cosine_gated_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH vemb AS (
+        SELECT * FROM embeddings
+        WHERE {VALID_VECTORS_SQL} AND label IS NOT NULL
+    ), dims AS (
+        SELECT label, CAST(p.i - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'i': i, 'x': embedding[i]}})) AS p
+            FROM vemb
+        )
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS c_label, list(mean_val ORDER BY dim) AS centroid
+        FROM dims GROUP BY label
+    ), assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT e.vec_id, c.c_label AS cell, e.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos_assign} DESC, c.c_label)
+                       AS rn
+            FROM vemb e, cent c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a JOIN assigned b ON a.cell = b.cell
+        WHERE a.vec_id < b.vec_id AND {cos_pair} >= {tau}
+    ), earlier AS (
+        SELECT vec_b AS vec_id, COUNT(*) AS n_dups_earlier
+        FROM pairs GROUP BY vec_b
+    )
+    SELECT s.vec_id, s.cell,
+           COALESCE(e.n_dups_earlier, 0) AS n_dups_earlier,
+           COALESCE(e.n_dups_earlier, 0) = 0 AS keep
+    FROM assigned s LEFT JOIN earlier e USING (vec_id)
+    ORDER BY s.vec_id
+    """

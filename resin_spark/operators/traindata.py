@@ -851,3 +851,360 @@ def dup_span_coverage_oracle(k: int = SPAN_K) -> str:
     FROM docs1 d LEFT JOIN covered c USING (doc_id)
     ORDER BY d.doc_id
     """
+
+
+# --- Naive-Bayes language classifier (train + score in one plan) -------------
+
+def nb_lang_classify(t: Tables) -> DataFrame:
+    """Multinomial Naive-Bayes language classifier, trained on the
+    corpus's own ``lang`` labels and self-scored (the fastText-style
+    "learned filter" counterpart of the rule-based ``lang_id``).
+
+    Model: P(tok|lang) with add-1 smoothing over the global vocabulary,
+    P(lang) from doc counts. Per doc, the score of candidate language L
+    is prior_bits(L) + Σ_tok bits(tok|L); the argmin (fewest bits) wins.
+
+    Plan shape: ONE corpus tokenise feeds both training and scoring —
+    the (lang, tok) count frame is vocabulary-sized and checkpointed,
+    so training is one shuffle on (lang, tok); every derived frame
+    (per-language totals, vocabulary size, unseen-token default bits,
+    priors) is |langs|-rows-or-one and broadcast. Scoring re-reads the
+    same token stream, fans out ×|langs| against the broadcast
+    candidate frame, left-joins the model on (cand, tok) — Zipf skew on
+    tok, AQE splits it — and aggregates bits per (doc, cand). No
+    driver collect; the model build is the only corpus-scale shuffle.
+
+    Cross-engine exactness: every distinct (lang, tok) bits value is
+    round(−log2((c+1)/(n_lang+V)), 6) computed once (exact IEEE
+    division, both engines agree far inside the rounding grain), doc
+    totals are order-independent decimal sums, and prior bits join the
+    sum in decimal before the final cast. Ties in the argmin break on
+    candidate language ascending.
+
+    Scale: the model is |vocab|×|langs| rows — broadcastable for real
+    language sets; at 100 TB the scoring join on tok is the only big
+    exchange and is the same shape quality_perplexity already sweeps.
+    """
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    toks = base.select("doc_id", F.col("lang").alias("true_lang"),
+                       F.explode("tk").alias("tok"))
+    cnt = (
+        toks.groupBy(F.col("true_lang").alias("lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_lang = cnt.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    vocab = cnt.agg(F.countDistinct("tok").alias("v"))
+    model = cnt.join(n_lang, "lang").join(broadcast(vocab)).select(
+        F.col("lang").alias("cand"), "tok",
+        F.round(-F.log2(
+            (F.col("c") + 1).cast("double")
+            / (F.col("n_lang") + F.col("v")).cast("double")), 6).alias("bits"),
+    )
+    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang"))
+    total = priors.agg(F.sum("docs_lang").alias("docs_total"))
+    cand = (
+        priors.join(broadcast(total)).join(n_lang, "lang")
+        .join(broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand"),
+            F.round(-F.log2(F.col("docs_lang").cast("double")
+                            / F.col("docs_total").cast("double")), 6)
+            .alias("prior_bits"),
+            F.round(-F.log2(F.lit(1.0)
+                            / (F.col("n_lang") + F.col("v")).cast("double")), 6)
+            .alias("oov_bits"),
+        )
+    )
+    scored = (
+        toks.join(broadcast(cand))
+        .join(model, ["cand", "tok"], "left")
+        .groupBy("doc_id", "true_lang", "cand", "prior_bits")
+        .agg(
+            (
+                F.col("prior_bits").cast("decimal(18,6)")
+                + F.sum(F.coalesce("bits", "oov_bits")
+                        .cast("decimal(18,6)"))
+            ).cast("double").alias("total_bits")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("total_bits").asc(), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "true_lang",
+            F.col("cand").alias("pred_lang"),
+            F.round("total_bits", 6).alias("best_bits"),
+            (F.col("cand") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def nb_lang_classify_oracle() -> str:
+    tk = T.tokens_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, {tk} AS tk
+        FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ), base1 AS (
+        SELECT * FROM base WHERE len(tk) >= 1
+    ), tok AS (
+        SELECT doc_id, lang AS true_lang, unnest(tk) AS tok FROM base1
+    ), cnt AS (
+        SELECT true_lang AS lang, tok, COUNT(*) AS c
+        FROM tok GROUP BY 1, 2
+    ), n_lang AS (
+        SELECT lang, SUM(c) AS n_lang FROM cnt GROUP BY lang
+    ), vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM cnt
+    ), model AS (
+        SELECT cnt.lang AS cand, cnt.tok,
+               round(-log2(CAST(c + 1 AS DOUBLE)
+                           / CAST(n_lang + v AS DOUBLE)), 6) AS bits
+        FROM cnt JOIN n_lang USING (lang), vocab
+    ), priors AS (
+        SELECT lang, COUNT(*) AS docs_lang FROM base1 GROUP BY lang
+    ), total AS (
+        SELECT SUM(docs_lang) AS docs_total FROM priors
+    ), cand AS (
+        SELECT p.lang AS cand,
+               round(-log2(CAST(docs_lang AS DOUBLE)
+                           / CAST(docs_total AS DOUBLE)), 6) AS prior_bits,
+               round(-log2(1.0 / CAST(n_lang + v AS DOUBLE)), 6) AS oov_bits
+        FROM priors p JOIN n_lang n ON n.lang = p.lang, total, vocab
+    ), scored AS (
+        SELECT t.doc_id, t.true_lang, c.cand, c.prior_bits,
+               CAST(CAST(c.prior_bits AS DECIMAL(18,6))
+                    + SUM(CAST(COALESCE(m.bits, c.oov_bits)
+                               AS DECIMAL(18,6)))
+                    AS DOUBLE) AS total_bits
+        FROM tok t
+        CROSS JOIN cand c
+        LEFT JOIN model m ON m.cand = c.cand AND m.tok = t.tok
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, true_lang, cand AS pred_lang,
+           round(total_bits, 6) AS best_bits,
+           cand = true_lang AS correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY total_bits ASC, cand) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+# --- DSIR-style hashed-n-gram importance weights -----------------------------
+
+DSIR_BUCKETS = 4096
+
+
+def importance_weights(t: Tables, target_lang: str = "en",
+                       n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    log importance weights: score every doc by how target-like its
+    hashed-bigram distribution is, log w(doc) = Σ_f [bits_raw(f) −
+    bits_target(f)] over the doc's bigram features, where both bag-of-
+    hashed-bigram models use add-1 smoothing over a FIXED bucket space.
+
+    The hashing trick is the whole scale story: both "models" are
+    ≤ n_buckets rows no matter the corpus size, so scoring is a
+    broadcast join against a 4096-row frame — one corpus-scale shuffle
+    total (the raw bucket count), since the target side aggregates a
+    filtered subset of the same scan. At 100 TB the plan is: scan →
+    row-local bigrams → hash→bucket → two partial-agg counts → per-doc
+    broadcast-join fold. No driver collect.
+
+    Cross-engine exactness: bucket ids are the md5-based 60-bit token
+    hash mod n_buckets (both engines agree integer-exactly), each
+    bucket's log-ratio is rounded once to 6 decimals, per-doc sums are
+    order-independent decimal sums. Docs with < 2 tokens vanish at the
+    bigram explode in both engines.
+    """
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    # lang rides along with each feature row so the final per-doc
+    # aggregate needs no join back to documents (4 corpus scans → 3)
+    feats = (
+        base.filter(F.size("tk") >= 2).select(
+            "doc_id", "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at("tk", (i + 1).cast("int")).alias("w1"),
+                        F.element_at("tk", (i + 2).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        ).select(
+            "doc_id", "lang",
+            (_token_hash60(F.concat_ws(" ", "p.w1", "p.w2")) % n_buckets)
+            .alias("b"),
+        )
+    )
+    raw = (
+        feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_docs = base.filter(F.col("lang") == target_lang)
+    # re-derive target features from the same row-local transform on the
+    # filtered scan (cheaper than re-shuffling the raw feature stream)
+    tgt = (
+        _bigram_instances(tgt_docs)
+        .select((_token_hash60(F.concat_ws(" ", "w1", "w2")) % n_buckets)
+                .alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    n_raw = raw.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .join(broadcast(n_raw)).join(broadcast(n_tgt))
+        .select(
+            "b",
+            F.round(
+                F.log2((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double")
+                       / (F.col("n_tgt") + n_buckets).cast("double"))
+                - F.log2((F.col("c_raw") + 1).cast("double")
+                         / (F.col("n_raw") + n_buckets).cast("double")),
+                6).alias("logw"),
+        )
+    )
+    return (
+        feats.join(broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(exact.dsum("logw", scale=6, precision=18), 6)
+            .alias("log_weight"),
+            F.round(exact.davg("logw", scale=6, precision=18), 6)
+            .alias("log_weight_per_feat"),
+        )
+        .select("doc_id", "lang", "n_feats", "log_weight",
+                "log_weight_per_feat")
+        .orderBy("doc_id")
+    )
+
+
+def importance_weights_oracle(target_lang: str = "en",
+                              n_buckets: int = DSIR_BUCKETS) -> str:
+    tk = T.tokens_sql("text")
+    bh = _token_hash60_sql("w1 || ' ' || w2")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, {tk} AS tk
+        FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ), base1 AS (
+        SELECT * FROM base WHERE len(tk) >= 1
+    ), big AS (
+        SELECT doc_id, lang, p.w1, p.w2 FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(tk) - 1 + 1),
+                          i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS p
+            FROM base1 WHERE len(tk) >= 2
+        )
+    ), feats AS (
+        SELECT doc_id, lang, ({bh}) % {n_buckets} AS b FROM big
+    ), raw AS (
+        SELECT b, COUNT(*) AS c_raw FROM feats GROUP BY b
+    ), tgt AS (
+        SELECT b, COUNT(*) AS c_tgt FROM feats
+        WHERE lang = '{target_lang}' GROUP BY b
+    ), n_raw AS (SELECT SUM(c_raw) AS n_raw FROM raw),
+    n_tgt AS (SELECT SUM(c_tgt) AS n_tgt FROM tgt),
+    ratios AS (
+        SELECT raw.b,
+               round(log2(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE)
+                          / CAST(n_tgt + {n_buckets} AS DOUBLE))
+                     - log2(CAST(c_raw + 1 AS DOUBLE)
+                            / CAST(n_raw + {n_buckets} AS DOUBLE)),
+                     6) AS logw
+        FROM raw LEFT JOIN tgt USING (b), n_raw, n_tgt
+    )
+    SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+           round({exact.dsum_sql("logw", scale=6, precision=18)}, 6)
+               AS log_weight,
+           round({exact.davg_sql("logw", scale=6, precision=18)}, 6)
+               AS log_weight_per_feat
+    FROM feats f JOIN ratios r USING (b)
+    GROUP BY f.doc_id, f.lang
+    ORDER BY f.doc_id
+    """
+
+
+# --- deterministic multi-epoch training shuffle ------------------------------
+
+N_EPOCHS = 3
+
+
+def epoch_shuffle(t: Tables, n_epochs: int = N_EPOCHS,
+                  n_shards: int = N_SHARDS) -> DataFrame:
+    """Reproducible per-epoch global shuffle for training export: every
+    (epoch, doc) gets a (shard, pos) that is a pure function of the
+    epoch number and doc id, so epoch k's read order is a deterministic
+    permutation — different every epoch, byte-identical on re-run (the
+    multi-epoch extension of shard_export's reproducibility contract).
+
+    Plan: docs × a broadcast |epochs|-row frame, shuffle key =
+    md5-hash60 of "epoch:doc_id", shard = key mod n_shards, pos =
+    row_number within (epoch, shard) ordered by (key, doc_id). No
+    global sort: ordering is established per (epoch, shard) partition —
+    exactly the layout a partitioned parquet write consumes, so the
+    1000-executor version is repartition(epoch, shard) +
+    sortWithinPartitions, never a single-range total order.
+    """
+    docs = t["documents"].filter(F.col("doc_id").isNotNull()) \
+        .select("doc_id")
+    epochs = docs.sparkSession.range(n_epochs) \
+        .select(F.col("id").cast("int").alias("epoch"))
+    keyed = (
+        docs.join(broadcast(epochs))
+        .select(
+            "doc_id", "epoch",
+            _token_hash60(F.concat_ws(":", "epoch", "doc_id")).alias("k"),
+        )
+    )
+    w = Window.partitionBy("epoch", (F.col("k") % n_shards)) \
+        .orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "epoch",
+            (F.col("k") % n_shards).cast("int").alias("shard"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .orderBy("epoch", "shard", "pos")
+    )
+
+
+def epoch_shuffle_oracle(n_epochs: int = N_EPOCHS,
+                         n_shards: int = N_SHARDS) -> str:
+    kh = _token_hash60_sql("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH epochs AS (
+        SELECT unnest(range({n_epochs})) AS epoch
+    ), keyed AS (
+        SELECT doc_id, CAST(epoch AS INT) AS epoch, ({kh}) AS k
+        FROM documents, epochs
+        WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, epoch, CAST(k % {n_shards} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, k % {n_shards}
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY epoch, shard, pos
+    """

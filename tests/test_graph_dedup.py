@@ -88,3 +88,60 @@ def test_minhash_lsh_subset_of_exact_with_full_recall(spark):
           for r in dedup.minhash_lsh_pairs(docs).collect()}
     assert mh <= exact          # exact verification: no false positives
     assert mh == exact          # S-curve: full recall on this corpus
+
+
+# --- semantic_dedup (SemDeDup cluster-partitioned pruning) -------------------
+
+def _mk_labeled(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int")
+
+
+def test_semantic_dedup_drops_later_in_cell_dup(spark):
+    from resin_spark.operators.dedup import semantic_dedup
+    emb = _mk_labeled(spark, [
+        ([1, 0, 0, 0], 0), ([1, 0, 0, 0], 0),   # same cell, exact dup
+        ([0, 1, 0, 0], 1), ([0, 0, 1, 0], 1),   # same cell, orthogonal
+    ])
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, tau=0.9).collect()}
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert out[1]["n_dups_earlier"] == 1
+    assert out[2]["keep"] and out[3]["keep"]
+
+
+def test_semantic_dedup_cross_cell_pairs_out_of_contract(spark):
+    """The SemDeDup recall trade: identical vectors assigned to
+    different cells are NOT compared, so both survive. Centroids are
+    far apart; each dup sits exactly on its own label centroid."""
+    from resin_spark.operators.dedup import semantic_dedup
+    # anchors at 0° and 90°; the near-dup pair sits at 35° and 55° —
+    # cos(35°,55°) = cos 20° ≈ 0.94 ≥ tau, but each lands in its own
+    # cell (17.5° vs 37.5° to the two centroids) and is NOT a dup of
+    # its cell anchor (cos 35° ≈ 0.82 < tau)
+    emb = _mk_labeled(spark, [
+        ([1, 0, 0, 0], 0), ([0, 1, 0, 0], 1),
+        ([0.819, 0.574, 0, 0], 0), ([0.574, 0.819, 0, 0], 1),
+    ])
+    out = semantic_dedup(emb, tau=0.9)
+    cells = {r["vec_id"]: r["cell"] for r in out.collect()}
+    keeps = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert cells[2] != cells[3]
+    assert all(keeps.values())  # the ≥-tau cross-cell pair survives
+
+
+def test_semantic_dedup_matches_global_pairs_when_one_cell(spark):
+    """With a single cluster, semantic_dedup's verdicts equal the
+    global embedding_dedup_pairs relation (no recall trade left)."""
+    from resin_spark.operators.dedup import (
+        embedding_dedup_pairs, semantic_dedup)
+    emb = _mk_labeled(spark, [
+        ([1, 0.2, 0, 0], 0), ([1, 0.21, 0, 0], 0),
+        ([0.9, 0.3, 0.1, 0], 0), ([0, 0, 1, 0.4], 0),
+    ])
+    tau = 0.95
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in embedding_dedup_pairs(emb, tau=tau).collect()}
+    dropped = {r["vec_id"] for r in semantic_dedup(emb, tau=tau).collect()
+               if not r["keep"]}
+    assert dropped == {b for _, b in pairs}

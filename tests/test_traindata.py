@@ -268,3 +268,76 @@ def test_dup_span_coverage_islands(spark):
     assert out[2]["covered_tokens"] == 0 and out[2]["dup_fraction"] == 0.0
     assert out[3]["covered_tokens"] == 0 and out[3]["n_tokens"] == 2
     assert out[4]["covered_tokens"] == 20   # periodic text: all covered
+
+
+def test_nb_lang_classify_oracle(spark, tables):
+    compare(td.nb_lang_classify(tables), td.nb_lang_classify_oracle(), SF)
+
+
+def test_nb_lang_classify_beats_chance(spark, tables):
+    """Self-scored NB must beat the majority-class rate on its own
+    training corpus — a classifier that can't fit its train set is
+    wired wrong (joins dropping rows, smoothing swamping signal)."""
+    out = td.nb_lang_classify(tables)
+    agg = out.agg(
+        F.avg(F.col("correct").cast("double")).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    langs = (
+        tables["documents"].filter("lang IS NOT NULL")
+        .groupBy("lang").count().agg(F.max("count"), F.sum("count")).first()
+    )
+    majority_rate = langs[0] / langs[1]
+    assert agg["acc"] > majority_rate, (agg["acc"], majority_rate)
+
+
+def test_nb_lang_classify_separable_synthetic(spark):
+    """Fully separable two-language corpus must classify perfectly."""
+    docs = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd", "xx") for i in range(6)]
+        + [(10 + i, "eee fff ggg hhh", "yy") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    out = td.nb_lang_classify({"documents": docs})
+    assert all(r["correct"] for r in out.collect())
+
+
+def test_importance_weights_oracle(spark, tables):
+    compare(td.importance_weights(tables), td.importance_weights_oracle(), SF)
+
+
+def test_importance_weights_prefers_target(spark, tables):
+    """Mean log-weight of target-language docs must exceed that of
+    non-target docs — the defining DSIR property (target-like text
+    scores high under p_target/p_raw)."""
+    out = td.importance_weights(tables, target_lang="en")
+    rows = out.groupBy(F.col("lang") == "en").agg(
+        F.avg("log_weight_per_feat")).collect()
+    means = {r[0]: r[1] for r in rows}
+    assert means[True] > means[False], means
+
+
+def test_epoch_shuffle_oracle(spark, tables):
+    compare(td.epoch_shuffle(tables), td.epoch_shuffle_oracle(), SF)
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_varying(spark, tables):
+    out = td.epoch_shuffle(tables, n_epochs=2, n_shards=4)
+    n_docs = tables["documents"].filter("doc_id IS NOT NULL").count()
+    # every epoch is a complete permutation of the corpus
+    per_epoch = out.groupBy("epoch").agg(
+        F.countDistinct("doc_id").alias("d"), F.count(F.lit(1)).alias("n"))
+    for r in per_epoch.collect():
+        assert r["d"] == n_docs and r["n"] == n_docs
+    # (shard, pos) is contiguous 1..n within each shard
+    bad = out.groupBy("epoch", "shard").agg(
+        F.max("pos").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).filter("mx <> n").count()
+    assert bad == 0
+    # different epochs produce different orders (deterministic reshuffle)
+    e0 = out.filter("epoch = 0").select("doc_id", "shard", "pos")
+    e1 = out.filter("epoch = 1").select(
+        "doc_id", F.col("shard").alias("s1"), F.col("pos").alias("p1"))
+    same = e0.join(e1, "doc_id") \
+        .filter("shard = s1 AND pos = p1").count()
+    assert same < n_docs
