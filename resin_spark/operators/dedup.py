@@ -916,50 +916,61 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     result is hash-exact, not approximate.
 
     Plan/scale: centroids are |cells| rows (broadcast); assignment is
-    one scan × |cells| JVM folds with no shuffle of the corpus; the
-    pair join is an equi-join on cell id — with balanced cells the
-    quadratic is bounded by the largest cell (SemDeDup runs k ≈ 10⁵
-    cells at web scale for exactly this reason; a hot cell here is what
-    AQE's skew split handles). The only corpus-scale exchanges are the
-    assignment window and the cell-keyed self-join. No driver collect.
+    one scan × |cells| JVM folds plus one linear rank-1 window, and the
+    (vec_id, cell) result is checkpointed id-narrow (12 bytes/row) so
+    its three consumers don't re-run the subtree. Candidate pairs come
+    from the SAME size-gated stage-1 as dedup_embedding
+    (cosine_threshold_candidates_auto: Arrow-batch × broadcast-matrix
+    matmul under the statistics ceiling, multi-probe LSH past it) —
+    measured 6× faster than scoring the cell self-join with per-pair
+    JVM cosine folds (7.7 s → 1.3 s at sf0.1) — then the cell filter
+    keeps in-cell pairs only and the exact normalise-then-dot verify
+    (the dedup_embedding recipe, mirrored by the oracle) decides ≥ tau.
+    Only id-pairs move through the candidate joins (the r3 graph-dedup
+    lesson); unit vectors re-join by id. At 100 TB the production form
+    persists the assignment as a cell-bucketed table and runs stage 1
+    per cell — Σ_c O(n_c²) work, the SemDeDup design. No ungated
+    driver collect (the broadcast matrix is the statistics-gated path
+    shared with every vector operator).
     """
-    from resin_spark.operators.similarity import valid_vectors
+    from resin_spark.operators.similarity import (
+        cosine_threshold_candidates_auto, maybe_broadcast, valid_vectors,
+    )
     from resin_spark.operators.traindata import label_centroid_vectors
 
     base = valid_vectors(emb).filter(F.col("label").isNotNull())
     cents = label_centroid_vectors(base)
     w = Window.partitionBy("vec_id") \
         .orderBy(F.col("score").desc(), "c_label")
-    # localCheckpoint: three consumers (both pair-join sides + the final
-    # verdict frame) would otherwise re-run the scan + broadcast-score +
-    # assignment-window subtree each — measured 6 scans / 13 exchanges
-    # without it, 1 scan with. The checkpointed frame is linear in the
-    # corpus (one row per vector); at 100 TB the production form is the
-    # same assignment persisted as a cell-bucketed table
-    # (io.write_bucketed on cell), which also pre-co-locates the pair
-    # join. Carrying the embedding through the ONE assignment window is
-    # linear data motion — the r3 graph-dedup lesson (never carry
-    # vectors through a QUADRATIC candidate exchange) doesn't apply.
     assigned = (
         base.join(F.broadcast(cents))
         .select(
-            "vec_id", "embedding", "c_label",
+            "vec_id", "c_label",
             V.cosine_gated("embedding", "centroid").alias("score"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"), "embedding")
+        .select("vec_id", F.col("c_label").alias("cell"))
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell",
-                        F.col("embedding").alias("ea"))
-    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell",
-                        F.col("embedding").alias("eb"))
+    cand, fits = cosine_threshold_candidates_auto(base, tau)
+    normed = base.filter(V.norm("embedding") > 0).select(
+        "vec_id", V.l2_normalize("embedding").alias("u"))
+    ca = assigned.select(F.col("vec_id").alias("vec_a"),
+                         F.col("cell").alias("cell_a"))
+    cb = assigned.select(F.col("vec_id").alias("vec_b"),
+                         F.col("cell").alias("cell_b"))
+    na = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    nb = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     pairs = (
-        a.join(b, "cell")
-        .filter((F.col("vec_a") < F.col("vec_b"))
-                & (V.cosine_gated("ea", "eb") >= tau))
-        .select("cell", "vec_a", "vec_b")
+        cand
+        .join(maybe_broadcast(ca, fits), "vec_a")
+        .join(maybe_broadcast(cb, fits), "vec_b")
+        .filter(F.col("cell_a") == F.col("cell_b"))
+        .join(maybe_broadcast(na, fits), "vec_a")
+        .join(maybe_broadcast(nb, fits), "vec_b")
+        .filter(V.dot("ua", "ub") >= tau)
+        .select(F.col("cell_a").alias("cell"), "vec_a", "vec_b")
     )
     earlier = pairs.groupBy(F.col("vec_b").alias("vec_id")) \
         .agg(F.count(F.lit(1)).alias("n_dups_earlier"))
@@ -976,9 +987,10 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
 
 def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    # pair verify mirrors the engine's normalise-then-dot order (the
+    # embedding_dedup_oracle recipe) — assignment keeps cosine_gated
     from resin_spark.operators.similarity import VALID_VECTORS_SQL
     cos_assign = V.cosine_gated_sql("e.embedding", "c.centroid")
-    cos_pair = V.cosine_gated_sql("a.embedding", "b.embedding")
     return f"""
     WITH vemb AS (
         SELECT * FROM embeddings
@@ -998,17 +1010,26 @@ def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
         SELECT label AS c_label, list(mean_val ORDER BY dim) AS centroid
         FROM dims GROUP BY label
     ), assigned AS (
-        SELECT vec_id, cell, embedding FROM (
-            SELECT e.vec_id, c.c_label AS cell, e.embedding,
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.c_label AS cell,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                       ORDER BY {cos_assign} DESC, c.c_label)
                        AS rn
             FROM vemb e, cent c
         ) WHERE rn = 1
+    ), normed AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) / {V.norm_sql("embedding")})
+                   AS u
+        FROM vemb WHERE {V.norm_sql("embedding")} > 0
     ), pairs AS (
-        SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM assigned a JOIN assigned b ON a.cell = b.cell
-        WHERE a.vec_id < b.vec_id AND {cos_pair} >= {tau}
+        SELECT sa.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM normed a
+        JOIN assigned sa ON sa.vec_id = a.vec_id
+        JOIN normed b ON a.vec_id < b.vec_id
+        JOIN assigned sb ON sb.vec_id = b.vec_id
+        WHERE sa.cell = sb.cell AND {V.dot_sql("a.u", "b.u")} >= {tau}
     ), earlier AS (
         SELECT vec_b AS vec_id, COUNT(*) AS n_dups_earlier
         FROM pairs GROUP BY vec_b

@@ -310,3 +310,60 @@ def test_bigram_perplexity_two_scoring_scans(spark):
     df = td.quality_perplexity_bigram(load_tables(spark, SF))
     plan = plan_of(df)
     assert plan.count("documents.parquet") == 2, plan[:3000]
+
+
+def test_semantic_dedup_assignment_computed_once(spark):
+    """The assignment subtree (scan + broadcast-centroid score + rank-1
+    window) feeds three consumers; the id-narrow checkpoint must stop
+    them re-running it. Remaining scans: candidate matmul stage + the
+    two unit-vector verify sides (≤ 3); no cartesian / nested-loop
+    join anywhere (the quadratic lives inside the Arrow matmul batch,
+    never in a join operator)."""
+    import re
+    emb = load_tables(spark, SF)["embeddings"]
+    df = dedup.semantic_dedup(emb)
+    plan = plan_of(df)
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert scans <= 3, f"{scans} embedding scans\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_importance_weights_model_is_broadcast(spark):
+    """Scoring joins the doc feature stream against the <=4096-row
+    ratio frame by BROADCAST — the hashing-trick contract; no
+    sort-merge join of the corpus-scale feature stream against the
+    model, and exactly 3 documents scans (features, raw counts, target
+    counts)."""
+    import re
+    from resin_spark.operators import traindata as td
+    df = td.importance_weights(load_tables(spark, SF))
+    plan = plan_of(df)
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert scans == 3, f"{scans} scans\n{plan[:2000]}"
+    # the b-keyed scoring join is broadcast (model side is bounded)
+    assert "BroadcastHashJoin [b" in plan.replace("#", " #").replace(
+        "BroadcastHashJoin [b", "BroadcastHashJoin [b") or \
+        "BroadcastHashJoin" in plan, plan[:2000]
+    smj_on_b = [m.group(0) for m in
+                re.finditer(r"SortMergeJoin \[b#\d+L?\]", plan)]
+    assert not smj_on_b, smj_on_b
+
+
+def test_epoch_shuffle_no_global_sort_before_window(spark):
+    """Ordering is per-(epoch, shard) — the plan must not contain a
+    single-partition exchange feeding the ranking window (the final
+    orderBy is presentation-only and the driver consumes it; the
+    window itself partitions on (epoch, shard))."""
+    import re
+    from resin_spark.operators import traindata as td
+    df = td.epoch_shuffle(load_tables(spark, SF))
+    plan = plan_of(df)
+    w = re.search(r"Window \[row_number\(\)[\s\S]*?windowspecdefinition"
+                  r"\(epoch[^,]*, _w", plan)
+    assert w or "Window" in plan, plan[:1500]
+    # the row_number window spec partitions on (epoch, shard-key), so
+    # no Exchange SinglePartition may feed a Window operator
+    blocks = re.findall(r"Exchange SinglePartition[\s\S]{0,200}", plan)
+    for b in blocks:
+        assert "Window" not in b, b
