@@ -379,6 +379,7 @@ def queries() -> dict[str, Query]:
         "importance_weights": _mk_text(traindata.importance_weights),
         "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
         "semantic_dedup": _semantic_dedup,
+        "filter_funnel": _mk_text(pipeline.filter_funnel),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -390,7 +391,6 @@ def queries() -> dict[str, Query]:
         "knn_classify": _knn_classify,
         "label_centroids": _label_centroids,
         "closest_match": _closest_match,
-        "dedup_embedding": _dedup_embedding,
         "term_cooccurrence": _mk_text(textops.term_cooccurrence),
         "session_overlap": _mk_text(timeseries.session_overlap),
         "events_funnel": _mk_text(timeseries.funnel),
@@ -418,6 +418,11 @@ def queries() -> dict[str, Query]:
         # semantic_dedup only, textops.py's r4 edits touch only
         # term_cooccurrence + split_words_stats_oracle (both in-window)
         "dedup_exact": _dedup_exact,
+        # dedup_embedding: r3-green; untouched by either r4 dedup.py
+        # edit (the shingle short-doc fix touches the minhash path
+        # only, the late-r4 edit appends semantic_dedup) — function
+        # and oracle bit-identical to the r3-checked form
+        "dedup_embedding": _dedup_embedding,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
@@ -596,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_bigram": traindata.quality_perplexity_bigram_oracle(),
         "ngram_novelty": traindata.ngram_novelty_oracle(),
         "dup_span_coverage": traindata.dup_span_coverage_oracle(),
+        "filter_funnel": pipeline.filter_funnel_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

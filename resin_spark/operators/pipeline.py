@@ -473,3 +473,177 @@ def pack_sequences_oracle(budget: int = 256) -> str:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM c GROUP BY seq_id ORDER BY seq_id
     """
+
+
+# --- filter-funnel attrition accounting --------------------------------------
+
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MIN_DISTINCT_FRAC = 0.3
+
+
+def filter_funnel(t: Tables, min_tokens: int = FUNNEL_MIN_TOKENS,
+                  min_distinct_frac: float = FUNNEL_MIN_DISTINCT_FRAC) -> DataFrame:
+    """Per-stage attrition sheet for a five-stage curation stack — the
+    "data card" table every released pretraining corpus publishes
+    (Dolma/RefinedWeb style): how many docs and tokens survive each
+    filter, applied cumulatively.
+
+        0 ingest      doc_id AND text present
+        1 length      >= min_tokens tokens
+        2 repetition  distinct-token fraction >= min_distinct_frac
+                      (row-local degenerate-doc gate)
+        3 langid      marker-word language ID agrees with the recorded
+                      lang (the cheap wrong-language screen)
+        4 dedup       exact-content keep-min among stage-3 survivors
+
+    Plan shape: ONE documents scan computes every per-doc flag (stages
+    1-3 are row-local expressions — no explode, no per-stage scans);
+    stage 4 adds the single shuffle (md5 window, keep-min over
+    SURVIVORS via min(when(survivor, doc_id)) so earlier-dropped copies
+    can't claim canonical); a global aggregate folds the flags into
+    per-stage sums and `stack` emits the 6-row sheet. Output is O(1)
+    rows at any corpus size; the one wide exchange is the dedup window
+    — the same md5 shuffle dedup_exact already sweeps. Cumulative
+    gating means each stage's counts condition on all earlier stages,
+    exactly how a real pipeline's attrition is reported.
+    """
+    langs = sorted(T.LANG_PROFILES)
+    tk = T.tokens("text")
+    d = t["documents"].select(
+        "doc_id", "text", "lang", tk.alias("tk"),
+    ).select(
+        "*",
+        F.coalesce(F.size("tk").cast("bigint"), F.lit(0)).alias("nt"),
+        F.md5("text").alias("h"),
+    )
+    for lang in langs:
+        d = d.withColumn(f"m_{lang}",
+                         T.stopword_count(F.col("tk"), T.LANG_PROFILES[lang]))
+    best = F.greatest(*[F.col(f"m_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"m_{lang}") == best, F.lit(lang)).otherwise(pred)
+    d = d.select(
+        "doc_id", "lang", "nt", "h",
+        (F.col("doc_id").isNotNull() & F.col("text").isNotNull()).alias("s0"),
+        pred.alias("pred_lang"),
+        F.when(F.col("nt") > 0,
+               F.size(F.array_distinct("tk")).cast("double") / F.col("nt"))
+        .otherwise(F.lit(0.0)).alias("distinct_frac"),
+    ).select(
+        "*",
+        (F.col("s0") & (F.col("nt") >= min_tokens)).alias("s1"),
+    ).select(
+        "*",
+        (F.col("s1") & (F.col("distinct_frac") >= min_distinct_frac))
+        .alias("s2"),
+    ).select(
+        "*",
+        (F.col("s2") & (F.col("pred_lang") == F.col("lang"))).alias("s3"),
+    )
+    w = Window.partitionBy("h")
+    d = d.withColumn(
+        "s4",
+        F.col("s3")
+        & (F.min(F.when(F.col("s3"), F.col("doc_id"))).over(w)
+           == F.col("doc_id")),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("c_all"),
+        *[F.sum(F.col(f"s{i}").cast("bigint")).alias(f"c{i}")
+          for i in range(5)],
+        *[F.sum(F.when(F.col(f"s{i}"), F.col("nt")).otherwise(0))
+          .alias(f"t{i}") for i in range(5)],
+    )
+    names = ["ingest", "length", "repetition", "langid", "dedup"]
+    stack_args = ", ".join(
+        f"{i}, '{names[i]}', {'c_all' if i == 0 else f'c{i - 1}'}, "
+        f"c{i}, t{i}"
+        for i in range(5)
+    )
+    return (
+        agg.selectExpr(
+            f"stack(5, {stack_args}) AS "
+            "(stage, stage_name, docs_in, docs_out, tokens_out)"
+        )
+        .select(
+            F.col("stage").cast("bigint").alias("stage"),
+            "stage_name",
+            F.col("docs_in").cast("bigint").alias("docs_in"),
+            F.col("docs_out").cast("bigint").alias("docs_out"),
+            (F.col("docs_in") - F.col("docs_out")).cast("bigint")
+            .alias("docs_dropped"),
+            F.col("tokens_out").cast("bigint").alias("tokens_out"),
+        )
+        .orderBy("stage")
+    )
+
+
+def filter_funnel_oracle(min_tokens: int = FUNNEL_MIN_TOKENS,
+                         min_distinct_frac: float = FUNNEL_MIN_DISTINCT_FRAC) -> str:
+    langs = sorted(T.LANG_PROFILES)
+    tk = T.tokens_sql("text")
+    m_cols = ",\n               ".join(
+        f"{T.stopword_count_sql('tk', T.LANG_PROFILES[lang])} AS m_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"m_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN m_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS stage, '{n}' AS stage_name, "
+        f"{'c_all' if i == 0 else f'c{i - 1}'} AS docs_in, c{i} AS docs_out, "
+        f"{'c_all' if i == 0 else f'c{i - 1}'} - c{i} AS docs_dropped, "
+        f"t{i} AS tokens_out FROM agg"
+        for i, n in enumerate(
+            ["ingest", "length", "repetition", "langid", "dedup"])
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, {tk} AS tk, md5(text) AS h,
+               doc_id IS NOT NULL AND text IS NOT NULL AS s0
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang, h, s0,
+               COALESCE(len(tk), 0) AS nt,
+               CASE WHEN COALESCE(len(tk), 0) > 0
+                    THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                    ELSE 0.0 END AS distinct_frac,
+               {case} AS pred_lang
+        FROM (
+            SELECT *, {best} AS best FROM (
+                SELECT doc_id, lang, tk, h, s0,
+               {m_cols}
+                FROM base
+            )
+        )
+    ), flags AS (
+        SELECT *,
+               s0 AND nt >= {min_tokens} AS s1,
+               s0 AND nt >= {min_tokens}
+                  AND distinct_frac >= {min_distinct_frac} AS s2,
+               s0 AND nt >= {min_tokens}
+                  AND distinct_frac >= {min_distinct_frac}
+                  AND pred_lang = lang AS s3
+        FROM feat
+    ), flags4 AS (
+        SELECT *,
+               s3 AND MIN(CASE WHEN s3 THEN doc_id END)
+                          OVER (PARTITION BY h) = doc_id AS s4
+        FROM flags
+    ), agg AS (
+        SELECT COUNT(*) AS c_all,
+               {", ".join(f"CAST(SUM(CASE WHEN s{i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i in range(5))},
+               {", ".join(f"CAST(SUM(CASE WHEN s{i} THEN nt ELSE 0 END) AS BIGINT) AS t{i}" for i in range(5))}
+        FROM flags4
+    )
+    SELECT stage, stage_name, CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(docs_dropped AS BIGINT) AS docs_dropped,
+           CAST(tokens_out AS BIGINT) AS tokens_out
+    FROM (
+{rows}
+    )
+    ORDER BY stage
+    """

@@ -133,3 +133,53 @@ def test_incremental_dedup_indexed_matches_inmemory(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 3, final[:3000]
     assert final.count("Scan ExistingRDD") == 2, final[:3000]
+
+
+def test_filter_funnel_stage_accounting(spark):
+    """Crafted corpus exercising every stage: a short doc (length),
+    a degenerate doc (repetition), a wrong-language doc (langid), an
+    exact pair (dedup), and a clean survivor. Cumulative counts must
+    thread: docs_in(k) = docs_out(k-1); an early-dropped copy must not
+    block a surviving duplicate from being canonical."""
+    from resin_spark.operators.pipeline import filter_funnel
+    clean = "the cat and the dog walked to the house of bread and wine"
+    docs = spark.createDataFrame(
+        [
+            (0, clean, "en"),                       # survives everything
+            (1, "too short", "en"),                 # stage 1 drop
+            (2, "spam " * 40, "en"),                # stage 2 drop (1 distinct)
+            (3, "der hund und die katze ist gut und der tag ist lang",
+             "en"),                                  # stage 3 drop (de text)
+            (4, clean, "en"),                       # stage 4 drop (dup of 0)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["stage_name"]: r for r in
+           filter_funnel({"documents": docs}).collect()}
+    assert out["ingest"].docs_out == 5
+    assert out["length"].docs_out == 4
+    assert out["repetition"].docs_out == 3
+    assert out["langid"].docs_out == 2
+    assert out["dedup"].docs_out == 1
+    # chain: docs_in(k) == docs_out(k-1)
+    order = ["ingest", "length", "repetition", "langid", "dedup"]
+    for prev, cur in zip(order, order[1:]):
+        assert out[cur].docs_in == out[prev].docs_out
+    assert out["dedup"].docs_dropped == 1
+
+
+def test_filter_funnel_dropped_copy_does_not_claim_canonical(spark):
+    """If the smaller-id copy of a duplicate pair was dropped by an
+    earlier stage, the surviving larger-id copy IS canonical (keep-min
+    runs over stage-3 survivors, not the raw corpus)."""
+    from resin_spark.operators.pipeline import filter_funnel
+    text = "the cat and the dog walked to the house of bread and wine"
+    docs = spark.createDataFrame(
+        [(0, text, "de"),     # langid drop (en text, de label)
+         (1, text, "en")],    # must survive dedup as canonical
+        "doc_id long, text string, lang string",
+    )
+    out = {r["stage_name"]: r for r in
+           filter_funnel({"documents": docs}).collect()}
+    assert out["langid"].docs_out == 1
+    assert out["dedup"].docs_out == 1
