@@ -261,6 +261,10 @@ def _centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traindata.centroid_assign(load_tables(spark, sf_dir)["embeddings"])
 
 
+def _kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traindata.kmeans_refine(load_tables(spark, sf_dir)["embeddings"])
+
+
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traindata.embedding_quantize(load_tables(spark, sf_dir)["embeddings"])
 
@@ -380,6 +384,7 @@ def queries() -> dict[str, Query]:
         "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
         "semantic_dedup": _semantic_dedup,
         "filter_funnel": _mk_text(pipeline.filter_funnel),
+        "kmeans_refine": _kmeans_refine,
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -395,7 +400,6 @@ def queries() -> dict[str, Query]:
         "session_overlap": _mk_text(timeseries.session_overlap),
         "events_funnel": _mk_text(timeseries.funnel),
         # -- r3-green, kept inside the window
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_components": _dedup_components,
@@ -423,6 +427,11 @@ def queries() -> dict[str, Query]:
         # only, the late-r4 edit appends semantic_dedup) — function
         # and oracle bit-identical to the r3-checked form
         "dedup_embedding": _dedup_embedding,
+        # dedup_ngram_jaccard: r3-green; its shingles/_shingles_sql
+        # helpers are untouched by the r4 shingle_hashes_from_tokens
+        # fix (minhash path only) and by the semantic_dedup append —
+        # function and oracle bit-identical to the r3-checked form
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
@@ -602,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": traindata.ngram_novelty_oracle(),
         "dup_span_coverage": traindata.dup_span_coverage_oracle(),
         "filter_funnel": pipeline.filter_funnel_oracle(),
+        "kmeans_refine": traindata.kmeans_refine_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

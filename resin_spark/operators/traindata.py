@@ -1208,3 +1208,172 @@ def epoch_shuffle_oracle(n_epochs: int = N_EPOCHS,
     FROM keyed
     ORDER BY epoch, shard, pos
     """
+
+
+# --- k-means Lloyd refinement (iterative, unrolled) --------------------------
+
+KMEANS_ITERS = 2
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): max-cosine assignment against broadcast centroids
+    — the shared kernel of centroid_assign / semantic_dedup / IVF."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "c_label")
+    return (
+        vecs.join(broadcast(cents))
+        .select("vec_id", "c_label",
+                V.cosine_gated("embedding", "centroid").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+
+
+def _cell_means(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """(c_label, centroid): decimal-exact per-cell mean vectors from an
+    assignment — the Lloyd update step (same exactness recipe as
+    label_centroid_vectors, keyed by assigned cell instead of label)."""
+    return (
+        vecs.join(assign, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(28,15)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s"))
+        .select(
+            F.col("cell").alias("c_label"),
+            F.transform("s", lambda st: st["mean_val"]).alias("centroid"),
+        )
+    )
+
+
+def kmeans_refine(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Distributed spherical k-means: ``iters`` full Lloyd iterations
+    (assign to max-cosine centroid → recompute exact-mean centroids),
+    seeded from the label-mean centroids, reporting the final per-cell
+    membership and cohesion.
+
+    This is the clustering pass a SemDeDup / IVF / topic-bucketing
+    pipeline runs before its per-cell work. Output per cell:
+    member count and mean cosine-to-centroid (the cohesion signal that
+    decides whether a cell needs splitting).
+
+    Plan/scale: each iteration is (a) one broadcast-scored scan + a
+    linear rank-1 window for assignment and (b) one (cell, dim) shuffle
+    of posexploded components for the update — both linear in rows ×
+    dims; centroids stay |cells| rows and BROADCAST at every step, so
+    iterations never shuffle the corpus against itself. Assignments
+    are localCheckpointed per iteration (id+cell, 12 bytes/row) to cut
+    lineage regrowth — the same guard dedup_components uses for its
+    propagation loop. No driver collect.
+
+    Cross-engine exactness: every centroid component is an
+    order-independent decimal mean; assignment ties break on cell id
+    ascending; the reported mean cosine is a decimal-exact average of
+    per-vector cosines rounded once at 9 decimals (both engines agree
+    far inside the grain — the centroid_assign precedent).
+    """
+    from resin_spark.operators.similarity import valid_vectors
+
+    vecs = valid_vectors(emb).filter(F.col("label").isNotNull()) \
+        .select("vec_id", "embedding", "label")
+    cents = label_centroid_vectors(vecs)
+    assign = None
+    for _ in range(iters):
+        assign = _assign_cells(vecs, cents).localCheckpoint(eager=False)
+        cents = _cell_means(vecs, assign)
+    scored = (
+        vecs.join(assign, "vec_id")
+        .join(broadcast(cents), F.col("cell") == F.col("c_label"))
+        .select(
+            "cell",
+            F.round(V.cosine_gated("embedding", "centroid"), 9).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(exact.davg("cos", scale=9, precision=20), 9)
+            .alias("mean_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def kmeans_refine_oracle(iters: int = KMEANS_ITERS) -> str:
+    from resin_spark.operators.similarity import VALID_VECTORS_SQL
+
+    def means_cte(src_assign: str, out: str) -> str:
+        return f"""{out}_dims AS (
+        SELECT a.cell, CAST(p.i - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'i': i, 'x': embedding[i]}})) AS p
+            FROM vemb
+        ) v JOIN {src_assign} a USING (vec_id)
+        GROUP BY 1, 2
+    ), {out} AS (
+        SELECT cell AS c_label, list(mean_val ORDER BY dim) AS centroid
+        FROM {out}_dims GROUP BY cell
+    )"""
+
+    def assign_cte(cent: str, out: str) -> str:
+        cos = V.cosine_gated_sql("e.embedding", "c.centroid")
+        return f"""{out} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.c_label AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.c_label) AS rn
+            FROM vemb e, {cent} c
+        ) WHERE rn = 1
+    )"""
+
+    parts = [f"""vemb AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE {VALID_VECTORS_SQL} AND label IS NOT NULL
+    ), cent0_dims AS (
+        SELECT label AS cell, CAST(p.i - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'i': i, 'x': embedding[i]}})) AS p
+            FROM vemb
+        )
+        GROUP BY 1, 2
+    ), cent0 AS (
+        SELECT cell AS c_label, list(mean_val ORDER BY dim) AS centroid
+        FROM cent0_dims GROUP BY cell
+    )"""]
+    cent = "cent0"
+    assign = None
+    for i in range(iters):
+        assign = f"assign{i}"
+        parts.append(assign_cte(cent, assign))
+        cent = f"cent{i + 1}"
+        parts.append(means_cte(assign, cent))
+    cos_final = V.cosine_gated_sql("e.embedding", "c.centroid")
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT a.cell, COUNT(*) AS n_members,
+           round({exact.davg_sql("round(" + "cosx" + ", 9)", scale=9, precision=20)}, 9)
+               AS mean_cos
+    FROM (
+        SELECT a.vec_id, a.cell, {cos_final} AS cosx
+        FROM vemb e
+        JOIN {assign} a USING (vec_id)
+        JOIN {cent} c ON c.c_label = a.cell
+    ) a(vec_id, cell, cosx)
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """

@@ -341,3 +341,42 @@ def test_epoch_shuffle_is_permutation_and_epoch_varying(spark, tables):
     same = e0.join(e1, "doc_id") \
         .filter("shard = s1 AND pos = p1").count()
     assert same < n_docs
+
+
+def test_kmeans_refine_oracle(spark, tables):
+    compare(td.kmeans_refine(tables["embeddings"]),
+            td.kmeans_refine_oracle(), SF)
+
+
+def test_kmeans_refine_tightens_or_holds_cohesion(spark, tables):
+    """Lloyd iterations must not lose members and the size-weighted mean
+    cohesion after 2 iterations must be >= the 1-iteration value (each
+    assign step is optimal for its centroids; each update step is the
+    mean — cosine cohesion against the own-cell centroid can only
+    improve in aggregate on this data)."""
+    emb = tables["embeddings"]
+    def weighted(df):
+        r = df.agg(F.sum(F.col("n_members") * F.col("mean_cos")).alias("s"),
+                   F.sum("n_members").alias("n")).first()
+        return r["s"] / r["n"], r["n"]
+    c1, n1 = weighted(td.kmeans_refine(emb, iters=1))
+    c2, n2 = weighted(td.kmeans_refine(emb, iters=2))
+    assert n1 == n2
+    assert c2 >= c1 - 1e-9, (c1, c2)
+
+
+def test_kmeans_refine_separable_clusters_converge(spark):
+    """Two tight orthogonal clusters with adversarial label seeding
+    (one straggler mislabeled): after 2 iterations every vector sits in
+    the cell of its true cluster with cohesion ~1."""
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.02 * i, 0.0, 0.0], 0 if i != 5 else 1))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.02 * (i - 6), 1.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = td.kmeans_refine(emb, iters=2).collect()
+    sizes = sorted(r["n_members"] for r in out)
+    assert sizes == [6, 6]
+    assert all(r["mean_cos"] > 0.99 for r in out)
