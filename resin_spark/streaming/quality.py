@@ -215,3 +215,132 @@ def stream_quality_score_bigram(spark: SparkSession, docs_parquet_dir: str,
     return stream.select("doc_id", "text").mapInPandas(
         score, "doc_id long, n_tokens long, bits_total double"
     )
+
+
+def build_nb_model(docs: DataFrame, vocab_cap: int = VOCAB_CAP):
+    """(bits_by_lang_tok, per_lang): the frozen Naive-Bayes language
+    classifier artifact (streaming twin of traindata.nb_lang_classify).
+
+    bits values reuse the batch operator's exact recipe — add-1
+    smoothing over the global vocabulary, −log2, rounded to 6 once per
+    distinct (lang, tok) — and ``per_lang`` carries each language's
+    (prior_bits, oov_bits). A (lang, tok) pair absent from the table
+    scores that language's oov_bits, which IS the batch value for a
+    zero-count pair ((0+1)/(n_lang+V)), so streaming scores over
+    in-vocabulary text equal the batch output bit-for-bit. The
+    vocabulary keeps the ``vocab_cap`` highest-global-tf tokens (ties:
+    token asc); both collects are vocabulary-sized, never corpus-sized.
+    """
+    base = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    toks = base.select("lang", F.explode("tk").alias("tok"))
+    cnt = (
+        toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_lang = cnt.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    vocab = cnt.agg(F.countDistinct("tok").alias("v"))
+    kept = (
+        cnt.groupBy("tok").agg(F.sum("c").alias("gtf"))
+        .orderBy(F.col("gtf").desc(), "tok").limit(vocab_cap)
+        .select("tok")
+    )
+    model_rows = (
+        cnt.join(F.broadcast(kept), "tok")
+        .join(n_lang, "lang").join(F.broadcast(vocab))
+        .select(
+            "lang", "tok",
+            F.round(-F.log2(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_lang") + F.col("v")).cast("double")), 6)
+            .alias("bits"),
+        )
+        .collect()
+    )
+    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang"))
+    lang_rows = (
+        priors.join(F.broadcast(priors.agg(
+            F.sum("docs_lang").alias("docs_total"))))
+        .join(n_lang, "lang").join(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(-F.log2(F.col("docs_lang").cast("double")
+                            / F.col("docs_total").cast("double")), 6)
+            .alias("prior_bits"),
+            F.round(-F.log2(F.lit(1.0)
+                            / (F.col("n_lang") + F.col("v")).cast("double")),
+                    6).alias("oov_bits"),
+        )
+        .collect()
+    )
+    bits_by_lang_tok = {(r["lang"], r["tok"]): r["bits"] for r in model_rows}
+    per_lang = {r["lang"]: (r["prior_bits"], r["oov_bits"])
+                for r in lang_rows}
+    return bits_by_lang_tok, per_lang
+
+
+def stream_lang_classify(spark: SparkSession, docs_parquet_dir: str,
+                         model_docs: DataFrame,
+                         vocab_cap: int = VOCAB_CAP) -> DataFrame:
+    """Classify a document stream with the frozen NB language model:
+    (doc_id, true_lang, pred_lang, best_bits, correct), append mode.
+
+    Per-row scoring only — tokenise once, fold integer micro-bits per
+    candidate language, argmin with language-ascending tie-break — no
+    watermark, no state store, no stream-side shuffle. On a
+    shared-vocabulary corpus the emitted rows equal the batch
+    ``nb_lang_classify`` output exactly (pinned in
+    tests/test_streaming_io.py); tokens outside the model score each
+    language's OOV prior, which is also the batch zero-count value.
+    """
+    import pandas as pd
+
+    table, per_lang = build_nb_model(model_docs, vocab_cap)
+    bc = spark.sparkContext.broadcast((table, per_lang))
+    tokenize_re = T.TOKEN_SPLIT_RE
+
+    def score(batches):
+        import re
+        tbl, pl = bc.value
+        langs = sorted(pl)
+        splitter = re.compile(tokenize_re)
+        for pdf in batches:
+            out = []
+            for doc_id, true_lang, text in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["text"]):
+                if doc_id is None or true_lang is None or text is None:
+                    continue
+                toks = [t for t in splitter.split(text.lower()) if t]
+                if not toks:
+                    continue
+                best_lang, best_micro = None, None
+                for lang in langs:
+                    prior_bits, oov_bits = pl[lang]
+                    oov_micro = int(round(oov_bits * 1e6))
+                    micro = int(round(prior_bits * 1e6))
+                    for t in toks:
+                        b = tbl.get((lang, t))
+                        micro += int(round(b * 1e6)) if b is not None \
+                            else oov_micro
+                    if best_micro is None or micro < best_micro:
+                        best_lang, best_micro = lang, micro
+                out.append((doc_id, true_lang, best_lang,
+                            float(best_micro) / 1e6,
+                            best_lang == true_lang))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "true_lang", "pred_lang", "best_bits", "correct"])
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return stream.select("doc_id", "lang", "text").mapInPandas(
+        score,
+        "doc_id long, true_lang string, pred_lang string, "
+        "best_bits double, correct boolean",
+    )

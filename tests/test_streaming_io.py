@@ -557,3 +557,73 @@ def test_stream_bigram_backoff_and_oov(spark, tmp_path):
     exp = (int(round(uni["cc"] * 1e6)) + int(round(uni["aa"] * 1e6))
            + int(round(oov * 1e6))) / 1e6
     assert r["bits_total"] == exp
+
+
+def test_stream_lang_classify_matches_batch(spark, tmp_path):
+    """Ingestion-time NB language classification with a frozen model
+    must emit exactly the batch nb_lang_classify rows when the stream
+    is the corpus the model was trained on (full vocab coverage)."""
+    from resin_spark.operators import traindata as td
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    batch = {r["doc_id"]: (r["true_lang"], r["pred_lang"],
+                           r["best_bits"], r["correct"])
+             for r in td.nb_lang_classify(t).collect()}
+    assert batch
+
+    src_dir = tmp_path / "docs_nb"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0000.parquet")
+    sq = (
+        q.stream_lang_classify(spark, str(src_dir), t["documents"])
+        .writeStream.format("memory")
+        .queryName("nb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nb"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["true_lang"], r["pred_lang"],
+                         r["best_bits"], r["correct"])
+          for r in spark.sql("SELECT * FROM nb_stream").collect()}
+    assert got == batch
+
+
+def test_stream_lang_classify_oov_scores_prior(spark, tmp_path):
+    """A streamed doc whose tokens are entirely outside the model
+    vocabulary scores prior + n_tokens x oov per language — the argmin
+    then reduces to the prior/oov ordering, and the row still emits
+    (no crash, no drop)."""
+    from resin_spark.streaming import quality as q
+
+    model_docs = spark.createDataFrame(
+        [(0, "the cat sat", "en"), (1, "der hund und", "de"),
+         (2, "the dog ran", "en")],
+        "doc_id long, text string, lang string",
+    )
+    src = tmp_path / "docs_nb_oov"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "zzz qqq xxx", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(str(src / "p"))
+    sq = (
+        q.stream_lang_classify(spark, str(src / "p"), model_docs)
+        .writeStream.format("memory")
+        .queryName("nb_oov_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nb_oov"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM nb_oov_stream").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # en has 2 of 3 model docs -> smaller prior bits; all-OOV tokens
+    # tie per-token across langs only if vocab sizes equal — assert the
+    # row is well-formed and pred is one of the model languages
+    assert r["pred_lang"] in ("en", "de")
+    assert r["best_bits"] > 0 and r["true_lang"] == "en"
