@@ -30,6 +30,9 @@ DOC_QUERIES = [
     "quality_perplexity", "shard_export", "line_dedup_stats",
     "dedup_incremental", "bpe_merge_step", "quality_perplexity_bigram",
     "ngram_novelty", "dup_span_coverage",
+    # late-r4 learned-curation block
+    "nb_lang_classify", "importance_weights", "epoch_shuffle",
+    "filter_funnel",
 ]
 
 EDGE_DOCS = [

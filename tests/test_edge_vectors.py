@@ -42,7 +42,10 @@ VEC_QUERIES = ["vector_analyze", "label_centroids", "graph_dedup",
                # complete-rerank PQ provably equals brute force on ANY
                # table (unlike ann_topk_lsh's bucketed recall, which the
                # comment above exempts), so the edge rows ride along
-               "ann_topk_pq"]
+               "ann_topk_pq",
+               # late-r4: cluster-partitioned dedup + Lloyd refinement
+               # (both filter invalid/null-label rows at the boundary)
+               "semantic_dedup", "kmeans_refine"]
 
 
 @pytest.fixture(scope="module")
