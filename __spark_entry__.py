@@ -385,6 +385,7 @@ def queries() -> dict[str, Query]:
         "semantic_dedup": _semantic_dedup,
         "filter_funnel": _mk_text(pipeline.filter_funnel),
         "kmeans_refine": _kmeans_refine,
+        "hll_distinct": _mk_text(sketch.hll_distinct),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
@@ -401,7 +402,6 @@ def queries() -> dict[str, Query]:
         "events_funnel": _mk_text(timeseries.funnel),
         # -- r3-green, kept inside the window
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_simhash": _dedup_simhash,
         "dedup_components": _dedup_components,
         "split_words_stats": _mk_text(textops.split_words_stats),
         # kv.py / events.py null-gating changed these three's oracles in
@@ -432,6 +432,11 @@ def queries() -> dict[str, Query]:
         # fix (minhash path only) and by the semantic_dedup append —
         # function and oracle bit-identical to the r3-checked form
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        # dedup_simhash: r3-green; simhash/_token_hash60 and its
+        # oracle are untouched by every r4 dedup.py edit (the
+        # shingle fix is minhash-path-only; late-r4 edits append
+        # semantic_dedup) — bit-identical to the r3-checked form
+        "dedup_simhash": _dedup_simhash,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
@@ -612,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_coverage": traindata.dup_span_coverage_oracle(),
         "filter_funnel": pipeline.filter_funnel_oracle(),
         "kmeans_refine": traindata.kmeans_refine_oracle(),
+        "hll_distinct": sketch.hll_distinct_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

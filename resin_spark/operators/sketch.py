@@ -145,3 +145,131 @@ def price_quantiles_oracle() -> str:
            {cols}
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
+
+
+# --- HyperLogLog distinct sketch (deterministic registers) -------------------
+
+HLL_B = 256            # registers (bucket bits = 8)
+_HLL_HASH_BITS = 60    # md5-derived hash width
+_HLL_W_BITS = _HLL_HASH_BITS - 8
+# alpha_256 * B^2 * 2^52 — one Python-computed double literal shared by
+# both engines so the estimate division is a single identical IEEE op
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_B)
+_HLL_NUM = _HLL_ALPHA * HLL_B * HLL_B * float(1 << _HLL_W_BITS)
+
+
+def hll_distinct(t: Tables) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type with fully
+    DETERMINISTIC registers: bucket = top 8 bits of the 60-bit md5
+    hash, rho = leading-zero rank of the remaining 52 bits. Unlike
+    Spark's approx_count_distinct (private register layout), every
+    register value is a pure function of the data, so the DuckDB
+    oracle checks the ESTIMATES exactly — the mergeable-sketch
+    counterpart of kmv_distinct (register max-merge is what a
+    100 TB rollup tree or a streaming accumulator needs: partial
+    aggregation IS the sketch union).
+
+    Exactness: the register sum folds 2^(52-M) as exact integers
+    (max 256·2^52 = 2^60, inside long/HUGEINT range), the estimate is
+    one double division by a shared precomputed literal, and the
+    small-range linear-counting branch (E ≤ 2.5B with empty
+    registers) uses ln rounded at 6 decimals — both engines agree far
+    inside the grain. rho caps at 52 (w = 0 folds into the top
+    register class — deterministic, bias ≪ the sketch's own error).
+
+    Scale: no distinct pre-shuffle (max is idempotent over duplicate
+    users); ONE shuffle to |groups| × 256 register rows with map-side
+    partial max — at any corpus size the post-shuffle state is
+    register-table-sized. Exact counts ride along to show the error.
+    """
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    )
+    # bucket/w split must be integer-exact: h reaches 2^60 (> 2^53), so
+    # float division would corrupt buckets — shift/mask instead
+    hashed = ev.select(
+        "event_type",
+        F.shiftright(h, _HLL_W_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit((1 << _HLL_W_BITS) - 1).cast("long")).alias("w"),
+    )
+    regs = (
+        hashed
+        .withColumn("rho", (F.lit(_HLL_W_BITS + 1)
+                            - F.length(F.bin("w"))).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # shiftleft via expr: the PySpark function form takes a Python-int
+    # shift amount, but the SQL form accepts a column expression
+    per_group = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_W_BITS} - m)")).alias("s_used"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    exact = (
+        ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    zeros = F.lit(HLL_B) - F.col("used")
+    s_total = (F.col("s_used")
+               + zeros * (F.lit(1).cast("long") * (1 << _HLL_W_BITS)))
+    e_raw = F.lit(_HLL_NUM) / s_total.cast("double")
+    lin = F.lit(float(HLL_B)) * F.log(F.lit(float(HLL_B))
+                                      / zeros.cast("double"))
+    est = F.when((e_raw <= 2.5 * HLL_B) & (zeros > 0), lin).otherwise(e_raw)
+    return (
+        per_group.join(exact, "event_type")
+        .select(
+            "event_type", "n_exact",
+            F.col("used").cast("bigint").alias("registers_used"),
+            F.round(est, 6).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_distinct_oracle() -> str:
+    pos15 = (
+        "list_reduce(list_transform(string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 15), ''),"
+        f" c -> CAST(strpos('{_HEX}', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    W = 1 << _HLL_W_BITS
+    return f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(h // {W} AS BIGINT) AS bucket,
+               h % {W} AS w
+        FROM (
+            SELECT event_type, {pos15} AS h
+            FROM events WHERE user_id IS NOT NULL
+        )
+    ), regs AS (
+        SELECT event_type, bucket,
+               MAX({_HLL_W_BITS + 1} - length(bin(w))) AS m
+        FROM hashed GROUP BY event_type, bucket
+    ), per_group AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << ({_HLL_W_BITS} - m)) AS BIGINT) AS s_used,
+               COUNT(*) AS used
+        FROM regs GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, COUNT(*) AS n_exact
+        FROM (SELECT DISTINCT event_type, user_id
+              FROM events WHERE user_id IS NOT NULL)
+        GROUP BY event_type
+    )
+    SELECT p.event_type, e.n_exact,
+           CAST(used AS BIGINT) AS registers_used,
+           round(CASE WHEN {_HLL_NUM!r} / CAST(s_used
+                          + ({HLL_B} - used) * ({W}::BIGINT) AS DOUBLE)
+                          <= {2.5 * HLL_B}
+                      AND ({HLL_B} - used) > 0
+                 THEN {float(HLL_B)!r} * ln({float(HLL_B)!r}
+                          / CAST({HLL_B} - used AS DOUBLE))
+                 ELSE {_HLL_NUM!r} / CAST(s_used
+                          + ({HLL_B} - used) * ({W}::BIGINT) AS DOUBLE)
+                 END, 6) AS hll_estimate
+    FROM per_group p JOIN exact e USING (event_type)
+    ORDER BY p.event_type
+    """
