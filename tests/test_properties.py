@@ -256,3 +256,36 @@ def test_hll_matches_python_reference(spark):
         assert abs(got[t][2] - round(est, 6)) < 1e-9, (t, got[t][2], est)
     # sketch accuracy on the big group: within 20% at 900 distinct
     assert abs(got["b"][2] - 900) / 900 < 0.2
+
+
+def test_hll_registers_merge_as_union(spark):
+    """The 100 TB property: HLL over a union of two corpora equals
+    max-merging the two corpora's registers — i.e. partial aggregation
+    IS the sketch union, so per-shard/per-hour sketches roll up to the
+    global sketch without touching raw data."""
+    from resin_spark.operators import sketch as sk
+
+    a = spark.createDataFrame(
+        [("x", i) for i in range(400)], "event_type string, user_id long")
+    b = spark.createDataFrame(
+        [("x", i) for i in range(200, 700)], "event_type string, user_id long")
+    merged = sk.hll_distinct({"events": a.unionByName(b)}).first()
+    # simulate a rollup tree: registers from each side, max-merged
+    import hashlib
+    W = 1 << 52
+    regs = {}
+    for part in ([r["user_id"] for r in a.collect()],
+                 [r["user_id"] for r in b.collect()]):
+        for u in part:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            bk, w = h >> 52, h & (W - 1)
+            regs[bk] = max(regs.get(bk, 0), 53 - len(bin(w)[2:]))
+    import math
+    used = len(regs)
+    s_total = sum(1 << (52 - m) for m in regs.values()) + (256 - used) * W
+    e_raw = sk._HLL_NUM / float(s_total)
+    zeros = 256 - used
+    est = 256.0 * math.log(256.0 / zeros) \
+        if (e_raw <= 2.5 * 256 and zeros > 0) else e_raw
+    assert merged["hll_estimate"] == round(est, 6)
+    assert merged["n_exact"] == 700
