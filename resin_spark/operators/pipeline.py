@@ -647,3 +647,134 @@ def filter_funnel_oracle(min_tokens: int = FUNNEL_MIN_TOKENS,
     )
     ORDER BY stage
     """
+
+
+# --- Bloom-filter decontamination (map-side membership) ----------------------
+
+BLOOM_M = 1 << 16   # filter bits
+BLOOM_K = 3         # hash functions
+
+
+def _bloom_pos(col, j: int, m: int):
+    from resin_spark.operators.dedup import _token_hash60
+    return (_token_hash60(F.concat_ws("#", col, F.lit(str(j)))) % m)
+
+
+def bloom_contamination(t: Tables, n: int = 4, tau: float = 0.5,
+                        m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of an
+    exact shingle join — the shape that scales to a 100 TB corpus
+    probed against a big eval suite: the filter is ≤ ``m`` bit
+    positions (8 KiB as a bitmap, ≤ m rows as a relation) and is
+    BROADCAST, so candidate shingles are tested map-side with zero
+    shuffle of the probe stream; only the per-doc rollup exchanges,
+    and that is keyed by doc_id like every per-doc stat.
+
+    Per candidate doc: distinct word-``n``-gram shingles, how many
+    pass all ``k`` Bloom probes, the hit fraction, and the flag at
+    ``tau``. One-sided error only: every truly-overlapping shingle
+    hits (no false negatives — the decontamination guarantee), a
+    non-overlapping shingle hits with p ≈ (bits_set/m)^k; comparing
+    against contamination_check's exact n_hits shows the FP surplus
+    (tests pin superset + FP-rate bound).
+
+    Determinism/exactness: positions are md5-hash60 mod m — identical
+    integers in both engines — and the ``k`` probes are k broadcast
+    equi-joins (no per-shingle groupBy), so the oracle reproduces the
+    filter bit-for-bit and the driver hash-checks the COUNTS, not an
+    approximation contract.
+    """
+    from resin_spark.operators.dedup import shingles
+
+    docs = t["documents"]
+    sh = shingles(docs, n)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    # the filter: distinct bit positions set by benchmark shingles
+    bench_bits = None
+    bench_sh = sh.filter(is_bench)
+    pos_frames = [
+        bench_sh.select(_bloom_pos(F.col("shingle"), j, m).alias("pos"))
+        for j in range(k)
+    ]
+    bits = pos_frames[0]
+    for f in pos_frames[1:]:
+        bits = bits.unionByName(f)
+    bits = bits.distinct().localCheckpoint(eager=False)
+    cand = sh.filter(~is_bench)
+    probed = cand
+    hit = None
+    for j in range(k):
+        bj = bits.select(F.col("pos").alias(f"p{j}"),
+                         F.lit(True).alias(f"in{j}"))
+        probed = probed.withColumn(f"p{j}", _bloom_pos(F.col("shingle"), j, m)) \
+            .join(F.broadcast(bj), f"p{j}", "left")
+        term = F.col(f"in{j}").isNotNull()
+        hit = term if hit is None else (hit & term)
+    per_doc = (
+        probed.withColumn("hit", hit)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("hit").cast("long")).alias("n_bloom_hits"),
+        )
+    )
+    ratio = F.col("n_bloom_hits") / F.col("n_shingles")
+    return (
+        docs.filter(~is_bench).select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long")
+            .alias("n_bloom_hits"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) > 0, ratio)
+            .alias("bloom_ratio"),
+            F.coalesce(ratio >= tau, F.lit(False)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_contamination_oracle(n: int = 4, tau: float = 0.5,
+                               m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    from resin_spark.operators.dedup import _shingles_sql, _token_hash60_sql
+
+    def pos(j: int) -> str:
+        expr = "shingle || '#' || '" + str(j) + "'"
+        return f"({_token_hash60_sql(expr)}) % {m}"
+
+    bit_union = "\n        UNION\n".join(
+        f"        SELECT {pos(j)} AS pos FROM bench_sh" for j in range(k)
+    )
+    probe_joins = "\n    ".join(
+        f"LEFT JOIN bits b{j} ON ({pos(j)}) = b{j}.pos" for j in range(k)
+    )
+    all_hit = " AND ".join(f"b{j}.pos IS NOT NULL" for j in range(k))
+    return f"""
+    WITH sh AS ({_shingles_sql(n)}),
+    bench_sh AS (SELECT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    bits AS (
+{bit_union}
+    ),
+    cand AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    probed AS (
+        SELECT cand.doc_id, CASE WHEN {all_hit} THEN 1 ELSE 0 END AS hit
+        FROM cand
+    {probe_joins}
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+        FROM probed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_bloom_hits, 0) AS n_bloom_hits,
+           CASE WHEN COALESCE(n_shingles, 0) > 0
+                THEN n_bloom_hits / n_shingles END AS bloom_ratio,
+           COALESCE(n_bloom_hits / n_shingles >= {tau}, FALSE) AS flagged
+    FROM documents d
+    LEFT JOIN per_doc USING (doc_id)
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    ORDER BY doc_id
+    """

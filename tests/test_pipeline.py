@@ -183,3 +183,26 @@ def test_filter_funnel_dropped_copy_does_not_claim_canonical(spark):
            filter_funnel({"documents": docs}).collect()}
     assert out["langid"].docs_out == 1
     assert out["dedup"].docs_out == 1
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """No false negatives: every shingle the exact join counts as a
+    benchmark hit must also pass all Bloom probes, so per-doc
+    n_bloom_hits >= n_hits everywhere; and on this corpus the FP
+    surplus stays under 20% of probed shingles (m=65536 bits vs a
+    small benchmark set -> low fill factor)."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators.pipeline import (
+        bloom_contamination, contamination_check)
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in contamination_check(t).collect()}
+    bloom_rows = bloom_contamination(t).collect()
+    surplus_total, shingle_total = 0, 0
+    for r in bloom_rows:
+        assert r["n_bloom_hits"] >= exact[r["doc_id"]], r
+        surplus_total += r["n_bloom_hits"] - exact[r["doc_id"]]
+        shingle_total += r["n_shingles"]
+    assert shingle_total > 0
+    assert surplus_total / shingle_total < 0.2, (surplus_total, shingle_total)
