@@ -387,10 +387,10 @@ def queries() -> dict[str, Query]:
         "kmeans_refine": _kmeans_refine,
         "hll_distinct": _mk_text(sketch.hll_distinct),
         "bloom_contamination": _mk_text(pipeline.bloom_contamination),
+        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
         # -- first driver row ever (rows-only by design)
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
         # -- r3-green but module edited in round 4: re-window
         "graph_dedup": _graph_dedup,
         "vector_analyze": _vector_analyze,
@@ -437,9 +437,11 @@ def queries() -> dict[str, Query]:
         # shingle fix is minhash-path-only; late-r4 edits append
         # semantic_dedup) — bit-identical to the r3-checked form
         "dedup_simhash": _dedup_simhash,
-        # lexicon_validate: rows-only with r2+r3 driver rows; its
-        # function is untouched by the r4 textops.py edits
-        # (term_cooccurrence + split_words_stats_oracle only)
+        # lexicon_angle / lexicon_validate: rows-only with r2+r3
+        # driver rows; both functions are untouched by the r4
+        # textops.py edits (term_cooccurrence +
+        # split_words_stats_oracle only)
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
         "lexicon_validate": _mk_text(textops.lexicon_validate),
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
@@ -623,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_refine": traindata.kmeans_refine_oracle(),
         "hll_distinct": sketch.hll_distinct_oracle(),
         "bloom_contamination": pipeline.bloom_contamination_oracle(),
+        "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

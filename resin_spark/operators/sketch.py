@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from resin_spark.functions import text as T
+
 Tables = dict[str, DataFrame]
 
 KMV_K = 16
@@ -272,4 +274,116 @@ def hll_distinct_oracle() -> str:
                  END, 6) AS hll_estimate
     FROM per_group p JOIN exact e USING (event_type)
     ORDER BY p.event_type
+    """
+
+
+# --- Count-Min sketch heavy hitters ------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 1024    # counters per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(t: Tables, d: int = CMS_D, w: int = CMS_W,
+                      topk: int = CMS_TOPK) -> DataFrame:
+    """Count-Min sketch over corpus token frequencies, evaluated on the
+    exact top-``topk`` tokens: per token, the CMS estimate (min over
+    ``d`` hashed counters) beside the exact count and the collision
+    surplus. CMS is the third classic mergeable sketch next to KMV and
+    HLL — counter ADDITION is partial aggregation, so per-shard
+    sketches sum into the corpus sketch without touching raw tokens —
+    and like the others its state here is a pure function of the data
+    (md5-derived row hashes), so the oracle checks estimates exactly.
+
+    Guarantee surfaced in the output: cms_estimate >= exact_tf always
+    (one-sided overestimate; pinned in tests with a scalar Python
+    reimplementation), with surplus ≤ ε·N at probability 1−δ for
+    w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+    Scale: the token stream fans out ×``d`` into a groupBy whose
+    post-shuffle state is the d×w counter table (4096 rows at any
+    corpus size — map-side partial sums do the compression); the
+    exact top-k ranking is the same tf aggregate term_frequencies
+    already runs, and the estimate join probes the counter table with
+    a ``topk``-row broadcast.
+    """
+    from resin_spark.operators.dedup import _token_hash60
+
+    toks = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .select(F.explode(T.tokens("text")).alias("tok"))
+    )
+    rows = toks.select(
+        "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (_token_hash60(F.concat_ws("@", "tok", F.lit(str(j))))
+                      % w).alias("c"))
+            for j in range(d)
+        ])).alias("p"),
+    ).select("p.j", "p.c")
+    counters = rows.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt")) \
+        .localCheckpoint(eager=False)
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_tf"))
+        .orderBy(F.col("exact_tf").desc(), "tok").limit(topk)
+    )
+    probed = top
+    ests = []
+    for j in range(d):
+        cj = counters.filter(F.col("j") == j) \
+            .select(F.col("c").alias(f"c{j}"), F.col("cnt").alias(f"cnt{j}"))
+        probed = probed.withColumn(
+            f"c{j}",
+            _token_hash60(F.concat_ws("@", "tok", F.lit(str(j)))) % w,
+        ).join(F.broadcast(cj), f"c{j}")
+        ests.append(F.col(f"cnt{j}"))
+    return (
+        probed.select(
+            "tok", "exact_tf",
+            F.least(*ests).alias("cms_estimate"),
+            (F.least(*ests) - F.col("exact_tf")).alias("surplus"),
+        )
+        .orderBy(F.col("exact_tf").desc(), "tok")
+    )
+
+
+def cms_heavy_hitters_oracle(d: int = CMS_D, w: int = CMS_W,
+                             topk: int = CMS_TOPK) -> str:
+    from resin_spark.operators.dedup import _token_hash60_sql
+    tk = T.tokens_sql("text")
+
+    def col_expr(j: int, tok_expr: str = "tok") -> str:
+        e = tok_expr + " || '@' || '" + str(j) + "'"
+        return f"({_token_hash60_sql(e)}) % {w}"
+
+    counter_union = "\n        UNION ALL\n".join(
+        f"        SELECT {j} AS j, {col_expr(j)} AS c FROM toks"
+        for j in range(d)
+    )
+    est_joins = "\n    ".join(
+        f"JOIN counters k{j} ON k{j}.j = {j} AND k{j}.c = {col_expr(j, 'top.tok')}"
+        for j in range(d)
+    )
+    least = "LEAST(" + ", ".join(f"k{j}.cnt" for j in range(d)) + ")"
+    return f"""
+    WITH toks AS (
+        SELECT unnest({tk}) AS tok
+        FROM documents WHERE doc_id IS NOT NULL
+    ), rows_ AS (
+{counter_union}
+    ), counters AS (
+        SELECT j, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY j, c
+    ), top AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_tf
+        FROM toks GROUP BY tok
+        ORDER BY exact_tf DESC, tok LIMIT {topk}
+    )
+    SELECT top.tok, top.exact_tf,
+           {least} AS cms_estimate,
+           {least} - top.exact_tf AS surplus
+    FROM top
+    {est_joins}
+    ORDER BY top.exact_tf DESC, top.tok
     """

@@ -289,3 +289,41 @@ def test_hll_registers_merge_as_union(spark):
         if (e_raw <= 2.5 * 256 and zeros > 0) else e_raw
     assert merged["hll_estimate"] == round(est, 6)
     assert merged["n_exact"] == 700
+
+
+def test_cms_matches_python_reference_and_overestimates(spark):
+    """CMS counters and estimates must equal a scalar reimplementation,
+    and the estimate must never under-count (the CMS guarantee) even
+    on a corpus engineered to collide (vocabulary ≫ w would force
+    collisions; here we check exactness of the machinery and the
+    one-sided property on a skewed corpus)."""
+    import hashlib
+
+    from resin_spark.operators import sketch as sk
+
+    words = [f"w{i}" for i in range(50)]
+    text = " ".join(w for i, w in enumerate(words) for _ in range(i + 1))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "w49 " * 30), (2, None)],
+        "doc_id long, text string")
+    out = {r["tok"]: (r["exact_tf"], r["cms_estimate"])
+           for r in sk.cms_heavy_hitters({"documents": docs},
+                                          topk=10).collect()}
+
+    toks = [w for i, w in enumerate(words) for _ in range(i + 1)] + ["w49"] * 30
+    counters = {}
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    for tok in toks:
+        for j in range(sk.CMS_D):
+            key = (j, h60(f"{tok}@{j}") % sk.CMS_W)
+            counters[key] = counters.get(key, 0) + 1
+    from collections import Counter
+    exact = Counter(toks)
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(out) == {tok for tok, _ in top10}
+    for tok, tf in top10:
+        est = min(counters[(j, h60(f"{tok}@{j}") % sk.CMS_W)]
+                  for j in range(sk.CMS_D))
+        assert out[tok] == (tf, est)
+        assert est >= tf
