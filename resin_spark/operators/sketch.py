@@ -160,6 +160,33 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_B)
 _HLL_NUM = _HLL_ALPHA * HLL_B * HLL_B * float(1 << _HLL_W_BITS)
 
 
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, m): the deterministic HLL register table —
+    the SHARED expression between the batch sketch and its streaming
+    twin (streaming/events.stream_hll_registers), so the streaming
+    state provably equals the batch registers. Works unchanged on a
+    static or streaming DataFrame (groupBy-max is a streaming-legal
+    stateful aggregate whose state is register-table-sized)."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    )
+    # bucket/w split must be integer-exact: h reaches 2^60 (> 2^53), so
+    # float division would corrupt buckets — shift/mask instead
+    hashed = ev.select(
+        "event_type",
+        F.shiftright(h, _HLL_W_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit((1 << _HLL_W_BITS) - 1).cast("long")).alias("w"),
+    )
+    return (
+        hashed
+        .withColumn("rho", (F.lit(_HLL_W_BITS + 1)
+                            - F.length(F.bin("w"))).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
 def hll_distinct(t: Tables) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type with fully
     DETERMINISTIC registers: bucket = top 8 bits of the 60-bit md5
@@ -185,24 +212,7 @@ def hll_distinct(t: Tables) -> DataFrame:
     register-table-sized. Exact counts ride along to show the error.
     """
     ev = t["events"].filter(F.col("user_id").isNotNull())
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
-    )
-    # bucket/w split must be integer-exact: h reaches 2^60 (> 2^53), so
-    # float division would corrupt buckets — shift/mask instead
-    hashed = ev.select(
-        "event_type",
-        F.shiftright(h, _HLL_W_BITS).alias("bucket"),
-        h.bitwiseAND(F.lit((1 << _HLL_W_BITS) - 1).cast("long")).alias("w"),
-    )
-    regs = (
-        hashed
-        .withColumn("rho", (F.lit(_HLL_W_BITS + 1)
-                            - F.length(F.bin("w"))).cast("int"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("m"))
-    )
+    regs = hll_registers(ev)
     # shiftleft via expr: the PySpark function form takes a Python-int
     # shift amount, but the SQL form accepts a column expression
     per_group = regs.groupBy("event_type").agg(

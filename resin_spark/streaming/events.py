@@ -385,3 +385,29 @@ def stream_near_dedup(spark: SparkSession, docs_parquet_dir: str,
         .select("doc_id", "dup_of", "jaccard")
         .dropDuplicates(["doc_id", "dup_of"])
     )
+
+
+def stream_hll_registers(spark: SparkSession, events_parquet_dir: str):
+    """Streaming HLL: accumulate the deterministic distinct-count
+    registers across micro-batches — the "sketch as streaming state"
+    form a continuous ingestion pipeline keeps per metric.
+
+    The aggregation is the SAME expression as the batch sketch
+    (operators/sketch.hll_registers), run as a stateful groupBy-max:
+    state is bounded at |event_types| × 256 rows FOREVER (register
+    max-merge is idempotent and monotone — no watermark needed, unlike
+    count-style state), and after any prefix of the stream the state
+    equals the batch registers over the events seen so far, so the
+    final estimates equal hll_distinct's bit-for-bit (pinned in
+    tests/test_streaming_io.py). Complete-mode output: the register
+    table IS the result.
+    """
+    from resin_spark.operators.sketch import hll_registers
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_parquet_dir)
+    )
+    return hll_registers(stream.filter(F.col("user_id").isNotNull()))

@@ -627,3 +627,34 @@ def test_stream_lang_classify_oov_scores_prior(spark, tmp_path):
     # row is well-formed and pred is one of the model languages
     assert r["pred_lang"] in ("en", "de")
     assert r["best_bits"] > 0 and r["true_lang"] == "en"
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """Streaming sketch state after consuming the whole stream must
+    equal the batch register table — register max-merge across
+    micro-batches IS the sketch union — and therefore yields the
+    identical estimate."""
+    import shutil as _sh
+
+    from resin_spark.operators import sketch as sk
+    from resin_spark.streaming import events as sev
+
+    src = tmp_path / "ev_hll"
+    src.mkdir()
+    _sh.copy(f"{SF}/events.parquet", src / "part-0000.parquet")
+    q = (
+        sev.stream_hll_registers(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_type"], r["bucket"]): r["m"]
+           for r in spark.sql("SELECT * FROM hll_stream").collect()}
+    ev = load_tables(spark, SF)["events"].filter("user_id IS NOT NULL")
+    want = {(r["event_type"], r["bucket"]): r["m"]
+            for r in sk.hll_registers(ev).collect()}
+    assert got == want and got
