@@ -885,16 +885,30 @@ def nb_lang_classify(t: Tables) -> DataFrame:
     language sets; at 100 TB the scoring join on tok is the only big
     exchange and is the same shape quality_perplexity already sweeps.
     """
-    base = (
-        t["documents"]
+    docs = t["documents"]
+    model, cand = nb_model_frames(docs)
+    return nb_classify_with_model(docs, model, cand)
+
+
+def _nb_base(docs: DataFrame) -> DataFrame:
+    return (
+        docs
         .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
         .select("doc_id", "lang", T.tokens("text").alias("tk"))
         .filter(F.size("tk") >= 1)
     )
-    toks = base.select("doc_id", F.col("lang").alias("true_lang"),
-                       F.explode("tk").alias("tok"))
+
+
+def nb_model_frames(docs: DataFrame):
+    """(model, cand): the NB classifier as two relations — (cand, tok,
+    bits) per observed (language, token) pair, and the |langs|-row
+    (cand, prior_bits, oov_bits) frame. Shared by the self-scoring
+    query, the parquet persistence pair (write_nb_model /
+    read_nb_model), and the streaming artifact build."""
+    base = _nb_base(docs)
+    toks = base.select(F.col("lang"), F.explode("tk").alias("tok"))
     cnt = (
-        toks.groupBy(F.col("true_lang").alias("lang"), "tok")
+        toks.groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
@@ -921,6 +935,19 @@ def nb_lang_classify(t: Tables) -> DataFrame:
             .alias("oov_bits"),
         )
     )
+    return model, cand
+
+
+def nb_classify_with_model(docs: DataFrame, model: DataFrame,
+                           cand: DataFrame) -> DataFrame:
+    """Score ``docs`` with an NB model given as relations — the apply
+    side of the train-once/classify-forever split. With the frames
+    straight from nb_model_frames this IS nb_lang_classify; with
+    frames read back from parquet (read_nb_model) the output is
+    row-for-row identical (pinned in tests)."""
+    toks = _nb_base(docs).select(
+        "doc_id", F.col("lang").alias("true_lang"),
+        F.explode("tk").alias("tok"))
     scored = (
         toks.join(broadcast(cand))
         .join(model, ["cand", "tok"], "left")
@@ -945,6 +972,26 @@ def nb_lang_classify(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def write_nb_model(docs: DataFrame, path: str) -> None:
+    """Persist the NB language model: ``{path}/token_bits`` (cand, tok,
+    bits) and ``{path}/lang_stats`` (cand, prior_bits, oov_bits). The
+    production deployment path — train on the standing corpus once,
+    then every later batch/stream classifies against the stored
+    relations without re-reading the training corpus (the
+    write_pq_index / write_dedup_index precedent applied to the
+    learned filter). Deterministic: same corpus → byte-identical
+    model relations."""
+    model, cand = nb_model_frames(docs)
+    model.write.mode("overwrite").parquet(f"{path}/token_bits")
+    cand.coalesce(1).write.mode("overwrite").parquet(f"{path}/lang_stats")
+
+
+def read_nb_model(spark, path: str):
+    """(model, cand) frames read back from write_nb_model output."""
+    return (spark.read.parquet(f"{path}/token_bits"),
+            spark.read.parquet(f"{path}/lang_stats"))
 
 
 def nb_lang_classify_oracle() -> str:

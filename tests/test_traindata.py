@@ -380,3 +380,30 @@ def test_kmeans_refine_separable_clusters_converge(spark):
     sizes = sorted(r["n_members"] for r in out)
     assert sizes == [6, 6]
     assert all(r["mean_cos"] > 0.99 for r in out)
+
+
+def test_nb_model_roundtrip_classifies_identically(spark, tables, tmp_path):
+    """Persisted-model classification must equal the in-memory
+    self-scored output row-for-row (train once / classify forever)."""
+    docs = tables["documents"]
+    td.write_nb_model(docs, str(tmp_path / "nb"))
+    model, cand = td.read_nb_model(spark, str(tmp_path / "nb"))
+    direct = sorted(map(tuple, td.nb_lang_classify(tables).collect()))
+    indexed = sorted(map(tuple,
+                         td.nb_classify_with_model(docs, model, cand)
+                         .collect()))
+    assert direct == indexed and direct
+
+
+def test_nb_stored_model_classifies_new_batch(spark, tables, tmp_path):
+    """A new batch with tokens unseen at train time scores through the
+    stored model's OOV prior — no crash, all rows emitted."""
+    td.write_nb_model(tables["documents"], str(tmp_path / "nb2"))
+    model, cand = td.read_nb_model(spark, str(tmp_path / "nb2"))
+    new = spark.createDataFrame(
+        [(1000, "the cat zzzqqq unseen", "en"),
+         (1001, "der hund xxyyzz", "de")],
+        "doc_id long, text string, lang string")
+    out = td.nb_classify_with_model(new, model, cand).collect()
+    assert len(out) == 2
+    assert all(r["pred_lang"] is not None for r in out)
