@@ -936,23 +936,15 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     from resin_spark.operators.similarity import (
         cosine_threshold_candidates_auto, maybe_broadcast, valid_vectors,
     )
-    from resin_spark.operators.traindata import label_centroid_vectors
+    from resin_spark.operators.traindata import (
+        _assign_cells, label_centroid_vectors,
+    )
 
     base = valid_vectors(emb).filter(F.col("label").isNotNull())
     cents = label_centroid_vectors(base)
-    w = Window.partitionBy("vec_id") \
-        .orderBy(F.col("score").desc(), "c_label")
-    assigned = (
-        base.join(F.broadcast(cents))
-        .select(
-            "vec_id", "c_label",
-            V.cosine_gated("embedding", "centroid").alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-        .localCheckpoint(eager=False)
-    )
+    # the shared max-cosine assignment kernel (also centroid_assign's
+    # and kmeans_refine's) — checkpointed id-narrow for its 3 consumers
+    assigned = _assign_cells(base, cents).localCheckpoint(eager=False)
     cand, fits = cosine_threshold_candidates_auto(base, tau)
     normed = base.filter(V.norm("embedding") > 0).select(
         "vec_id", V.l2_normalize("embedding").alias("u"))

@@ -690,7 +690,6 @@ def bloom_contamination(t: Tables, n: int = 4, tau: float = 0.5,
     sh = shingles(docs, n)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     # the filter: distinct bit positions set by benchmark shingles
-    bench_bits = None
     bench_sh = sh.filter(is_bench)
     pos_frames = [
         bench_sh.select(_bloom_pos(F.col("shingle"), j, m).alias("pos"))

@@ -167,10 +167,8 @@ def hll_registers(ev: DataFrame) -> DataFrame:
     state provably equals the batch registers. Works unchanged on a
     static or streaming DataFrame (groupBy-max is a streaming-legal
     stateful aggregate whose state is register-table-sized)."""
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
-    )
+    from resin_spark.operators.dedup import _token_hash60
+    h = _token_hash60(F.col("user_id").cast("string"))
     # bucket/w split must be integer-exact: h reaches 2^60 (> 2^53), so
     # float division would corrupt buckets — shift/mask instead
     hashed = ev.select(
@@ -242,10 +240,8 @@ def hll_distinct(t: Tables) -> DataFrame:
 
 
 def hll_distinct_oracle() -> str:
-    pos15 = (
-        "list_reduce(list_transform(string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 15), ''),"
-        f" c -> CAST(strpos('{_HEX}', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-    )
+    from resin_spark.operators.dedup import _token_hash60_sql
+    pos15 = _token_hash60_sql("CAST(user_id AS VARCHAR)")
     W = 1 << _HLL_W_BITS
     return f"""
     WITH hashed AS (

@@ -114,8 +114,13 @@ def stream_quality_score(spark: SparkSession, docs_parquet_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_parquet_dir)
     )
-    return stream.select("doc_id", "text").mapInPandas(
-        score, "doc_id long, n_tokens long, bits_per_token double"
+    # NULL doc_ids reach pandas as NaN (not None) through Arrow — gate
+    # them JVM-side so the batch twin's doc_id IS NOT NULL filter holds
+    return (
+        stream.select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .mapInPandas(
+            score, "doc_id long, n_tokens long, bits_per_token double")
     )
 
 
@@ -212,8 +217,11 @@ def stream_quality_score_bigram(spark: SparkSession, docs_parquet_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_parquet_dir)
     )
-    return stream.select("doc_id", "text").mapInPandas(
-        score, "doc_id long, n_tokens long, bits_total double"
+    return (
+        stream.select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .mapInPandas(
+            score, "doc_id long, n_tokens long, bits_total double")
     )
 
 
@@ -221,63 +229,30 @@ def build_nb_model(docs: DataFrame, vocab_cap: int = VOCAB_CAP):
     """(bits_by_lang_tok, per_lang): the frozen Naive-Bayes language
     classifier artifact (streaming twin of traindata.nb_lang_classify).
 
-    bits values reuse the batch operator's exact recipe — add-1
-    smoothing over the global vocabulary, −log2, rounded to 6 once per
-    distinct (lang, tok) — and ``per_lang`` carries each language's
-    (prior_bits, oov_bits). A (lang, tok) pair absent from the table
-    scores that language's oov_bits, which IS the batch value for a
-    zero-count pair ((0+1)/(n_lang+V)), so streaming scores over
-    in-vocabulary text equal the batch output bit-for-bit. The
-    vocabulary keeps the ``vocab_cap`` highest-global-tf tokens (ties:
-    token asc); both collects are vocabulary-sized, never corpus-sized.
+    The relations come STRAIGHT from traindata.nb_model_frames — the
+    same frames the batch operator scores with and write_nb_model
+    persists — filtered to the ``vocab_cap`` highest-global-tf tokens
+    (ties: token asc), so streaming scores over in-vocabulary text
+    equal the batch output bit-for-bit by construction (no duplicated
+    smoothing/rounding recipe to drift). A (lang, tok) pair absent
+    from the table scores that language's oov_bits, which IS the batch
+    value for a zero-count pair ((0+1)/(n_lang+V)). Both collects are
+    vocabulary-sized, never corpus-sized.
     """
-    base = (
-        docs.filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
-        .select("doc_id", "lang", T.tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 1)
-    )
-    toks = base.select("lang", F.explode("tk").alias("tok"))
-    cnt = (
-        toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    n_lang = cnt.groupBy("lang").agg(F.sum("c").alias("n_lang"))
-    vocab = cnt.agg(F.countDistinct("tok").alias("v"))
+    from resin_spark.operators.traindata import _nb_base, nb_model_frames
+
+    model, cand = nb_model_frames(docs)
     kept = (
-        cnt.groupBy("tok").agg(F.sum("c").alias("gtf"))
+        _nb_base(docs)
+        .select(F.explode("tk").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("gtf"))
         .orderBy(F.col("gtf").desc(), "tok").limit(vocab_cap)
         .select("tok")
     )
-    model_rows = (
-        cnt.join(F.broadcast(kept), "tok")
-        .join(n_lang, "lang").join(F.broadcast(vocab))
-        .select(
-            "lang", "tok",
-            F.round(-F.log2(
-                (F.col("c") + 1).cast("double")
-                / (F.col("n_lang") + F.col("v")).cast("double")), 6)
-            .alias("bits"),
-        )
-        .collect()
-    )
-    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang"))
-    lang_rows = (
-        priors.join(F.broadcast(priors.agg(
-            F.sum("docs_lang").alias("docs_total"))))
-        .join(n_lang, "lang").join(F.broadcast(vocab))
-        .select(
-            "lang",
-            F.round(-F.log2(F.col("docs_lang").cast("double")
-                            / F.col("docs_total").cast("double")), 6)
-            .alias("prior_bits"),
-            F.round(-F.log2(F.lit(1.0)
-                            / (F.col("n_lang") + F.col("v")).cast("double")),
-                    6).alias("oov_bits"),
-        )
-        .collect()
-    )
-    bits_by_lang_tok = {(r["lang"], r["tok"]): r["bits"] for r in model_rows}
-    per_lang = {r["lang"]: (r["prior_bits"], r["oov_bits"])
+    model_rows = model.join(F.broadcast(kept), "tok").collect()
+    lang_rows = cand.collect()
+    bits_by_lang_tok = {(r["cand"], r["tok"]): r["bits"] for r in model_rows}
+    per_lang = {r["cand"]: (r["prior_bits"], r["oov_bits"])
                 for r in lang_rows}
     return bits_by_lang_tok, per_lang
 
@@ -339,8 +314,12 @@ def stream_lang_classify(spark: SparkSession, docs_parquet_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_parquet_dir)
     )
-    return stream.select("doc_id", "lang", "text").mapInPandas(
-        score,
-        "doc_id long, true_lang string, pred_lang string, "
-        "best_bits double, correct boolean",
+    return (
+        stream.select("doc_id", "lang", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+                & F.col("text").isNotNull())
+        .mapInPandas(
+            score,
+            "doc_id long, true_lang string, pred_lang string, "
+            "best_bits double, correct boolean")
     )

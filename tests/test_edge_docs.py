@@ -32,7 +32,7 @@ DOC_QUERIES = [
     "ngram_novelty", "dup_span_coverage",
     # late-r4 learned-curation block
     "nb_lang_classify", "importance_weights", "epoch_shuffle",
-    "filter_funnel",
+    "filter_funnel", "bloom_contamination", "cms_heavy_hitters",
 ]
 
 EDGE_DOCS = [

@@ -341,13 +341,13 @@ def test_importance_weights_model_is_broadcast(spark):
     plan = plan_of(df)
     scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
     assert scans == 3, f"{scans} scans\n{plan[:2000]}"
-    # the b-keyed scoring join is broadcast (model side is bounded)
-    assert "BroadcastHashJoin [b" in plan.replace("#", " #").replace(
-        "BroadcastHashJoin [b", "BroadcastHashJoin [b") or \
-        "BroadcastHashJoin" in plan, plan[:2000]
-    smj_on_b = [m.group(0) for m in
-                re.finditer(r"SortMergeJoin \[b#\d+L?\]", plan)]
-    assert not smj_on_b, smj_on_b
+    # the b-keyed scoring join specifically must be broadcast — any
+    # shuffle-shaped join (SMJ or ShuffledHashJoin) on b is the
+    # hashing-trick contract breaking
+    assert re.search(r"BroadcastHashJoin \[b#\d+", plan), plan[:2000]
+    bad = [m.group(0) for m in
+           re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[b#\d+", plan)]
+    assert not bad, bad
 
 
 def test_epoch_shuffle_no_global_sort_before_window(spark):
@@ -359,11 +359,9 @@ def test_epoch_shuffle_no_global_sort_before_window(spark):
     from resin_spark.operators import traindata as td
     df = td.epoch_shuffle(load_tables(spark, SF))
     plan = plan_of(df)
-    w = re.search(r"Window \[row_number\(\)[\s\S]*?windowspecdefinition"
-                  r"\(epoch[^,]*, _w", plan)
-    assert w or "Window" in plan, plan[:1500]
-    # the row_number window spec partitions on (epoch, shard-key), so
-    # no Exchange SinglePartition may feed a Window operator
-    blocks = re.findall(r"Exchange SinglePartition[\s\S]{0,200}", plan)
-    for b in blocks:
-        assert "Window" not in b, b
+    # a ranking window exists AND the whole plan is free of
+    # single-partition exchanges — a global-sort regression would have
+    # to introduce one (the presentation orderBy plans as
+    # rangepartitioning, which is fine)
+    assert "Window" in plan, plan[:1500]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]

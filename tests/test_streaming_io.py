@@ -658,3 +658,52 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
     want = {(r["event_type"], r["bucket"]): r["m"]
             for r in sk.hll_registers(ev).collect()}
     assert got == want and got
+
+
+def test_stream_scorers_drop_null_rows_jvm_side(spark, tmp_path):
+    """Arrow hands a NULL int64 doc_id to pandas as NaN, so python-side
+    `is None` guards never fire — the null gate must be a DataFrame
+    filter before mapInPandas. A streamed batch with null doc_id /
+    lang / text rows must emit only the valid row, matching the batch
+    twins' IS NOT NULL semantics."""
+    from resin_spark.streaming import quality as q
+
+    model_docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en"),
+         (1, "der hund und die katze", "de")],
+        "doc_id long, text string, lang string")
+    src = tmp_path / "null_docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "the cat sat", "en"),
+         (None, "the dog ran", "en"),      # null doc_id
+         (12, None, "en"),                 # null text
+         (13, "der hund und", None)],      # null lang
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(str(src / "p"))
+    sq = (
+        q.stream_lang_classify(spark, str(src / "p"), model_docs)
+        .writeStream.format("memory")
+        .queryName("nb_null_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nb_null"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM nb_null_stream").collect()
+    assert [r["doc_id"] for r in rows] == [10]
+
+    sq2 = (
+        q.stream_quality_score(spark, str(src / "p"), model_docs)
+        .writeStream.format("memory")
+        .queryName("q_null_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_q_null"))
+        .start()
+    )
+    sq2.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in
+                 spark.sql("SELECT * FROM q_null_stream").collect())
+    assert got == [10, 13]  # lang irrelevant to the unigram scorer
