@@ -290,6 +290,25 @@ CMS_W = 1024    # counters per row
 CMS_TOPK = 20
 
 
+def cms_counters(toks: DataFrame, d: int = CMS_D,
+                 w: int = CMS_W) -> DataFrame:
+    """(j, c, cnt): the Count-Min counter table — the SHARED expression
+    between the batch sketch and its streaming twin
+    (streaming/events.stream_cms_counters). Counter addition is a
+    streaming-legal stateful sum whose state is d×w rows forever."""
+    from resin_spark.operators.dedup import _token_hash60
+    rows = toks.select(
+        "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (_token_hash60(F.concat_ws("@", "tok", F.lit(str(j))))
+                      % w).alias("c"))
+            for j in range(d)
+        ])).alias("p"),
+    ).select("p.j", "p.c")
+    return rows.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def cms_heavy_hitters(t: Tables, d: int = CMS_D, w: int = CMS_W,
                       topk: int = CMS_TOPK) -> DataFrame:
     """Count-Min sketch over corpus token frequencies, evaluated on the
@@ -319,17 +338,7 @@ def cms_heavy_hitters(t: Tables, d: int = CMS_D, w: int = CMS_W,
         t["documents"].filter(F.col("doc_id").isNotNull())
         .select(F.explode(T.tokens("text")).alias("tok"))
     )
-    rows = toks.select(
-        "tok",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("j"),
-                     (_token_hash60(F.concat_ws("@", "tok", F.lit(str(j))))
-                      % w).alias("c"))
-            for j in range(d)
-        ])).alias("p"),
-    ).select("p.j", "p.c")
-    counters = rows.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt")) \
-        .localCheckpoint(eager=False)
+    counters = cms_counters(toks, d, w).localCheckpoint(eager=False)
     top = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_tf"))
         .orderBy(F.col("exact_tf").desc(), "tok").limit(topk)

@@ -411,3 +411,29 @@ def stream_hll_registers(spark: SparkSession, events_parquet_dir: str):
         .parquet(events_parquet_dir)
     )
     return hll_registers(stream.filter(F.col("user_id").isNotNull()))
+
+
+def stream_cms_counters(spark: SparkSession, docs_parquet_dir: str):
+    """Streaming Count-Min: accumulate the deterministic frequency
+    counters across document micro-batches. Same shared expression as
+    the batch sketch (operators/sketch.cms_counters) as a stateful
+    groupBy-sum: state is bounded at d × w rows forever (counter
+    addition is the sketch merge), and after any stream prefix the
+    counter table equals the batch counters over the documents seen so
+    far (pinned in tests/test_streaming_io.py). Complete-mode output.
+    """
+    from resin_spark.operators.sketch import cms_counters
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    from resin_spark.functions.text import tokens
+
+    toks = (
+        stream.filter(F.col("doc_id").isNotNull())
+        .select(F.explode(tokens("text")).alias("tok"))
+    )
+    return cms_counters(toks)

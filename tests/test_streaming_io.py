@@ -707,3 +707,40 @@ def test_stream_scorers_drop_null_rows_jvm_side(spark, tmp_path):
     got = sorted(r["doc_id"] for r in
                  spark.sql("SELECT * FROM q_null_stream").collect())
     assert got == [10, 13]  # lang irrelevant to the unigram scorer
+
+
+def test_stream_cms_counters_match_batch(spark, tmp_path):
+    """Streaming CMS state after consuming the whole stream must equal
+    the batch counter table — counter addition across micro-batches IS
+    the sketch merge."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as SF_
+    from resin_spark.operators import sketch as sk
+    from resin_spark.streaming import events as sev
+
+    src = tmp_path / "docs_cms"
+    src.mkdir()
+    _sh.copy(f"{SF}/documents.parquet", src / "part-0000.parquet")
+    q = (
+        sev.stream_cms_counters(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["j"], r["c"]): r["cnt"]
+           for r in spark.sql("SELECT * FROM cms_stream").collect()}
+    toks = (
+        load_tables(spark, SF)["documents"]
+        .filter("doc_id IS NOT NULL")
+        .select(SF_.explode(
+            __import__("resin_spark.functions.text",
+                       fromlist=["tokens"]).tokens("text")).alias("tok"))
+    )
+    want = {(r["j"], r["c"]): r["cnt"]
+            for r in sk.cms_counters(toks).collect()}
+    assert got == want and got
