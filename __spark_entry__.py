@@ -456,8 +456,10 @@ def queries() -> dict[str, Query]:
         "text_quality_score": _mk_text(textops.quality_score),
         # domain_mix / quality_repetition: r3-green; functions and
         # oracles bit-identical to the r3-checked form (pipeline.py's
-        # only r4 edit is pii_redact_oracle's escaping, and pii_redact
-        # sits in-window)
+        # r4 edits: pii_redact_oracle's escaping — pii_redact sits
+        # in-window — plus the late-r4 APPEND-ONLY additions
+        # filter_funnel and bloom_contamination, which define new
+        # functions and touch no existing one)
         "domain_mix": _mk_text(pipeline.domain_mix),
         "quality_repetition": _mk_text(pipeline.quality_repetition),
         # pipeline_curate / tfidf_topterms: r3-green; textops.py's r4
@@ -466,7 +468,11 @@ def queries() -> dict[str, Query]:
         # r3-checked form
         "pipeline_curate": _mk_text(textops.pipeline_curate),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        # r3-hash-green (CORRECTNESS_r03.json), modules untouched in r4
+        # r3-hash-green (CORRECTNESS_r03.json); multimodal.py and
+        # tpch.py untouched in r4. sketch.py's late-r4 edits are
+        # APPEND-ONLY (hll_distinct / cms_heavy_hitters + their
+        # helpers) — kmv_distinct / price_quantiles and their oracles
+        # are bit-identical to the r3-checked form
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize_plan": _mm_resize_plan,
@@ -476,9 +482,10 @@ def queries() -> dict[str, Query]:
         "topk_per_group": _topk,
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
-        # r3-green; pipeline.py's only r4 edit is pii_redact_oracle's
-        # escaping (pii_redact itself is in-window) — these functions
-        # and their oracles are bit-identical to their r3-checked form
+        # r3-green; pipeline.py's r4 edits (pii_redact_oracle
+        # escaping; late-r4 append-only filter_funnel +
+        # bloom_contamination) touch none of these three — functions
+        # and oracles bit-identical to their r3-checked form
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
