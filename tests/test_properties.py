@@ -327,3 +327,62 @@ def test_cms_matches_python_reference_and_overestimates(spark):
                   for j in range(sk.CMS_D))
         assert out[tok] == (tf, est)
         assert est >= tf
+
+
+# --- filter_funnel vs scalar reference (hypothesis) --------------------------
+
+_word = st.sampled_from(
+    ["the", "a", "of", "and", "to", "der", "die", "und", "ist", "le",
+     "la", "et", "el", "los", "de", "shi", "cat", "dog", "xyz", "q7"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_lang = st.sampled_from(["en", "de", "fr", "es", "zh"])
+funnel_docs = st.lists(st.tuples(_doc, _lang), min_size=1, max_size=12)
+
+
+def _funnel_reference(rows):
+    """Scalar reimplementation of pipeline.filter_funnel on
+    (doc_id, text, lang) rows — cumulative stages, keep-min dedup
+    among stage-3 survivors."""
+    import hashlib
+
+    from resin_spark.functions.text import LANG_PROFILES
+    langs = sorted(LANG_PROFILES)
+    feats = []
+    for doc_id, text, lang in rows:
+        tk = [t for t in __import__("re").split(r"[^a-z0-9]+",
+                                                (text or "").lower()) if t]
+        nt = len(tk)
+        s0 = doc_id is not None and text is not None
+        s1 = s0 and nt >= 5
+        frac = (len(set(tk)) / nt) if nt else 0.0
+        s2 = s1 and frac >= 0.3
+        counts = {lg: sum(1 for t in tk if t in LANG_PROFILES[lg])
+                  for lg in langs}
+        best = max(counts.values()) if counts else 0
+        pred = next((lg for lg in langs if counts[lg] == best), None)
+        s3 = s2 and pred == lang
+        h = hashlib.md5(text.encode()).hexdigest() if text is not None else None
+        feats.append(dict(doc_id=doc_id, nt=nt, h=h,
+                          s0=s0, s1=s1, s2=s2, s3=s3))
+    for f in feats:
+        surv = [g["doc_id"] for g in feats if g["s3"] and g["h"] == f["h"]]
+        f["s4"] = f["s3"] and f["doc_id"] == min(surv)
+    out = {}
+    names = ["ingest", "length", "repetition", "langid", "dedup"]
+    for i, nme in enumerate(names):
+        docs_in = len(feats) if i == 0 else out[names[i - 1]][1]
+        docs_out = sum(1 for f in feats if f[f"s{i}"])
+        toks_out = sum(f["nt"] for f in feats if f[f"s{i}"])
+        out[nme] = (docs_in, docs_out, toks_out)
+    return out
+
+
+@given(funnel_docs)
+@settings(max_examples=8, deadline=None)
+def test_filter_funnel_matches_scalar_reference(spark, docs):
+    from resin_spark.operators.pipeline import filter_funnel
+    rows = [(i, text, lang) for i, (text, lang) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["stage_name"]: (r["docs_in"], r["docs_out"], r["tokens_out"])
+           for r in filter_funnel({"documents": df}).collect()}
+    assert got == _funnel_reference(rows)
