@@ -145,3 +145,34 @@ def test_semantic_dedup_matches_global_pairs_when_one_cell(spark):
     dropped = {r["vec_id"] for r in semantic_dedup(emb, tau=tau).collect()
                if not r["keep"]}
     assert dropped == {b for _, b in pairs}
+
+
+def test_semantic_dedup_indexed_matches_direct_with_zero_exchange(spark):
+    """The persisted cell-index path (write_cell_index +
+    semantic_dedup_indexed) must produce the direct operator's verdicts
+    exactly, and its within-cell pair join must plan with ZERO Exchange
+    on the vector sides — the bucketed-table payoff the direct
+    operator's docstring promises for 100 TB."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators.dedup import (
+        semantic_dedup, semantic_dedup_indexed, write_cell_index)
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_cell_index(emb, "cell_idx_t", n_buckets=8)
+        out = semantic_dedup_indexed(spark, "cell_idx_t")
+        direct = sorted(map(tuple, semantic_dedup(emb).collect()))
+        indexed = sorted(map(tuple, out.collect()))
+        assert direct == indexed and direct
+        # pair-join subtree: bucketed self-join on cell — no Exchange
+        # may touch a column holding vectors ('u'); the verdict-side
+        # rollup may exchange ids only
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        for block in re.findall(r"Exchange[^\n]*", plan):
+            assert "u#" not in block and "embedding" not in block, block
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS cell_idx_t")
