@@ -493,6 +493,11 @@ def queries() -> dict[str, Query]:
         # and split_words_stats_oracle (both in-window) — these three
         # functions and their oracles are bit-identical to their
         # r3-checked form
+        # corpus_stats: registered AFTER the r4 window filled — never
+        # driver-checked yet; full local oracle parity in
+        # tests/test_oracle_parity.py. MUST take a front (stalest-
+        # first) slot in the r5 window.
+        "corpus_stats": _mk_text(traindata.corpus_stats),
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
@@ -633,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": sketch.hll_distinct_oracle(),
         "bloom_contamination": pipeline.bloom_contamination_oracle(),
         "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle(),
+        "corpus_stats": traindata.corpus_stats_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

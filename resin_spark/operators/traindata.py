@@ -1424,3 +1424,145 @@ def kmeans_refine_oracle(iters: int = KMEANS_ITERS) -> str:
     GROUP BY a.cell
     ORDER BY a.cell
     """
+
+
+# --- corpus statistics sheet (dataset card) ----------------------------------
+
+def corpus_stats(t: Tables) -> DataFrame:
+    """One-row corpus summary — the numbers a dataset card leads with:
+    doc/token totals, exact vocabulary size, type-token ratio, mean and
+    exact p50/p95 document lengths, language count and the dominant
+    language's share.
+
+    Scale design: everything is an aggregate except the length
+    quantiles, which are computed EXACTLY without a corpus-wide sort:
+    per-doc token counts collapse to a (length, n_docs) value histogram
+    first — a frame bounded by the max document length, not the corpus
+    — and the cumulative window runs over that bounded frame. The same
+    trick price_quantiles uses per group, applied corpus-wide where a
+    single-partition sort of all docs would be the 100 TB smell. One
+    token-explode shuffle (vocab + totals), one doc-length shuffle
+    (histogram); every later frame is bounded.
+
+    Cross-engine exactness: counts are integers; ratios are single
+    IEEE divisions of exact integers; quantiles are order statistics
+    picked by exact integer comparison (rn-style cum ≥ p·n).
+    """
+    base = _doc_token_arrays(t["documents"])
+    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    toks = base.select(F.explode("tk").alias("tok"))
+    tok_agg = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    hist = lens.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # the cumulative window runs on the BOUNDED histogram frame (≤ max
+    # doc length rows) — acceptable single-partition state, unlike a
+    # corpus-wide sort
+    cum = hist.select(
+        "n_tok", F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n_docs"),
+    )
+    quants = cum.agg(
+        F.min(F.when(F.col("cum") * 100 >= 50 * F.col("n_docs"),
+                     F.col("n_tok"))).alias("p50_doc_tokens"),
+        F.min(F.when(F.col("cum") * 100 >= 95 * F.col("n_docs"),
+                     F.col("n_tok"))).alias("p95_doc_tokens"),
+    )
+    doc_agg = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    langs = (
+        t["documents"].filter(F.col("doc_id").isNotNull()
+                              & F.col("lang").isNotNull())
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    )
+    # rank-1 window over the BOUNDED langs frame (|langs| rows);
+    # tie-break on lang ascending — portable, unlike max_by-on-struct
+    wl = Window.orderBy(F.col("c").desc(), "lang")
+    lang_agg = (
+        langs
+        .withColumn("rn", F.row_number().over(wl))
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+            F.min(F.when(F.col("rn") == 1, F.col("c"))).alias("top_lang_docs"),
+            F.sum("c").alias("lang_docs_total"),
+        )
+    )
+    return (
+        doc_agg.join(broadcast(tok_agg)).join(broadcast(quants))
+        .join(broadcast(lang_agg))
+        .select(
+            "n_docs", "n_tokens", "vocab",
+            (F.col("vocab").cast("double")
+             / F.col("n_tokens").cast("double")).alias("type_token_ratio"),
+            (F.col("sum_tok").cast("double")
+             / F.col("n_docs").cast("double")).alias("mean_doc_tokens"),
+            "p50_doc_tokens", "p95_doc_tokens",
+            "n_langs", "top_lang",
+            (F.col("top_lang_docs").cast("double")
+             / F.col("lang_docs_total").cast("double"))
+            .alias("top_lang_share"),
+        )
+    )
+
+
+def corpus_stats_oracle() -> str:
+    tk = T.tokens_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {tk} AS tk
+        FROM documents WHERE doc_id IS NOT NULL
+    ), base1 AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        FROM base WHERE len(tk) >= 1
+    ), tok AS (
+        SELECT unnest(tk) AS tok FROM base1
+    ), tok_agg AS (
+        SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab FROM tok
+    ), hist AS (
+        SELECT n_tok, COUNT(*) AS c FROM base1 GROUP BY n_tok
+    ), cum AS (
+        SELECT n_tok,
+               SUM(c) OVER (ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n_docs
+        FROM hist
+    ), quants AS (
+        SELECT MIN(CASE WHEN cum * 100 >= 50 * n_docs THEN n_tok END)
+                   AS p50_doc_tokens,
+               MIN(CASE WHEN cum * 100 >= 95 * n_docs THEN n_tok END)
+                   AS p95_doc_tokens
+        FROM cum
+    ), doc_agg AS (
+        SELECT COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok FROM base1
+    ), langs AS (
+        SELECT lang, COUNT(*) AS c FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL GROUP BY lang
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, lang) AS rn FROM langs
+    ), lang_agg AS (
+        SELECT COUNT(*) AS n_langs,
+               MIN(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+               MIN(CASE WHEN rn = 1 THEN c END) AS top_lang_docs,
+               SUM(c) AS lang_docs_total
+        FROM ranked
+    )
+    SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab,
+           CAST(t.vocab AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+               AS type_token_ratio,
+           CAST(d.sum_tok AS DOUBLE) / CAST(d.n_docs AS DOUBLE)
+               AS mean_doc_tokens,
+           q.p50_doc_tokens, q.p95_doc_tokens,
+           CAST(l.n_langs AS BIGINT) AS n_langs, l.top_lang,
+           CAST(l.top_lang_docs AS DOUBLE)
+               / CAST(l.lang_docs_total AS DOUBLE) AS top_lang_share
+    FROM doc_agg d, tok_agg t, quants q, lang_agg l
+    """
