@@ -899,12 +899,15 @@ def _nb_base(docs: DataFrame) -> DataFrame:
     )
 
 
-def nb_model_frames(docs: DataFrame):
-    """(model, cand): the NB classifier as two relations — (cand, tok,
-    bits) per observed (language, token) pair, and the |langs|-row
-    (cand, prior_bits, oov_bits) frame. Shared by the self-scoring
-    query, the parquet persistence pair (write_nb_model /
-    read_nb_model), and the streaming artifact build."""
+def nb_model_frames(docs: DataFrame, with_counts: bool = False):
+    """(model, cand[, cnt]): the NB classifier as two relations —
+    (cand, tok, bits) per observed (language, token) pair, and the
+    |langs|-row (cand, prior_bits, oov_bits) frame. Shared by the
+    self-scoring query, the parquet persistence pair (write_nb_model /
+    read_nb_model), and the streaming artifact build; ``with_counts``
+    additionally returns the checkpointed (lang, tok, c) count frame
+    so consumers can derive global token frequencies WITHOUT another
+    corpus scan (the streaming vocab cap does)."""
     base = _nb_base(docs)
     toks = base.select(F.col("lang"), F.explode("tk").alias("tok"))
     cnt = (
@@ -935,6 +938,8 @@ def nb_model_frames(docs: DataFrame):
             .alias("oov_bits"),
         )
     )
+    if with_counts:
+        return model, cand, cnt
     return model, cand
 
 

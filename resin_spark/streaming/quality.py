@@ -239,13 +239,13 @@ def build_nb_model(docs: DataFrame, vocab_cap: int = VOCAB_CAP):
     value for a zero-count pair ((0+1)/(n_lang+V)). Both collects are
     vocabulary-sized, never corpus-sized.
     """
-    from resin_spark.operators.traindata import _nb_base, nb_model_frames
+    from resin_spark.operators.traindata import nb_model_frames
 
-    model, cand = nb_model_frames(docs)
+    model, cand, cnt = nb_model_frames(docs, with_counts=True)
+    # global tf from the already-checkpointed (lang, tok, c) counts —
+    # no third corpus scan for the vocab cap
     kept = (
-        _nb_base(docs)
-        .select(F.explode("tk").alias("tok"))
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("gtf"))
+        cnt.groupBy("tok").agg(F.sum("c").alias("gtf"))
         .orderBy(F.col("gtf").desc(), "tok").limit(vocab_cap)
         .select("tok")
     )

@@ -158,6 +158,7 @@ def test_semantic_dedup_indexed_matches_direct_with_zero_exchange(spark):
         semantic_dedup, semantic_dedup_indexed, write_cell_index)
 
     emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -166,13 +167,16 @@ def test_semantic_dedup_indexed_matches_direct_with_zero_exchange(spark):
         direct = sorted(map(tuple, semantic_dedup(emb).collect()))
         indexed = sorted(map(tuple, out.collect()))
         assert direct == indexed and direct
-        # pair-join subtree: bucketed self-join on cell — no Exchange
-        # may touch a column holding vectors ('u'); the verdict-side
-        # rollup may exchange ids only
+        # bucketed reads co-locate the cell key, so the pair join must
+        # plan with NO exchange on cell at all — if bucketing broke,
+        # Spark would insert 'Exchange hashpartitioning(cell...' under
+        # the SortMergeJoin and shuffle the full vectors
         plan = out._jdf.queryExecution().executedPlan().toString()
         import re
-        for block in re.findall(r"Exchange[^\n]*", plan):
-            assert "u#" not in block and "embedding" not in block, block
+        assert not re.search(r"Exchange hashpartitioning\(cell", plan), \
+            plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, \
+            plan[:1500]
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS cell_idx_t")

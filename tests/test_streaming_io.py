@@ -202,6 +202,7 @@ def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
     t = load_tables(spark, SF)
     # (warehouse dir is a static conf — managed tables land in the
     # session default and are dropped below)
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -222,7 +223,7 @@ def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
         )
         assert n == expected
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
 

@@ -28,22 +28,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def modules_of(fn) -> set[str]:
     """Repo-relative source files reachable from a queries() callable:
-    its own module plus any resin_spark function captured in closure
-    cells or default args (covers the _mk_text wrapper pattern)."""
+    its own module, any resin_spark function captured in closure cells
+    (the _mk_text wrapper pattern), and any resin_spark module or
+    function the wrapper references by NAME through its globals (the
+    plain `def _x(spark, sf): return dedup.exact_dedup(...)` pattern —
+    closure walking alone silently missed these)."""
+    import types as _t
+
     out: set[str] = set()
     stack, seen = [fn], set()
+
+    def add_module(mod) -> None:
+        path = getattr(mod, "__file__", None)
+        if path and "resin_spark" in path:
+            out.add(os.path.relpath(path, REPO))
+
     while stack:
         f = stack.pop()
-        if id(f) in seen:
+        if id(f) in seen or not callable(f):
             continue
         seen.add(id(f))
-        mod = sys.modules.get(getattr(f, "__module__", ""))
-        path = getattr(mod, "__file__", None)
-        if path and ("resin_spark" in path or "__spark_entry__" in path):
-            out.add(os.path.relpath(path, REPO))
+        add_module(sys.modules.get(getattr(f, "__module__", "")))
         for cell in getattr(f, "__closure__", None) or []:
             v = cell.cell_contents
             if callable(v):
+                stack.append(v)
+        code = getattr(f, "__code__", None)
+        gl = getattr(f, "__globals__", {})
+        for name in getattr(code, "co_names", ()):
+            v = gl.get(name)
+            if isinstance(v, _t.ModuleType):
+                add_module(v)
+            elif callable(v) and getattr(v, "__module__", "").startswith(
+                    "resin_spark"):
                 stack.append(v)
     return out
 
