@@ -484,8 +484,10 @@ def queries() -> dict[str, Query]:
         "price_quantiles": _mk_text(sketch.price_quantiles),
         # r3-green; pipeline.py's r4 edits (pii_redact_oracle
         # escaping; late-r4 append-only filter_funnel +
-        # bloom_contamination) touch none of these three — functions
-        # and oracles bit-identical to their r3-checked form
+        # bloom_contamination) touch none of these three, and
+        # contamination_check's dedup.py imports (shingles /
+        # _shingles_sql) are untouched by every r4 dedup.py edit —
+        # functions and oracles bit-identical to their r3-checked form
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
