@@ -497,8 +497,12 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
 
 # --- D6: duplicate clustering (connected components) ---------------------------
 
+DEDUP_EDGE_COLLECT_CAP = 5_000_000
+
+
 def dedup_components(docs: DataFrame, max_hamming: int = 3,
-                     max_iters: int = 25) -> DataFrame:
+                     max_iters: int = 25,
+                     edge_collect_cap: int = DEDUP_EDGE_COLLECT_CAP) -> DataFrame:
     """Collapse pairwise near-dup hits into canonical clusters: every doc
     gets the min doc_id of its duplicate component (the keeper) — what a
     training-data pipeline actually consumes, since pairwise output
@@ -511,7 +515,11 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     graph-diameter iterations, each a linear shuffle; lineage is cut
     per iteration with a lazy localCheckpoint so plans stay flat. This
     is the standard Spark shape for iterative graph algorithms (no
-    driver-side graph, no recursion in the plan).
+    driver-side graph, no recursion in the plan). When the clique-
+    collapsed VALUE-level edge list fits ``edge_collect_cap`` a gated
+    driver union-find replaces the loop (one bounded collect — the
+    vector paths' statistics-gate pattern; path equality pinned in
+    tests); the distributed loop is the past-the-cap route.
 
     Output: (doc_id, component, is_canonical) for every document;
     singletons are their own component.
@@ -554,62 +562,98 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
         )
         .select(F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b"))
         .distinct()
-    )
-    # undirected: propagate labels both ways
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=False)
-
-    # the loop only carries docs that have at least one duplicate edge —
-    # in a real corpus that's a small fraction; singletons join back in
-    # at the end as their own component
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
+    # Statistics-gated small-graph shortcut (the vector paths' auto-gate
+    # pattern applied to the VALUE-LEVEL edge list): the super-node
+    # graph is already clique-collapsed, so its edge count is tiny
+    # whenever duplication is clique-dominated (13.5k edges at sf0.1
+    # from 271k doc pairs). When it fits the cap (~80 MB of id pairs)
+    # a driver union-find replaces the whole propagation loop — one
+    # bounded collect instead of ~log(diameter) join+agg rounds. Past
+    # the cap (adversarially chained corpora at scale) the distributed
+    # min-label + pointer-jumping loop below runs unchanged. The count
+    # materialises the checkpoint the loop would pay for anyway.
+    n_edges = edges.count()
+    if n_edges <= edge_collect_cap:
+        parent: dict[int, int] = {}
 
-    # Convergence probe: labels are monotone non-increasing (every update
-    # is least(old, ...)), so the label sum strictly decreases iff any
-    # label moved — one scalar agg over the checkpointed frame replaces a
-    # join + count per iteration.
-    def _label_sum(df: DataFrame) -> int:
-        return df.agg(F.sum("component")).collect()[0][0] or 0
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iters):
-        # one hop of min-label propagation over the edges …
-        nbr_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        prop = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("component"),
-        )
-        # … then pointer-jumping (component ← component's component):
-        # path doubling makes convergence O(log diameter) rounds instead
-        # of O(diameter) — on a 100 TB corpus a duplicate chain of depth
-        # 1000 finishes in ~10 rounds, not ~1000.
-        parent = prop.select(F.col("doc_id").alias("p_doc"),
-                             F.col("component").alias("p_comp"))
-        new_labels = (
-            prop.join(parent, prop.component == parent.p_doc, "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
-            )
+        for r in edges.collect():
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                # union by MIN id — the component label contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted({(x, find(x)) for x in parent})
+        labels = edges.sparkSession.createDataFrame(
+            rows or [(None, None)], "doc_id long, component long"
+        ).filter(F.col("doc_id").isNotNull())
+    else:
+        # undirected: propagate labels both ways
+        sym = edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"),
+                         F.col("doc_a").alias("doc_b"))
+        ).localCheckpoint(eager=False)
+
+        # the loop only carries docs that have at least one duplicate
+        # edge — in a real corpus that's a small fraction; singletons
+        # join back in at the end as their own component
+        labels = (
+            sym.select(F.col("doc_a").alias("doc_id")).distinct()
+            .withColumn("component", F.col("doc_id"))
             .localCheckpoint(eager=False)
         )
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+
+        # Convergence probe: labels are monotone non-increasing (every
+        # update is least(old, ...)), so the label sum strictly
+        # decreases iff any label moved — one scalar agg over the
+        # checkpointed frame replaces a join + count per iteration.
+        def _label_sum(df: DataFrame) -> int:
+            return df.agg(F.sum("component")).collect()[0][0] or 0
+
+        prev_sum = _label_sum(labels)
+        for _ in range(max_iters):
+            # one hop of min-label propagation over the edges …
+            nbr_min = (
+                sym.join(labels, sym.doc_b == labels.doc_id)
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            prop = labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            # … then pointer-jumping (component ← component's component):
+            # path doubling makes convergence O(log diameter) rounds
+            # instead of O(diameter) — on a 100 TB corpus a duplicate
+            # chain of depth 1000 finishes in ~10 rounds, not ~1000.
+            parent = prop.select(F.col("doc_id").alias("p_doc"),
+                                 F.col("component").alias("p_comp"))
+            new_labels = (
+                prop.join(parent, prop.component == parent.p_doc, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("p_comp"), F.col("component"))
+                    .alias("component"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            new_sum = _label_sum(new_labels)
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
 
     # route every doc through its fingerprint's super-node label:
     # doc → simhash → rep → component (rep itself when the super-node

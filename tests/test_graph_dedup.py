@@ -180,3 +180,18 @@ def test_semantic_dedup_indexed_matches_direct_with_zero_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS cell_idx_t")
+
+
+def test_dedup_components_gated_path_equals_loop(spark):
+    """The statistics-gated driver union-find (edge list under the cap)
+    must produce exactly the distributed min-label loop's components —
+    the small-graph shortcut may never change results, only the
+    physical route."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators.dedup import dedup_components
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    gated = sorted(map(tuple, dedup_components(docs).collect()))
+    loop = sorted(map(tuple,
+                      dedup_components(docs, edge_collect_cap=0).collect()))
+    assert gated == loop and gated
