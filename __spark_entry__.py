@@ -500,6 +500,7 @@ def queries() -> dict[str, Query]:
         # tests/test_oracle_parity.py. MUST take a front (stalest-
         # first) slot in the r5 window.
         "corpus_stats": _mk_text(traindata.corpus_stats),
+        "lang_stats": _mk_text(traindata.lang_stats),
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
@@ -641,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": pipeline.bloom_contamination_oracle(),
         "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle(),
         "corpus_stats": traindata.corpus_stats_oracle(),
+        "lang_stats": traindata.lang_stats_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),

@@ -1571,3 +1571,123 @@ def corpus_stats_oracle() -> str:
                / CAST(l.lang_docs_total AS DOUBLE) AS top_lang_share
     FROM doc_agg d, tok_agg t, quants q, lang_agg l
     """
+
+
+def lang_stats(t: Tables) -> DataFrame:
+    """Per-language dataset-card rows — the grouped form of
+    corpus_stats: docs, tokens, exact vocabulary, mean and exact
+    p50/p95 document lengths, and each language's doc/token share.
+
+    Plan: ONE token-explode shuffle keyed by (lang, tok) covers the
+    per-language token totals and vocabularies; lengths collapse to a
+    per-language (length, count) histogram — bounded by max doc length
+    × |langs| — and the quantile cumulative runs over that bounded
+    frame partitioned by lang (groups bound the window's parallelism,
+    the price_quantiles shape). Corpus totals re-join by broadcast.
+    Exactness: integer counts, single IEEE divisions, integer-compare
+    order statistics — the corpus_stats recipe per group.
+    """
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    lens = base.select("lang", F.size("tk").cast("long").alias("n_tok"))
+    toks = base.select("lang", F.explode("tk").alias("tok"))
+    tok_agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    hist = lens.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("lang").orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang", "n_tok",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_docs"),
+    )
+    quants = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 100 >= 50 * F.col("n_docs"),
+                     F.col("n_tok"))).alias("p50_doc_tokens"),
+        F.min(F.when(F.col("cum") * 100 >= 95 * F.col("n_docs"),
+                     F.col("n_tok"))).alias("p95_doc_tokens"),
+    )
+    doc_agg = lens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    totals = doc_agg.agg(
+        F.sum("n_docs").alias("docs_total")).join(
+        tok_agg.agg(F.sum("n_tokens").alias("tokens_total")))
+    return (
+        doc_agg.join(tok_agg, "lang").join(quants, "lang")
+        .join(broadcast(totals))
+        .select(
+            "lang", "n_docs", "n_tokens", "vocab",
+            (F.col("sum_tok").cast("double")
+             / F.col("n_docs").cast("double")).alias("mean_doc_tokens"),
+            "p50_doc_tokens", "p95_doc_tokens",
+            (F.col("n_docs").cast("double")
+             / F.col("docs_total").cast("double")).alias("doc_share"),
+            (F.col("n_tokens").cast("double")
+             / F.col("tokens_total").cast("double")).alias("token_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_stats_oracle() -> str:
+    tk = T.tokens_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, {tk} AS tk
+        FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ), base1 AS (
+        SELECT lang, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        FROM base WHERE len(tk) >= 1
+    ), tok AS (
+        SELECT lang, unnest(tk) AS tok FROM base1
+    ), tok_agg AS (
+        SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+        FROM tok GROUP BY lang
+    ), hist AS (
+        SELECT lang, n_tok, COUNT(*) AS c FROM base1 GROUP BY lang, n_tok
+    ), cum AS (
+        SELECT lang, n_tok,
+               SUM(c) OVER (PARTITION BY lang ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n_docs
+        FROM hist
+    ), quants AS (
+        SELECT lang,
+               MIN(CASE WHEN cum * 100 >= 50 * n_docs THEN n_tok END)
+                   AS p50_doc_tokens,
+               MIN(CASE WHEN cum * 100 >= 95 * n_docs THEN n_tok END)
+                   AS p95_doc_tokens
+        FROM cum GROUP BY lang
+    ), doc_agg AS (
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok
+        FROM base1 GROUP BY lang
+    ), totals AS (
+        SELECT (SELECT SUM(n_docs) FROM doc_agg) AS docs_total,
+               (SELECT SUM(n_tokens) FROM tok_agg) AS tokens_total
+    )
+    SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(ta.n_tokens AS BIGINT) AS n_tokens,
+           CAST(ta.vocab AS BIGINT) AS vocab,
+           CAST(d.sum_tok AS DOUBLE) / CAST(d.n_docs AS DOUBLE)
+               AS mean_doc_tokens,
+           q.p50_doc_tokens, q.p95_doc_tokens,
+           CAST(d.n_docs AS DOUBLE) / CAST(t.docs_total AS DOUBLE)
+               AS doc_share,
+           CAST(ta.n_tokens AS DOUBLE) / CAST(t.tokens_total AS DOUBLE)
+               AS token_share
+    FROM doc_agg d
+    JOIN tok_agg ta USING (lang)
+    JOIN quants q USING (lang), totals t
+    ORDER BY d.lang
+    """

@@ -33,7 +33,7 @@ DOC_QUERIES = [
     # late-r4 learned-curation block
     "nb_lang_classify", "importance_weights", "epoch_shuffle",
     "filter_funnel", "bloom_contamination", "cms_heavy_hitters",
-    "corpus_stats",
+    "corpus_stats", "lang_stats",
 ]
 
 EDGE_DOCS = [
