@@ -422,20 +422,22 @@ def queries() -> dict[str, Query]:
         # semantic_dedup only, textops.py's r4 edits touch only
         # term_cooccurrence + split_words_stats_oracle (both in-window)
         "dedup_exact": _dedup_exact,
-        # dedup_embedding: r3-green; untouched by either r4 dedup.py
-        # edit (the shingle short-doc fix touches the minhash path
-        # only, the late-r4 edit appends semantic_dedup) — function
-        # and oracle bit-identical to the r3-checked form
+        # dedup_embedding: r3-green; untouched by every r4 dedup.py
+        # edit (shingle short-doc fix = minhash path only; late-r4
+        # appends = semantic_dedup / cell index; the gated union-find
+        # rewrite = dedup_components only, which sits IN-window) —
+        # function and oracle bit-identical to the r3-checked form
         "dedup_embedding": _dedup_embedding,
         # dedup_ngram_jaccard: r3-green; its shingles/_shingles_sql
         # helpers are untouched by the r4 shingle_hashes_from_tokens
-        # fix (minhash path only) and by the semantic_dedup append —
+        # fix (minhash path only), the semantic_dedup/cell-index
+        # appends, and the dedup_components rewrite (in-window) —
         # function and oracle bit-identical to the r3-checked form
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         # dedup_simhash: r3-green; simhash/_token_hash60 and its
-        # oracle are untouched by every r4 dedup.py edit (the
-        # shingle fix is minhash-path-only; late-r4 edits append
-        # semantic_dedup) — bit-identical to the r3-checked form
+        # oracle are untouched by every r4 dedup.py edit (shingle fix
+        # = minhash-path-only; late-r4 appends; dedup_components
+        # rewrite = in-window) — bit-identical to the r3-checked form
         "dedup_simhash": _dedup_simhash,
         # lexicon_angle / lexicon_validate: rows-only with r2+r3
         # driver rows; both functions are untouched by the r4
@@ -495,16 +497,16 @@ def queries() -> dict[str, Query]:
         # and split_words_stats_oracle (both in-window) — these three
         # functions and their oracles are bit-identical to their
         # r3-checked form
-        # corpus_stats: registered AFTER the r4 window filled — never
-        # driver-checked yet; full local oracle parity in
-        # tests/test_oracle_parity.py. MUST take a front (stalest-
-        # first) slot in the r5 window.
-        "corpus_stats": _mk_text(traindata.corpus_stats),
-        "lang_stats": _mk_text(traindata.lang_stats),
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
         "lang_id_heuristic": _mk_text(textops.lang_id),
+        # corpus_stats / lang_stats: registered AFTER the r4 window
+        # filled — never driver-checked yet; full local oracle parity
+        # in tests/test_oracle_parity.py + edge harness. MUST take
+        # front (stalest-first) slots in the r5 window.
+        "corpus_stats": _mk_text(traindata.corpus_stats),
+        "lang_stats": _mk_text(traindata.lang_stats),
     }
 
 

@@ -497,7 +497,7 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
 
 # --- D6: duplicate clustering (connected components) ---------------------------
 
-DEDUP_EDGE_COLLECT_CAP = 5_000_000
+DEDUP_EDGE_COLLECT_CAP = 1_000_000
 
 
 def dedup_components(docs: DataFrame, max_hamming: int = 3,
@@ -568,11 +568,14 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     # pattern applied to the VALUE-LEVEL edge list): the super-node
     # graph is already clique-collapsed, so its edge count is tiny
     # whenever duplication is clique-dominated (13.5k edges at sf0.1
-    # from 271k doc pairs). When it fits the cap (~80 MB of id pairs)
-    # a driver union-find replaces the whole propagation loop — one
-    # bounded collect instead of ~log(diameter) join+agg rounds. Past
-    # the cap (adversarially chained corpora at scale) the distributed
-    # min-label + pointer-jumping loop below runs unchanged. The count
+    # from 271k doc pairs). Under the cap a driver union-find replaces
+    # the whole propagation loop — one bounded pull instead of
+    # ~log(diameter) join+agg rounds. Cap sizing is for PYTHON heap,
+    # not raw bytes: rows stream through toLocalIterator (never a
+    # driver-side Row list) but the parent map holds up to 2·cap int
+    # entries — ~100 MB at the 1M default. Past the cap (adversarially
+    # chained corpora at scale) the distributed min-label +
+    # pointer-jumping loop below runs unchanged. The count
     # materialises the checkpoint the loop would pay for anyway.
     n_edges = edges.count()
     if n_edges <= edge_collect_cap:
@@ -586,7 +589,7 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in edges.toLocalIterator():
             ra, rb = find(r["doc_a"]), find(r["doc_b"])
             if ra != rb:
                 # union by MIN id — the component label contract
@@ -1107,11 +1110,16 @@ def semantic_dedup_indexed(spark, table: str,
     """semantic_dedup over a persisted cell index (write_cell_index):
     the pair search self-joins the bucketed table ON THE CELL KEY —
     co-located reads, no Exchange on either vector side — then the
-    exact normalise-then-dot verify and keep-min verdict exactly as
-    the direct operator. Verdict-equal to semantic_dedup on the same
-    corpus (tested); the difference is purely physical: assignment
-    cost is paid once at write time and the quadratic stage reads
-    pre-organised cells.
+    exact normalise-then-dot verify and keep-min verdict. Verdict-
+    equal to semantic_dedup on the same corpus (tested).
+
+    Cost honesty: this path scores EVERY within-cell pair with a
+    single-fold JVM dot — cheaper than the 3-fold cosine the first
+    direct cut was measured at (7.7 s), but still O(Σ_c n_c²) folds,
+    whereas the direct operator's stage 1 runs the candidate matmul.
+    It wins when cells are small (k sized so n_c ≈ 10³, the SemDeDup
+    operating point) and the join savings dominate; for fat cells,
+    run the matmul stage per cell instead of this join.
     """
     idx = spark.table(table)
     normed = idx.filter(V.norm("embedding") > 0).select(

@@ -192,6 +192,12 @@ def test_dedup_components_gated_path_equals_loop(spark):
 
     docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
     gated = sorted(map(tuple, dedup_components(docs).collect()))
+    # cap = -1 forces the distributed loop even on a zero-edge graph
+    # (0 <= 0 would silently take the gated branch and compare the
+    # gated path to itself)
     loop = sorted(map(tuple,
-                      dedup_components(docs, edge_collect_cap=0).collect()))
-    assert gated == loop and gated
+                      dedup_components(docs, edge_collect_cap=-1).collect()))
+    assert gated == loop
+    # the pin is only meaningful if some component actually merged
+    assert any(doc != comp for doc, comp, _ in gated), \
+        "corpus has no multi-doc component — pin is vacuous"

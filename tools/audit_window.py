@@ -55,10 +55,19 @@ def modules_of(fn) -> set[str]:
                 stack.append(v)
         code = getattr(f, "__code__", None)
         gl = getattr(f, "__globals__", {})
-        for name in getattr(code, "co_names", ()):
+        names = tuple(getattr(code, "co_names", ()))
+        for name in names:
             v = gl.get(name)
             if isinstance(v, _t.ModuleType):
                 add_module(v)
+                # `mod.func(...)` puts BOTH 'mod' and 'func' in
+                # co_names — resolve the attribute too so the walk
+                # continues into the called function's own modules
+                # (one-hop stop here missed cross-module deps)
+                for attr in names:
+                    a = getattr(v, attr, None)
+                    if callable(a):
+                        stack.append(a)
             elif callable(v) and getattr(v, "__module__", "").startswith(
                     "resin_spark"):
                 stack.append(v)
