@@ -30,7 +30,7 @@ EVENT_QUERIES = [
     "events_hourly_rollup", "events_sessionize", "events_props_json",
     "events_asof_join", "session_overlap", "events_gap_fill",
     "events_moving_agg", "events_funnel", "events_retention",
-    "kmv_distinct",
+    "kmv_distinct", "hll_distinct",
 ]
 
 B = dt.datetime(2024, 1, 1)
