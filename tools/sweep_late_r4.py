@@ -39,6 +39,7 @@ from resin_spark.io import load_tables
 from resin_spark.operators import dedup
 from resin_spark.operators import pipeline as pl
 from resin_spark.operators import sketch as sk
+from resin_spark.io import load_tables as _lt
 from resin_spark.operators import traindata as td
 from resin_spark.session import get_spark
 
@@ -67,9 +68,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t = load_tables(spark, "/root/testdata/sf0.1")
     print("| m | docs | nb_lang | importance_w | epoch_shuffle "
-          "| filter_funnel | bloom | cms | emb rows | semantic_dedup "
-          "| sem pairs | kmeans_refine |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+          "| filter_funnel | bloom | cms | corpus_st | lang_st "
+          "| emb rows | semantic_dedup | sem pairs | kmeans_refine |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for m in (1, 2, 4):
         docs = replicate(t["documents"], "doc_id", m)
         emb = replicate(t["embeddings"], "vec_id", m)
@@ -80,13 +81,15 @@ def main() -> None:
         ff = timed(lambda: pl.filter_funnel(td_t))
         bl = timed(lambda: pl.bloom_contamination(td_t))
         cm = timed(lambda: sk.cms_heavy_hitters(td_t))
+        cs = timed(lambda: td.corpus_stats(td_t))
+        ls = timed(lambda: td.lang_stats(td_t))
         sd = timed(lambda: dedup.semantic_dedup(emb))
         km = timed(lambda: td.kmeans_refine(emb))
         pairs = (dedup.semantic_dedup(emb)
                  .agg(F.sum("n_dups_earlier")).first()[0])
         print(f"| {m}x | {docs.count():,} | {nb:.2f}s | {iw:.2f}s "
               f"| {ep:.2f}s | {ff:.2f}s | {bl:.2f}s | {cm:.2f}s "
-              f"| {emb.count():,} | {sd:.2f}s "
+              f"| {cs:.2f}s | {ls:.2f}s | {emb.count():,} | {sd:.2f}s "
               f"| {pairs:,} | {km:.2f}s |")
         docs.unpersist(); emb.unpersist()
 
