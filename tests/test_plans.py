@@ -250,6 +250,38 @@ def test_centroid_assign_no_corpus_shuffle_for_join(spark):
     assert "Exchange hashpartitioning" not in seg, seg
 
 
+def _assert_argmax_collapses_map_side(plan: str, key: str) -> None:
+    """The scored |corpus|×|cells| frame must collapse BEFORE the
+    exchange: a partial min_by aggregate sits below (after, in printed
+    top-down order) the hash exchange on the vector id, and no rank
+    window exists anywhere — the r4 form shuffled corpus×k rows."""
+    assert "Window" not in plan, plan[:2000]
+    ex_at = plan.find(f"Exchange hashpartitioning({key}")
+    partial_at = plan.find("partial_min_by")
+    assert ex_at != -1 and partial_at != -1, plan[:3000]
+    assert partial_at > ex_at, (
+        "partial_min_by must execute below the vec_id exchange:\n"
+        + plan[:3000])
+
+
+def test_assign_cells_argmax_is_map_side_aggregate(spark):
+    """_assign_cells (shared by centroid_assign / semantic_dedup /
+    kmeans_refine): the exchange after scoring carries one row per
+    vector, not one per (vector, cell)."""
+    from resin_spark.operators import traindata as td
+    from resin_spark.operators.similarity import valid_vectors
+    emb = load_tables(spark, SF)["embeddings"]
+    base = valid_vectors(emb).filter(F.col("label").isNotNull())
+    df = td._assign_cells(base, td.label_centroid_vectors(base))
+    _assert_argmax_collapses_map_side(plan_of(df), "vec_id")
+
+
+def test_centroid_assign_argmax_is_map_side_aggregate(spark):
+    from resin_spark.operators import traindata as td
+    df = td.centroid_assign(load_tables(spark, SF)["embeddings"])
+    _assert_argmax_collapses_map_side(plan_of(df), "vec_id")
+
+
 def test_embedding_quantize_no_shuffle_pure_map(spark):
     """Quantization accounting is a single narrow projection: one scan,
     no hash exchange anywhere (the only exchange is the presentation
