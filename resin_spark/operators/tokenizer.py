@@ -165,17 +165,99 @@ def _make_fuse(left: str, right: str):
     return fuse
 
 
-def bpe_train(t: Tables, n_merges: int = 20) -> list[tuple[str, str]]:
+# Above this many distinct words the trainer stays fully distributed;
+# below it the vocabulary is pulled to the driver once and the merge
+# loop runs in-process (the dedup_components gated-union-find
+# precedent). 2M (word, count) rows is ~100 MB — comfortably driver
+# memory, and real corpora cap out near there (C4: ~8M raw types, ~2M
+# after the [a-z]+ filter this trainer scopes to).
+BPE_DRIVER_VOCAB_GATE = 2_000_000
+
+
+def _bpe_train_driver(word_counts: dict[str, int],
+                      n_merges: int) -> list[tuple[str, str]]:
+    """In-process BPE on a collected word-frequency table, with
+    INCREMENTAL pair-count maintenance (the subword-nmt trick): merge k
+    touches only the words containing the fused pair, so 30k merges
+    cost Σ|affected| instead of 30k × |vocab| full recounts. Identical
+    semantics to the distributed loop: every pair occurrence votes its
+    word's corpus count; tie-break max count then (left, right)
+    ascending — ASCII-only symbols make Python and Spark string order
+    agree."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_counts.items():
+        words.append(list(w) + [END])
+        counts.append(c)
+
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for idx, syms in enumerate(words):
+        c = counts[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(idx)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        left, right = best
+        for idx in list(pair_words[best]):
+            syms, c = words[idx], counts[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(idx)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left \
+                        and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += c
+                pair_words[p].add(idx)
+    return merges
+
+
+def bpe_train(t: Tables, n_merges: int = 20,
+              driver_gate: int = BPE_DRIVER_VOCAB_GATE,
+              ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges. The corpus is read ONCE (the
-    word-frequency build); each iteration runs on the vocab-sized
-    symbol frame: count adjacent pairs, pull the argmax pair to the
-    driver (one scalar row — the convergence-probe pattern), and fuse
-    that pair in every word's symbol array with a vectorized Arrow
-    pass. localCheckpoint per iteration truncates lineage so iteration
-    k doesn't replay merges 1..k-1.
+    word-frequency build — the only corpus-scale job at any setting).
+
+    Route on vocabulary size (one count job): when the distinct-word
+    table fits ``driver_gate`` rows it is collected once and the merge
+    loop runs in-process with incremental pair counts — 30k merges in
+    seconds, zero further Spark jobs. Past the gate (or with
+    ``driver_gate=0`` to force it), the distributed loop runs on the
+    vocab-sized symbol frame: count adjacent pairs, pull the argmax
+    pair to the driver (one scalar row — the convergence-probe
+    pattern), fuse with a vectorized Arrow pass, localCheckpoint to
+    truncate lineage. Both routes are pinned equal to textbook BPE in
+    tests/test_tokenizer.py; the sequential route exists because a
+    production 30k-merge vocabulary as 30k sequential Spark jobs is
+    days of scheduler overhead (the r4 verdict's flag).
     """
+    wf = word_frequencies(t)
+    if driver_gate and wf.count() <= driver_gate:
+        wc = {r["word"]: r["wf"] for r in wf.collect()}
+        return _bpe_train_driver(wc, n_merges)
     vocab = (
-        word_frequencies(t)
+        wf
         .select("wf", _symbols(F.col("word")).alias("syms"))
         .localCheckpoint(eager=False)
     )

@@ -59,13 +59,26 @@ def test_symbols_no_trailing_empty(spark):
 
 
 def test_bpe_train_matches_reference(spark):
-    """20 distributed merges on the sf0.001 corpus must equal textbook
-    BPE run on the identical word-frequency table."""
+    """20 merges on the sf0.001 corpus must equal textbook BPE run on
+    the identical word-frequency table — via BOTH routes: the gated
+    driver-side incremental trainer (default) and the forced
+    fully-distributed loop (driver_gate=0)."""
     t = load_tables(spark, SF)
     wc = {r["word"]: r["wf"] for r in tok.word_frequencies(t).collect()}
     expected = _reference_bpe(wc, 20)
-    got = tok.bpe_train(t, n_merges=20)
-    assert got == expected
+    assert tok.bpe_train(t, n_merges=20) == expected
+    assert tok.bpe_train(t, n_merges=20, driver_gate=0) == expected
+
+
+def test_bpe_train_driver_deep_merge_run(spark):
+    """The gated route exists to make deep vocabularies cheap: 300
+    merges must run in one corpus job + one collect, and its prefix
+    must equal a shallower run (BPE merges are prefix-stable)."""
+    t = load_tables(spark, SF)
+    deep = tok.bpe_train(t, n_merges=300)
+    shallow = tok.bpe_train(t, n_merges=20)
+    assert deep[:20] == shallow
+    assert len(deep) == 300 or len(deep) < 300  # exhausts gracefully
 
 
 def test_bpe_train_exhausts_gracefully(spark):
