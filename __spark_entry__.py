@@ -309,6 +309,40 @@ def _synthesize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (the learned merge list is a seeded
+    train-time artifact no single SQL statement expresses): train 20
+    BPE merges on the corpus, then encode every document with them —
+    the driver's crash signal for the whole train→encode path.
+    Textbook-BPE equality for both trainer routes and the
+    priority-ranked encoder are pinned in tests/test_tokenizer.py."""
+    t = load_tables(spark, sf_dir)
+    merges = tokenizer.bpe_train(t, n_merges=20)
+    return tokenizer.bpe_encode(t, merges)
+
+
+def _index_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (filesystem side effects + seeded LSH):
+    build the persisted dedup and ANN indexes for this sf into a
+    scratch dir, then run the validators over them — the
+    GraphIndexValidator.cs analog as a driver-checkable query
+    (re-search everything you indexed). Every ok column must be true
+    on a fresh write; corruption-detection is pinned in
+    tests/test_validate.py."""
+    import tempfile
+
+    from resin_spark.operators import validate as val
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="resin_validate_")
+    dedup.write_dedup_index(t["documents"], f"{base}/dedup")
+    similarity.write_ann_index(t["embeddings"], f"{base}/ann")
+    return (
+        val.validate_dedup_index(spark, f"{base}/dedup")
+        .unionByName(val.validate_ann_index(spark, f"{base}/ann"))
+        .orderBy("artifact", "check")
+    )
+
+
 # --- block F: multimodal ------------------------------------------------------
 
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,136 +379,56 @@ def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Query]:
-    # Dict order is the driver's check order, and the driver verifies a
-    # bounded prefix (50 entries in rounds 2-3). Ordering contract:
-    # entries whose status is stalest come FIRST — (a) r2-green entries
-    # whose modules were edited after their last driver check, (b) newly
-    # promoted/registered entries, (c) rows-only entries that have never
-    # had a driver row, (d) r3-green entries in modules edited this
-    # round. The tail (past position 50) holds only r3-hash-green
-    # entries whose modules are untouched in round 4
-    # (CORRECTNESS_r03.json keeps their standing).
+    # Dict order is the driver's check order; the driver verifies the
+    # FIRST 50 entries. Ordering contract (r5): stalest-first —
+    # (a) entries never driver-checked or with multi-round-old rows,
+    # (b) entries whose reachable functions/oracles were edited this
+    # round, (c) new registrations, then (d) the stalest green cohort
+    # (r3-checked, carried through r4 on AST-verified identity). The
+    # tail holds ONLY entries green in CORRECTNESS_r04 (or rows-fresh
+    # there) whose reachable functions are AST-identical to that
+    # checked form — adjudicated by `python tools/audit_window.py
+    # <r4-final-ref>` at function level (docstrings stripped), not by
+    # prose comments. A non-empty audit report = re-window, no
+    # justification comments accepted (the r4 dedup_embedding lesson).
     return {
-        # -- r2-green, module edited since last driver check: re-window
-        "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "events_hourly_rollup": _events_hourly,
-        "term_frequencies": _mk_text(textops.term_frequencies),
-        "q1_pricing_summary": _q1,
-        "agg_rollup": _rollup,
-        "kv_try_put": _kv_try_put,
-        "kv_set_ops": _kv_set_ops,
-        "kv_key_join": _kv_key_join,
-        # -- newly promoted rows-only -> oracle-backed (round 4)
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
-        # -- new operators (round 4): first driver check ever
-        "quality_perplexity": _mk_text(traindata.quality_perplexity),
-        "shard_export": _mk_text(traindata.shard_export),
-        "centroid_assign": _centroid_assign,
-        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
-        "embedding_quantize": _embedding_quantize,
-        "dedup_incremental": _dedup_incremental,
-        "ann_topk_pq": _ann_topk_pq,
-        "bpe_merge_step": _bpe_merge_step,
-        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
-        "ngram_novelty": _mk_text(traindata.ngram_novelty),
-        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
-        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
-        "importance_weights": _mk_text(traindata.importance_weights),
-        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
-        "semantic_dedup": _semantic_dedup,
-        "filter_funnel": _mk_text(pipeline.filter_funnel),
-        "kmeans_refine": _kmeans_refine,
-        "hll_distinct": _mk_text(sketch.hll_distinct),
-        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
-        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
-        # -- first driver row ever (rows-only by design)
-        "synthesize_tokens": _synthesize_tokens,
-        "string_compare": _string_compare,
-        # -- r3-green but module edited in round 4: re-window
-        "graph_dedup": _graph_dedup,
-        "vector_analyze": _vector_analyze,
-        "knn_classify": _knn_classify,
-        "label_centroids": _label_centroids,
-        "closest_match": _closest_match,
-        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
-        "session_overlap": _mk_text(timeseries.session_overlap),
-        "events_funnel": _mk_text(timeseries.funnel),
-        # -- r3-green, kept inside the window
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_components": _dedup_components,
-        "split_words_stats": _mk_text(textops.split_words_stats),
-        # kv.py / events.py null-gating changed these three's oracles in
-        # round 4 — they need fresh driver rows, so they trade places
-        # with three pipeline.py entries whose functions are untouched
-        "kv_get_many": _kv_get_many,
-        "kv_paginate": _kv_paginate,
-        "events_sessionize": _events_sessionize,
-        "pii_redact": _mk_text(pipeline.pii_redact),
-        "events_props_json": _events_props,
-        "events_asof_join": _mk_text(timeseries.asof_join),
-        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
-        # ---- tail: past the 50-entry window from here down ----
-        # displaced by the four late-r4 operators (nb_lang_classify,
-        # importance_weights, epoch_shuffle, semantic_dedup): r3-hash-
-        # green, and their functions AND oracles are bit-identical to
-        # the r3-checked form — dedup.py's late-r4 edit APPENDS
-        # semantic_dedup only, textops.py's r4 edits touch only
-        # term_cooccurrence + split_words_stats_oracle (both in-window)
-        "dedup_exact": _dedup_exact,
-        # dedup_embedding: r3-green; untouched by every r4 dedup.py
-        # edit (shingle short-doc fix = minhash path only; late-r4
-        # appends = semantic_dedup / cell index; the gated union-find
-        # rewrite = dedup_components only, which sits IN-window) —
-        # function and oracle bit-identical to the r3-checked form
+        # -- (a) never driver-checked (registered after the r4 window
+        # filled) / stale rows: front slots, as promised in r4
+        "corpus_stats": _mk_text(traindata.corpus_stats),
+        "lang_stats": _mk_text(traindata.lang_stats),
+        # r3-green but edited in r4 AFTER its driver check (eccf121
+        # corrupt-vector gating) — its r4 tail comment wrongly claimed
+        # bit-identity; re-windowed to restore real standing
         "dedup_embedding": _dedup_embedding,
-        # dedup_ngram_jaccard: r3-green; its shingles/_shingles_sql
-        # helpers are untouched by the r4 shingle_hashes_from_tokens
-        # fix (minhash path only), the semantic_dedup/cell-index
-        # appends, and the dedup_components rewrite (in-window) —
-        # function and oracle bit-identical to the r3-checked form
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        # dedup_simhash: r3-green; simhash/_token_hash60 and its
-        # oracle are untouched by every r4 dedup.py edit (shingle fix
-        # = minhash-path-only; late-r4 appends; dedup_components
-        # rewrite = in-window) — bit-identical to the r3-checked form
-        "dedup_simhash": _dedup_simhash,
-        # lexicon_angle / lexicon_validate: rows-only with r2+r3
-        # driver rows; both functions are untouched by the r4
-        # textops.py edits (term_cooccurrence +
-        # split_words_stats_oracle only)
+        # rows-only entries whose last driver rows are r2-era
         "lexicon_angle": _mk_text(textops.lexicon_angle),
         "lexicon_validate": _mk_text(textops.lexicon_validate),
+        # -- (b) r5-edited reachable functions: the _assign_cells
+        # argmax rewrite (map-side min_by) touches these three
+        "centroid_assign": _centroid_assign,
+        "semantic_dedup": _semantic_dedup,
+        "kmeans_refine": _kmeans_refine,
+        # tokenizer.py edited (bpe_train gating); bpe_merge_step's own
+        # functions are AST-unchanged but it shares the module — window
+        "bpe_merge_step": _bpe_merge_step,
+        # -- (c) new registrations (rows-only by declared design)
+        "bpe_encode": _bpe_encode,
+        "index_validate": _index_validate,
+        # -- (d) stalest green cohort: r3-checked, carried through r4
+        # on AST-verified identity — rotated in before anything r4-green
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
         "lexicon_build": _mk_text(textops.lexicon_build),
         "sentence_vectors": _mk_text(textops.sentence_vectors),
-        # r3-hash-green (CORRECTNESS_r03.json) entries displaced by the
-        # three new round-4 operators; their functions AND oracles are
-        # bit-identical to the r3-checked form (timeseries.py's r4 edits
-        # touch only session_overlap/funnel/moving_aggregates/asof_join,
-        # textops.py's only term_cooccurrence + split_words_stats_oracle)
         "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
         "events_retention": _mk_text(timeseries.retention),
         "text_quality_score": _mk_text(textops.quality_score),
-        # domain_mix / quality_repetition: r3-green; functions and
-        # oracles bit-identical to the r3-checked form (pipeline.py's
-        # r4 edits: pii_redact_oracle's escaping — pii_redact sits
-        # in-window — plus the late-r4 APPEND-ONLY additions
-        # filter_funnel and bloom_contamination, which define new
-        # functions and touch no existing one)
         "domain_mix": _mk_text(pipeline.domain_mix),
         "quality_repetition": _mk_text(pipeline.quality_repetition),
-        # pipeline_curate / tfidf_topterms: r3-green; textops.py's r4
-        # edits touch only term_cooccurrence + split_words_stats_oracle
-        # — these functions and their oracles are bit-identical to the
-        # r3-checked form
         "pipeline_curate": _mk_text(textops.pipeline_curate),
         "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        # r3-hash-green (CORRECTNESS_r03.json); multimodal.py and
-        # tpch.py untouched in r4. sketch.py's late-r4 edits are
-        # APPEND-ONLY (hll_distinct / cms_heavy_hitters + their
-        # helpers) — kmv_distinct / price_quantiles and their oracles
-        # are bit-identical to the r3-checked form
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize_plan": _mm_resize_plan,
@@ -484,29 +438,67 @@ def queries() -> dict[str, Query]:
         "topk_per_group": _topk,
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
-        # r3-green; pipeline.py's r4 edits (pii_redact_oracle
-        # escaping; late-r4 append-only filter_funnel +
-        # bloom_contamination) touch none of these three, and
-        # contamination_check's dedup.py imports (shingles /
-        # _shingles_sql) are untouched by every r4 dedup.py edit —
-        # functions and oracles bit-identical to their r3-checked form
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
-        # r3-green; textops.py's r4 edits touch only term_cooccurrence
-        # and split_words_stats_oracle (both in-window) — these three
-        # functions and their oracles are bit-identical to their
-        # r3-checked form
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
         "lang_id_heuristic": _mk_text(textops.lang_id),
-        # corpus_stats / lang_stats: registered AFTER the r4 window
-        # filled — never driver-checked yet; full local oracle parity
-        # in tests/test_oracle_parity.py + edge harness. MUST take
-        # front (stalest-first) slots in the r5 window.
-        "corpus_stats": _mk_text(traindata.corpus_stats),
-        "lang_stats": _mk_text(traindata.lang_stats),
+        # -- r4-green rotation picks filling the window: the heaviest
+        # multi-stage paths, where a fresh crash/hash signal is worth
+        # the most
+        "q1_pricing_summary": _q1,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_components": _dedup_components,
+        "dedup_incremental": _dedup_incremental,
+        "graph_dedup": _graph_dedup,
+        "ann_topk_pq": _ann_topk_pq,
+        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
+        "hll_distinct": _mk_text(sketch.hll_distinct),
+        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
+        "filter_funnel": _mk_text(pipeline.filter_funnel),
+        # ---- tail: past the 50-entry window from here down ----
+        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r04
+        # and its reachable functions + oracle are AST-identical to
+        # that checked form: verified by tools/audit_window.py (run it
+        # against the r4 final commit; warnings==0 is the contract).
+        "agg_rollup": _rollup,
+        "kv_try_put": _kv_try_put,
+        "kv_get_many": _kv_get_many,
+        "kv_set_ops": _kv_set_ops,
+        "kv_key_join": _kv_key_join,
+        "kv_paginate": _kv_paginate,
+        "term_frequencies": _mk_text(textops.term_frequencies),
+        "events_hourly_rollup": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_props_json": _events_props,
+        "events_asof_join": _mk_text(timeseries.asof_join),
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
+        "events_funnel": _mk_text(timeseries.funnel),
+        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
+        "split_words_stats": _mk_text(textops.split_words_stats),
+        "pii_redact": _mk_text(pipeline.pii_redact),
+        "quality_perplexity": _mk_text(traindata.quality_perplexity),
+        "shard_export": _mk_text(traindata.shard_export),
+        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
+        "embedding_quantize": _embedding_quantize,
+        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
+        "ngram_novelty": _mk_text(traindata.ngram_novelty),
+        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
+        "importance_weights": _mk_text(traindata.importance_weights),
+        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
+        "vector_analyze": _vector_analyze,
+        "knn_classify": _knn_classify,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
+        "synthesize_tokens": _synthesize_tokens,
+        "string_compare": _string_compare,
     }
 
 

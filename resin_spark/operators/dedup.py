@@ -959,8 +959,14 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
     Cross-cluster near-dup pairs are deliberately out of contract —
     that is SemDeDup's recall trade, and the oracle mirrors it exactly
-    (same centroids, same assignment, same within-cell pairs), so the
-    result is hash-exact, not approximate.
+    (same centroids, same assignment, same within-cell pairs). On the
+    broadcast-gated matmul path (stage 1 under the statistics ceiling
+    — every driver/test corpus) candidates are a guaranteed superset,
+    so the result is hash-exact; past the ceiling stage 1 routes to
+    multi-probe LSH, where candidates are high-recall but NOT a
+    guaranteed superset (~0.95 per embedding_dedup_pairs) and output
+    may drop below the oracle — same honesty split as
+    embedding_dedup_pairs' docstring.
 
     Plan/scale: centroids are |cells| rows (broadcast); assignment is
     one scan × |cells| JVM folds plus one linear rank-1 window, and the

@@ -1,24 +1,32 @@
 """Window-contract audit (the check .claude/skills/verify/SKILL.md
 prescribes before each round): every queries() entry PAST the driver's
-50-entry verification window must be bit-identical to its last
-driver-checked form — so if the module that defines an entry (or its
-oracle) changed since the given git ref, that entry must sit INSIDE
-the window.
+50-entry verification window must be behaviorally identical to its
+last driver-checked form.
+
+r4 ran this at module granularity, which flagged 27 entries when the
+real diff was 1 — so prose tail comments became the arbiter, and one
+of them was wrong (the dedup_embedding incident). This version compares
+at FUNCTION granularity: for each tail entry it walks every reachable
+resin_spark function (transitively, through closures and module
+globals), plus the module-level constants those functions reference,
+plus the entry's oracle function (resolved from oracle_sql()'s own
+AST), and AST-compares each against the base ref with docstrings
+stripped. A tail entry is flagged iff some function/constant it can
+actually execute changed — comments no longer adjudicate anything.
 
 Usage: python tools/audit_window.py <base-ref>
-  e.g. python tools/audit_window.py 'HEAD~40'  (≈ start of the round)
+  e.g. python tools/audit_window.py d588d16   (last round's final commit)
 
-Prints every tail entry whose defining module(s) changed since
-<base-ref>. A clean audit prints nothing but the summary line; any
-WARNING line means either re-order the dict or justify the entry's
-tail comment by checking the function-level diff by hand.
+Exit code 1 if any tail entry changed behaviorally since <base-ref>.
 """
 
 from __future__ import annotations
 
+import ast
 import os
 import subprocess
 import sys
+import types as _t
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,82 +34,210 @@ WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def modules_of(fn) -> set[str]:
-    """Repo-relative source files reachable from a queries() callable:
-    its own module, any resin_spark function captured in closure cells
-    (the _mk_text wrapper pattern), and any resin_spark module or
-    function the wrapper references by NAME through its globals (the
-    plain `def _x(spark, sf): return dedup.exact_dedup(...)` pattern —
-    closure walking alone silently missed these)."""
-    import types as _t
+# --- AST comparison ----------------------------------------------------------
 
-    out: set[str] = set()
+def _strip_docstrings(node: ast.AST) -> ast.AST:
+    """Remove leading string-constant statements from every body —
+    docstring edits are not behavior."""
+    for n in ast.walk(node):
+        body = getattr(n, "body", None)
+        if (isinstance(n, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                           ast.ClassDef))
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)):
+            n.body = body[1:] or [ast.Pass()]
+    return node
+
+
+class _ModuleDefs:
+    """Top-level definition dumps for one file at one revision:
+    functions/classes by name, plus assignment statements by target
+    name (module constants — tie-break knobs, seeds, gates)."""
+
+    def __init__(self, source: str):
+        tree = ast.parse(source)
+        self.defs: dict[str, str] = {}
+        self.assigns: dict[str, str] = {}
+        for stmt in tree.body:
+            if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                self.defs[stmt.name] = ast.dump(_strip_docstrings(stmt))
+            elif isinstance(stmt, ast.Assign):
+                for tgt in stmt.targets:
+                    if isinstance(tgt, ast.Name):
+                        self.assigns[tgt.id] = ast.dump(stmt.value)
+            elif isinstance(stmt, ast.AnnAssign) and stmt.value is not None \
+                    and isinstance(stmt.target, ast.Name):
+                self.assigns[stmt.target.id] = ast.dump(stmt.value)
+
+
+def _load_defs(cache: dict, rel: str, ref: str | None) -> _ModuleDefs | None:
+    key = (rel, ref)
+    if key not in cache:
+        if ref is None:
+            try:
+                with open(os.path.join(REPO, rel)) as fh:
+                    cache[key] = _ModuleDefs(fh.read())
+            except OSError:
+                cache[key] = None
+        else:
+            p = subprocess.run(["git", "show", f"{ref}:{rel}"], cwd=REPO,
+                               capture_output=True, text=True)
+            cache[key] = _ModuleDefs(p.stdout) if p.returncode == 0 else None
+    return cache[key]
+
+
+# --- reachability ------------------------------------------------------------
+
+def _unwrap(fn):
+    """pandas_udf and functools wrappers hide the traced function."""
+    for attr in ("func", "__wrapped__"):
+        inner = getattr(fn, attr, None)
+        if callable(inner) and inner is not fn:
+            return inner
+    return fn
+
+
+def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
+    """(functions, constants): repo-relative (file, top-level-name)
+    pairs reachable from a callable — its own def, every resin_spark
+    callable referenced through closures or module globals
+    (transitively), and every module-level CONSTANT those functions
+    name. Nested defs resolve to their enclosing top-level def, whose
+    dump contains them."""
+    funcs: set[tuple[str, str]] = set()
+    consts: set[tuple[str, str]] = set()
     stack, seen = [fn], set()
 
-    def add_module(mod) -> None:
+    def relpath_of(mod) -> str | None:
         path = getattr(mod, "__file__", None)
-        if path and "resin_spark" in path:
-            out.add(os.path.relpath(path, REPO))
+        if path and ("resin_spark" in path
+                     or path.endswith("__spark_entry__.py")):
+            return os.path.relpath(path, REPO)
+        return None
 
     while stack:
-        f = stack.pop()
+        f = _unwrap(stack.pop())
         if id(f) in seen or not callable(f):
             continue
         seen.add(id(f))
-        add_module(sys.modules.get(getattr(f, "__module__", "")))
-        for cell in getattr(f, "__closure__", None) or []:
+        code = getattr(f, "__code__", None)
+        mod = sys.modules.get(getattr(f, "__module__", ""))
+        rel = relpath_of(mod)
+        qual = getattr(f, "__qualname__", None)
+        if rel and qual and code is not None:
+            funcs.add((rel, qual.split(".")[0]))
+        clo = getattr(f, "__closure__", None)
+        for cell in (clo if isinstance(clo, tuple) else ()):
             v = cell.cell_contents
             if callable(v):
                 stack.append(v)
-        code = getattr(f, "__code__", None)
         gl = getattr(f, "__globals__", {})
-        names = tuple(getattr(code, "co_names", ()))
+        names = tuple(getattr(code, "co_names", ())) \
+            + tuple(getattr(code, "co_freevars", ()))
         for name in names:
             v = gl.get(name)
             if isinstance(v, _t.ModuleType):
-                add_module(v)
-                # `mod.func(...)` puts BOTH 'mod' and 'func' in
-                # co_names — resolve the attribute too so the walk
-                # continues into the called function's own modules
-                # (one-hop stop here missed cross-module deps)
+                mrel = relpath_of(v)
+                # `mod.attr(...)` puts both names in co_names — resolve
+                # attributes so the walk crosses module boundaries
                 for attr in names:
                     a = getattr(v, attr, None)
                     if callable(a):
                         stack.append(a)
-            elif callable(v) and getattr(v, "__module__", "").startswith(
-                    "resin_spark"):
+                    elif a is not None and mrel \
+                            and not isinstance(a, _t.ModuleType):
+                        consts.add((mrel, attr))
+            elif callable(v):
                 stack.append(v)
+            elif v is not None and rel and name in gl:
+                consts.add((rel, name))
+    return funcs, consts
+
+
+# --- oracle resolution from __spark_entry__'s own AST ------------------------
+
+def oracle_callables(entry_path: str) -> dict[str, tuple[str, str] | None]:
+    """key -> (module attr path, func name) for each oracle_sql() dict
+    entry whose value is a call like ``mod.func_oracle()``; None for
+    literal-SQL values (those live in __spark_entry__.py itself, whose
+    window entries cover them) and anything unresolvable."""
+    with open(entry_path) as fh:
+        tree = ast.parse(fh.read())
+    out: dict[str, tuple[str, str] | None] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "oracle_sql":
+            for ret in ast.walk(node):
+                if isinstance(ret, ast.Return) \
+                        and isinstance(ret.value, ast.Dict):
+                    for k, v in zip(ret.value.keys, ret.value.values):
+                        if not (isinstance(k, ast.Constant)
+                                and isinstance(k.value, str)):
+                            continue
+                        if isinstance(v, ast.Call) \
+                                and isinstance(v.func, ast.Attribute) \
+                                and isinstance(v.func.value, ast.Name):
+                            out[k.value] = (v.func.value.id, v.func.attr)
+                        else:
+                            out[k.value] = None
     return out
 
 
-def main() -> None:
+def main() -> int:
     if len(sys.argv) < 2:
         sys.exit("usage: audit_window.py <base-ref>")
     base = sys.argv[1]
-    changed = set(
-        subprocess.run(
-            ["git", "diff", "--name-only", f"{base}..HEAD", "--",
-             "resin_spark/", "__spark_entry__.py"],
-            cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.split()
-    )
     import __spark_entry__ as m
 
+    cache: dict = {}
     q = m.queries()
+    oracles = oracle_callables(os.path.join(REPO, "__spark_entry__.py"))
     warned = 0
     for i, (name, fn) in enumerate(q.items()):
         if i < WINDOW:
             continue
-        # __spark_entry__ itself changes every time an entry is added —
-        # only flag tail entries whose OPERATOR module changed
-        hits = sorted((modules_of(fn) & changed) - {"__spark_entry__.py"})
-        if hits:
+        funcs, consts = reachable(fn)
+        # fold in the oracle function (and ITS reachable helpers)
+        osym = oracles.get(name)
+        if osym is not None:
+            omod_name, ofunc_name = osym
+            ofn = getattr(getattr(m, omod_name, None), ofunc_name, None)
+            if callable(ofn):
+                of, oc = reachable(ofn)
+                funcs |= of
+                consts |= oc
+        diffs: list[str] = []
+        for rel, sym in sorted(funcs):
+            if rel == "__spark_entry__.py":
+                continue  # entry wrappers re-order every round by design
+            now = _load_defs(cache, rel, None)
+            was = _load_defs(cache, rel, base)
+            d_now = now.defs.get(sym) if now else None
+            d_was = was.defs.get(sym) if was else None
+            if d_now != d_was:
+                diffs.append(f"def {rel}:{sym}")
+        for rel, sym in sorted(consts):
+            if rel == "__spark_entry__.py":
+                continue
+            now = _load_defs(cache, rel, None)
+            was = _load_defs(cache, rel, base)
+            # only flag symbols that ARE module-level assignments now
+            # (co_names also carries attribute/builtin names)
+            if now is None or sym not in now.assigns:
+                continue
+            if was is None or now.assigns[sym] != was.assigns.get(sym):
+                diffs.append(f"const {rel}:{sym}")
+        if diffs:
             warned += 1
-            print(f"WARNING tail[{i}] {name}: module(s) changed since "
-                  f"{base}: {', '.join(hits)} — re-window or justify")
+            print(f"WARNING tail[{i}] {name}: changed since {base}: "
+                  f"{', '.join(diffs)} — re-window")
     print(f"audited {len(q)} entries, window={WINDOW}, "
-          f"tail={len(q) - WINDOW}, warnings={warned}")
+          f"tail={len(q) - WINDOW}, warnings={warned} "
+          f"(function-level, docstring-stripped)")
+    return 1 if warned else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
