@@ -178,11 +178,35 @@ def cmd_truncate(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
+    """GraphIndexValidator.cs / SeekableGraphIndexValidator.cs as a CLI
+    surface: re-probe a persisted index store (--path, --kind
+    ann|pq|dedup|cell|nb_model) and print one check line per invariant;
+    --corpus <parquet> enables the re-encode/re-assign checks for
+    pq/cell. Exit 0 regardless (Program.cs convention); failures are
+    printed per line and summarised."""
+    from resin_spark.operators import validate as val
+
+    kind, path = flags["kind"], flags["path"]
+    kwargs: dict = {}
+    if flags.get("corpus") and kind in ("pq", "cell"):
+        kwargs["emb"] = spark.read.parquet(flags["corpus"])
+    rows = val.validate_index(spark, path, kind, **kwargs).collect()
+    bad = [r for r in rows if not r["ok"]]
+    for r in rows:
+        log(f"{r['artifact']}.{r['check']}: {r['n']} "
+            f"{'ok' if r['ok'] else 'FAILED'}")
+    log(f"{path}: " + ("valid"
+                       if not bad else f"{len(bad)} failed checks"))
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
     "stringcompare": cmd_stringcompare,
     "truncate": cmd_truncate,
+    "validateindex": cmd_validateindex,
 }
 
 

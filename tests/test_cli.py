@@ -108,3 +108,33 @@ def test_cmd_truncate_removes_store(spark, store_dir):
         spark=spark, log=lambda *_: None,
     ) == 0
     assert not os.path.exists(store_dir + "/lexicon")
+
+
+def test_cmd_validateindex_reports_and_exits_zero(spark, tmp_path):
+    """validateindex: one line per check against a fresh dedup index
+    (all ok), then FAILED lines after corrupting a band partition —
+    exit code 0 both times (Program.cs convention: report, don't
+    throw)."""
+    import shutil
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    path = str(tmp_path / "didx")
+    docs = load_tables(spark, SF_DIR)["documents"].limit(60)
+    dedup.write_dedup_index(docs, path)
+
+    lines: list[str] = []
+    rc = cli.main(["validateindex", "--path", path, "--kind", "dedup"],
+                  spark=spark, log=lines.append)
+    assert rc == 0
+    assert any(l.endswith(": valid") for l in lines), lines
+    assert not any("FAILED" in l for l in lines)
+
+    shutil.rmtree(f"{path}/bands/band=1")
+    lines = []
+    rc = cli.main(["validateindex", "--path", path, "--kind", "dedup"],
+                  spark=spark, log=lines.append)
+    assert rc == 0
+    assert any("FAILED" in l for l in lines), lines
+    assert any("failed checks" in l for l in lines)
