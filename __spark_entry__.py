@@ -445,10 +445,13 @@ def queries() -> dict[str, Query]:
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
         "lang_id_heuristic": _mk_text(textops.lang_id),
+        # kv.try_put rewritten in r5 (min_by first-wins): re-window,
+        # trading places with q1 (r4-green, tpch.py AST-unchanged)
+        "kv_try_put": _kv_try_put,
         # -- r4-green rotation picks filling the window: the heaviest
         # multi-stage paths, where a fresh crash/hash signal is worth
         # the most
-        "q1_pricing_summary": _q1,
+
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_components": _dedup_components,
         "dedup_incremental": _dedup_incremental,
@@ -464,7 +467,7 @@ def queries() -> dict[str, Query]:
         # that checked form: verified by tools/audit_window.py (run it
         # against the r4 final commit; warnings==0 is the contract).
         "agg_rollup": _rollup,
-        "kv_try_put": _kv_try_put,
+        "q1_pricing_summary": _q1,
         "kv_get_many": _kv_get_many,
         "kv_set_ops": _kv_set_ops,
         "kv_key_join": _kv_key_join,

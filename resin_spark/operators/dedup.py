@@ -847,12 +847,17 @@ def _incremental_verdicts(new_ids: DataFrame, new_bands: DataFrame,
         )
         .filter(F.col("jaccard") >= tau)
     )
-    w = Window.partitionBy("doc_new").orderBy(
-        F.col("jaccard").desc(), F.col("doc_idx"))
+    # best-match argmax as a map-side-collapsing min_by aggregate (the
+    # _assign_cells r5 rewrite): one row per new doc through the
+    # exchange instead of one per verified candidate pair. Tie-break
+    # preserved: highest jaccard, then smallest index id.
     best = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_new", "doc_idx", "jaccard")
+        pairs.groupBy("doc_new")
+        .agg(F.min_by(F.struct("doc_idx", "jaccard"),
+                      F.struct((-F.col("jaccard")).alias("nj"),
+                               F.col("doc_idx"))).alias("b"))
+        .select("doc_new", F.col("b.doc_idx").alias("doc_idx"),
+                F.col("b.jaccard").alias("jaccard"))
     )
     return (
         new_ids.join(best, new_ids["doc_id"] == best["doc_new"], "left")

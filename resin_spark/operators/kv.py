@@ -47,12 +47,17 @@ def try_put(column: DataFrame, key: str = "key", seq: str = "seq") -> DataFrame:
     contract); null key/seq rows are dropped (see :func:`_valid`).
     """
     column = _valid(column, key, seq)
-    w = Window.partitionBy(key).orderBy(F.col(seq).asc())
-    return (
-        column.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # first-wins as a map-side-collapsing min_by aggregate, not a rank
+    # window (the r5 argmax rewrite): the exchange carries one row per
+    # key per mapper instead of the whole column, and no per-key sort
+    # runs. Ties on seq stay undefined-winner, same as the window form.
+    others = [c for c in column.columns if c != key]
+    best = column.groupBy(key).agg(
+        F.min_by(F.struct(*others), F.col(seq)).alias("_b"))
+    return best.select(*[
+        F.col(key) if c == key else F.col(f"_b.{c}")
+        for c in column.columns
+    ])
 
 
 def get_many(column: DataFrame, key: str = "key", seq: str = "seq",

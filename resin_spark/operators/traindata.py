@@ -967,15 +967,20 @@ def nb_classify_with_model(docs: DataFrame, model: DataFrame,
             ).cast("double").alias("total_bits")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("total_bits").asc(), "cand")
+    # argmin as a map-side-collapsing aggregate, not a rank window (the
+    # _assign_cells r5 rewrite): the exchange carries one row per doc,
+    # not one per (doc, language). Tie-break preserved: lowest bits,
+    # then language ascending.
+    best = F.min_by(F.struct("cand", "total_bits"),
+                    F.struct(F.col("total_bits"), F.col("cand")))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("doc_id", "true_lang")
+        .agg(best.alias("best"))
         .select(
             "doc_id", "true_lang",
-            F.col("cand").alias("pred_lang"),
-            F.round("total_bits", 6).alias("best_bits"),
-            (F.col("cand") == F.col("true_lang")).alias("correct"),
+            F.col("best.cand").alias("pred_lang"),
+            F.round("best.total_bits", 6).alias("best_bits"),
+            (F.col("best.cand") == F.col("true_lang")).alias("correct"),
         )
         .orderBy("doc_id")
     )

@@ -397,3 +397,24 @@ def test_epoch_shuffle_no_global_sort_before_window(spark):
     # rangepartitioning, which is fine)
     assert "Window" in plan, plan[:1500]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_r5_argmax_rewrites_have_no_rank_window(spark):
+    """kv.try_put first-wins, incremental-dedup best-match, and NB
+    classification argmin all collapse via min_by aggregates after the
+    r5 rewrite — no Window node (rank-then-filter shuffled the full
+    scored/candidate frame); partial_min_by must appear so the
+    collapse starts map-side."""
+    from resin_spark.operators import dedup as dd
+    from resin_spark.operators import kv, traindata as td
+    t = load_tables(spark, SF)
+    col = t["orders"].selectExpr("o_custkey as key", "o_orderkey as seq",
+                                 "o_totalprice as value")
+    for df in (
+        kv.try_put(col),
+        dd.incremental_dedup(t["documents"]),
+        td.nb_lang_classify(t),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan, plan[:2000]
+        assert "partial_min_by" in plan, plan[:2000]
