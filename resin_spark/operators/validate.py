@@ -13,11 +13,13 @@ reports one (artifact, check, n, ok) row per invariant. Point it at a
 possibly-corrupt store and get found/missing/mismatch accounting
 instead of silent wrong answers downstream.
 
-Scale: every check is a distributed aggregate or anti-join over the
-index relation itself (code/cell/vocab-sized, or corpus-row-sized at
-worst — never corpus × corpus); a validator run costs about one index
-build over the indexed rows. The scalar counts pulled to the driver are
-one long per check — the convergence-probe pattern, not a data collect.
+Scale: checks are batched into 2–3 Spark jobs per artifact — one
+FULL-OUTER compare of recomputed-vs-stored postings folded to all its
+counts in a single conditional aggregate, plus one per-key integrity
+aggregate — rather than one job per check, so a validator run costs
+about one index build over the indexed rows regardless of how many
+invariants it reports. The scalars pulled to the driver are one row of
+longs per job — the convergence-probe pattern, not a data collect.
 """
 
 from __future__ import annotations
@@ -36,6 +38,34 @@ def _summary(spark: SparkSession, artifact: str,
         [(artifact, c, int(n), bool(ok)) for c, n, ok in checks],
         SUMMARY_SCHEMA,
     )
+
+
+def _n(expr) -> F.Column:
+    """Count rows where ``expr`` holds — a conditional count usable
+    many times inside ONE aggregate."""
+    return F.count(F.when(expr, F.lit(1)))
+
+
+def _posting_compare(recomputed: DataFrame, stored: DataFrame,
+                     keys: list[str], id_col: str):
+    """(missing, extra, unfindable_ids) in ONE full-outer join + ONE
+    aggregate: a recomputed posting with no stored twin is missing (its
+    id is unfindable by the self-probe in that table/band); a stored
+    posting with no recomputed twin is extra/corrupt."""
+    r = recomputed.withColumn("_r", F.lit(1))
+    s = stored.withColumn("_s", F.lit(1))
+    row = (
+        r.join(s, keys, "full_outer")
+        .agg(
+            _n(F.col("_s").isNull()).alias("missing"),
+            _n(F.col("_r").isNull()).alias("extra"),
+            F.count_distinct(
+                F.when(F.col("_s").isNull(), F.col(id_col))
+            ).alias("unfindable"),
+        )
+        .first()
+    )
+    return row["missing"], row["extra"], row["unfindable"]
 
 
 def validate_ann_index(spark: SparkSession, path: str,
@@ -61,26 +91,24 @@ def validate_ann_index(spark: SparkSession, path: str,
     recomputed = entries.select(
         F.col(id_col),
         F.posexplode(h(F.col(vec_col))).alias("tbl", "bucket"),
-    ).localCheckpoint()
+    )
     stored = idx.select(id_col, F.col("tbl").cast("int").alias("tbl"),
                         "bucket")
-    keys = [id_col, "tbl", "bucket"]
-    n_missing = recomputed.join(stored, keys, "left_anti").count()
-    n_extra = stored.join(recomputed, keys, "left_anti").count()
-    n_entries = entries.count()
-    bad_fanout = (
-        stored.groupBy(id_col).count()
-        .filter(F.col("count") != n_tables).count()
+    n_missing, n_extra, unfindable = _posting_compare(
+        recomputed, stored, [id_col, "tbl", "bucket"], id_col)
+    # per-id integrity in ONE pass over the stored relation: row fanout
+    # (= n_tables postings per id) and vector consistency together
+    per_id = idx.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("np"),
+        F.count_distinct(F.col(vec_col)).alias("nv"),
     )
-    multi_vec = (
-        idx.groupBy(id_col)
-        .agg(F.countDistinct(vec_col).alias("nv"))
-        .filter(F.col("nv") != 1).count()
-    )
-    unfindable = (
-        recomputed.join(stored, keys, "left_anti")
-        .select(id_col).distinct().count()
-    )
+    stats = per_id.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        _n(F.col("np") != n_tables).alias("bad_fanout"),
+        _n(F.col("nv") != 1).alias("multi_vec"),
+    ).first()
+    n_entries, bad_fanout, multi_vec = (
+        stats["n_entries"], stats["bad_fanout"], stats["multi_vec"])
     return _summary(spark, "ann", [
         ("entries", n_entries, n_entries > 0),
         ("postings_missing", n_missing, n_missing == 0),
@@ -105,23 +133,29 @@ def validate_pq_index(spark: SparkSession, path: str,
     codes, books = read_pq_index(spark, path)
     m_sub, n_codes, _ = books.shape
     grid_ok = bool((books == books).all())  # NaN-free
-    n_rows = codes.count()
-    dup_ids = (
-        codes.groupBy(id_col).count().filter(F.col("count") > 1).count()
+    # row validity + id duplication in ONE groupBy + ONE aggregate
+    bad_len = F.col("codes").isNull() | (F.size("codes") != int(m_sub))
+    bad_rng = F.exists("codes", lambda c: c.isNull() | (c < 0)
+                       | (c >= int(n_codes)))
+    per_id = codes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        _n(bad_len).alias("bl"),
+        _n(F.when(bad_len, F.lit(False)).otherwise(bad_rng)).alias("br"),
     )
-    bad_len = codes.filter(
-        F.col("codes").isNull() | (F.size("codes") != int(m_sub))
-    ).count()
-    bad_range = codes.filter(
-        F.exists("codes", lambda c: c.isNull() | (c < 0)
-                 | (c >= int(n_codes)))
-    ).count()
+    stats = per_id.agg(
+        F.sum("c").alias("n_rows"),
+        _n(F.col("c") > 1).alias("dup_ids"),
+        F.sum("bl").alias("bad_len"),
+        F.sum("br").alias("bad_range"),
+    ).first()
     checks = [
-        ("entries", n_rows, n_rows > 0),
+        ("entries", stats["n_rows"] or 0, (stats["n_rows"] or 0) > 0),
         ("codebook_nan_free", int(m_sub * n_codes), grid_ok),
-        ("ids_duplicated", dup_ids, dup_ids == 0),
-        ("codes_wrong_length", bad_len, bad_len == 0),
-        ("codes_out_of_range", bad_range, bad_range == 0),
+        ("ids_duplicated", stats["dup_ids"], stats["dup_ids"] == 0),
+        ("codes_wrong_length", stats["bad_len"] or 0,
+         not stats["bad_len"]),
+        ("codes_out_of_range", stats["bad_range"] or 0,
+         not stats["bad_range"]),
     ]
     if emb is not None:
         emb = valid_vectors(emb, vec_col)
@@ -129,16 +163,21 @@ def validate_pq_index(spark: SparkSession, path: str,
             F.col(id_col),
             _pq_encode_udf(books)(F.col(vec_col)).alias("recodes"),
         )
-        mismatch = (
-            codes.join(reenc, id_col)
-            .filter(F.col("codes") != F.col("recodes")).count()
+        row = (
+            codes.withColumn("_c", F.lit(1))
+            .join(reenc.withColumn("_r", F.lit(1)), id_col, "full_outer")
+            .agg(
+                _n(F.col("_c").isNotNull() & F.col("_r").isNotNull()
+                   & ~F.col("codes").eqNullSafe(F.col("recodes"))).alias("mm"),
+                _n(F.col("_c").isNull()).alias("missing"),
+                _n(F.col("_r").isNull()).alias("orphan"),
+            )
+            .first()
         )
-        missing = reenc.join(codes, id_col, "left_anti").count()
-        orphan = codes.join(reenc, id_col, "left_anti").count()
         checks += [
-            ("codes_mismatch_reencode", mismatch, mismatch == 0),
-            ("corpus_ids_missing", missing, missing == 0),
-            ("orphan_ids", orphan, orphan == 0),
+            ("codes_mismatch_reencode", row["mm"], row["mm"] == 0),
+            ("corpus_ids_missing", row["missing"], row["missing"] == 0),
+            ("orphan_ids", row["orphan"], row["orphan"] == 0),
         ]
     return _summary(spark, "pq", checks)
 
@@ -163,25 +202,23 @@ def validate_dedup_index(spark: SparkSession, path: str,
         .select("doc_id",
                 F.posexplode(_band_hash_array("sig", num_perm, bands))
                 .alias("band", "band_hash"))
-        .localCheckpoint()
     )
     stored = stored.select("doc_id", F.col("band").cast("int").alias("band"),
                            "band_hash")
-    keys = ["doc_id", "band", "band_hash"]
-    n_docs = hashes.count()
-    dup_docs = hashes.groupBy("doc_id").count() \
-        .filter(F.col("count") > 1).count()
-    n_missing = recomputed.join(stored, keys, "left_anti").count()
-    n_extra = stored.join(recomputed, keys, "left_anti").count()
-    unfindable = (
-        recomputed.join(stored, keys, "left_anti")
-        .select("doc_id").distinct().count()
+    n_missing, n_extra, unfindable = _posting_compare(
+        recomputed, stored, ["doc_id", "band", "band_hash"], "doc_id")
+    doc_stats = hashes.groupBy("doc_id").count().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _n(F.col("count") > 1).alias("dup_docs"),
+    ).first()
+    bad_fanout = (
+        stored.groupBy("doc_id").count()
+        .agg(_n(F.col("count") != bands).alias("b")).first()["b"]
     )
-    bad_fanout = stored.groupBy("doc_id").count() \
-        .filter(F.col("count") != bands).count()
     return _summary(spark, "dedup", [
-        ("entries", n_docs, n_docs > 0),
-        ("ids_duplicated", dup_docs, dup_docs == 0),
+        ("entries", doc_stats["n_docs"], doc_stats["n_docs"] > 0),
+        ("ids_duplicated", doc_stats["dup_docs"],
+         doc_stats["dup_docs"] == 0),
         ("postings_missing", n_missing, n_missing == 0),
         ("postings_extra", n_extra, n_extra == 0),
         ("ids_unfindable_by_self_probe", unfindable, unfindable == 0),
@@ -196,19 +233,23 @@ def validate_cell_index(spark: SparkSession, table: str,
     same argmax) and assert every stored cell matches — the
     re-search-equivalent for a clustering index."""
     idx = spark.table(table)
-    n_rows = idx.count()
-    dup_ids = idx.groupBy("vec_id").count() \
-        .filter(F.col("count") > 1).count()
-    null_cells = idx.filter(F.col("cell").isNull()).count()
-    bad_vecs = idx.filter(
-        F.col("embedding").isNull()
-        | F.exists("embedding", lambda x: F.isnan(x))
-    ).count()
+    per_id = idx.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        _n(F.col("cell").isNull()).alias("nc"),
+        _n(F.col("embedding").isNull()
+           | F.exists("embedding", lambda x: F.isnan(x))).alias("bv"),
+    )
+    stats = per_id.agg(
+        F.sum("c").alias("n_rows"),
+        _n(F.col("c") > 1).alias("dup_ids"),
+        F.sum("nc").alias("null_cells"),
+        F.sum("bv").alias("bad_vecs"),
+    ).first()
     checks = [
-        ("entries", n_rows, n_rows > 0),
-        ("ids_duplicated", dup_ids, dup_ids == 0),
-        ("null_cells", null_cells, null_cells == 0),
-        ("invalid_vectors", bad_vecs, bad_vecs == 0),
+        ("entries", stats["n_rows"] or 0, (stats["n_rows"] or 0) > 0),
+        ("ids_duplicated", stats["dup_ids"], stats["dup_ids"] == 0),
+        ("null_cells", stats["null_cells"] or 0, not stats["null_cells"]),
+        ("invalid_vectors", stats["bad_vecs"] or 0, not stats["bad_vecs"]),
     ]
     if emb is not None:
         from resin_spark.operators.similarity import valid_vectors
@@ -216,18 +257,24 @@ def validate_cell_index(spark: SparkSession, table: str,
             _assign_cells, label_centroid_vectors,
         )
         base = valid_vectors(emb).filter(F.col("label").isNotNull())
-        expected = _assign_cells(base, label_centroid_vectors(base))
-        mismatch = (
-            idx.select("vec_id", "cell")
-            .join(expected.withColumnRenamed("cell", "recell"), "vec_id")
-            .filter(F.col("cell") != F.col("recell")).count()
+        expected = _assign_cells(base, label_centroid_vectors(base)) \
+            .withColumnRenamed("cell", "recell")
+        row = (
+            idx.select("vec_id", "cell").withColumn("_i", F.lit(1))
+            .join(expected.withColumn("_e", F.lit(1)), "vec_id",
+                  "full_outer")
+            .agg(
+                _n(F.col("_i").isNotNull() & F.col("_e").isNotNull()
+                   & ~F.col("cell").eqNullSafe(F.col("recell"))).alias("mm"),
+                _n(F.col("_i").isNull()).alias("missing"),
+                _n(F.col("_e").isNull()).alias("orphan"),
+            )
+            .first()
         )
-        missing = expected.join(idx, "vec_id", "left_anti").count()
-        orphan = idx.join(expected, "vec_id", "left_anti").count()
         checks += [
-            ("cells_mismatch_reassign", mismatch, mismatch == 0),
-            ("corpus_ids_missing", missing, missing == 0),
-            ("orphan_ids", orphan, orphan == 0),
+            ("cells_mismatch_reassign", row["mm"], row["mm"] == 0),
+            ("corpus_ids_missing", row["missing"], row["missing"] == 0),
+            ("orphan_ids", row["orphan"], row["orphan"] == 0),
         ]
     return _summary(spark, "cell", checks)
 
@@ -240,33 +287,45 @@ def validate_nb_model(spark: SparkSession, path: str) -> DataFrame:
     fails loudly here instead of silently skewing every classification."""
     from resin_spark.operators.traindata import read_nb_model
 
-    model, cand = (d.localCheckpoint() for d in read_nb_model(spark, path))
-    n_toks = model.count()
-    n_langs = cand.count()
-    dup_keys = model.groupBy("cand", "tok").count() \
-        .filter(F.col("count") > 1).count()
-    bad_bits = model.filter(
-        F.col("bits").isNull() | F.isnan("bits") | (F.col("bits") < 0)
-    ).count()
-    langs_wo_stats = model.select("cand").distinct() \
-        .join(cand, "cand", "left_anti").count()
-    stats_wo_tokens = cand.join(
-        model.select("cand").distinct(), "cand", "left_anti").count()
-    prior_mass = cand.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("prior_bits"))).alias("m")
-    ).first()["m"]
+    model, cand = read_nb_model(spark, path)
+    bad_bit = (F.col("bits").isNull() | F.isnan("bits")
+               | (F.col("bits") < 0))
+    per_key = model.groupBy("cand", "tok").agg(
+        F.count(F.lit(1)).alias("c"), _n(bad_bit).alias("bb"))
+    stats = per_key.agg(
+        F.sum("c").alias("n_toks"),
+        _n(F.col("c") > 1).alias("dup_keys"),
+        F.sum("bb").alias("bad_bits"),
+    ).first()
+    # language agreement + prior mass in ONE full-outer pass: model's
+    # distinct languages vs the stats relation
+    lrow = (
+        model.select("cand").distinct().withColumn("_m", F.lit(1))
+        .join(cand.withColumn("_s", F.lit(1)), "cand", "full_outer")
+        .agg(
+            _n(F.col("_s").isNull()).alias("no_stats"),
+            _n(F.col("_m").isNull()).alias("no_toks"),
+            _n(F.col("_s").isNotNull()).alias("n_langs"),
+            F.sum(F.when(F.col("_s").isNotNull(),
+                         F.pow(F.lit(2.0), -F.col("prior_bits")))).alias("m"),
+        )
+        .first()
+    )
+    prior_mass, n_langs = lrow["m"], lrow["n_langs"]
     # prior_bits are stored rounded to 1e-6 bits, so each 2^-bits term
     # carries up to ~ln2·5e-7 relative error; tolerate that, nothing more
     # (a missing language is off by its whole prior share — loud).
     priors_ok = prior_mass is not None \
         and math.isclose(prior_mass, 1.0, abs_tol=1e-6 * max(1, n_langs))
     return _summary(spark, "nb_model", [
-        ("token_rows", n_toks, n_toks > 0),
+        ("token_rows", stats["n_toks"] or 0, (stats["n_toks"] or 0) > 0),
         ("languages", n_langs, n_langs > 0),
-        ("duplicate_token_keys", dup_keys, dup_keys == 0),
-        ("invalid_bits", bad_bits, bad_bits == 0),
-        ("languages_missing_stats", langs_wo_stats, langs_wo_stats == 0),
-        ("stats_without_tokens", stats_wo_tokens, stats_wo_tokens == 0),
+        ("duplicate_token_keys", stats["dup_keys"],
+         stats["dup_keys"] == 0),
+        ("invalid_bits", stats["bad_bits"] or 0, not stats["bad_bits"]),
+        ("languages_missing_stats", lrow["no_stats"],
+         lrow["no_stats"] == 0),
+        ("stats_without_tokens", lrow["no_toks"], lrow["no_toks"] == 0),
         ("prior_mass_x1e9", int(round((prior_mass or 0.0) * 1e9)),
          priors_ok),
     ])
