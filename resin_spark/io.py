@@ -201,6 +201,17 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     the fact tables on their join keys once and every downstream
     query saves its largest exchange.
     """
+    if mode == "overwrite":
+        # overwrite must also survive a METASTORE-orphaned location: a
+        # previous session's warehouse directory with no catalog entry
+        # (fresh derby metastore, files kept) makes saveAsTable throw
+        # LOCATION_ALREADY_EXISTS even in overwrite mode. Drop the
+        # table if known, then remove any leftover default location.
+        spark = df.sparkSession
+        quoted = table.replace("`", "``")
+        spark.sql(f"DROP TABLE IF EXISTS `{quoted}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        truncate(spark, wh.rstrip("/") + "/" + table.lower())
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
