@@ -129,14 +129,23 @@ def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
         qual = getattr(f, "__qualname__", None)
         if rel and qual and code is not None:
             funcs.add((rel, qual.split(".")[0]))
+        gl_attr = getattr(f, "__globals__", None)
+        gl = dict(gl_attr) if isinstance(gl_attr, dict) else {}
+        # closure cells may hold modules (a wrapper closing over an
+        # imported module) as well as callables — fold them into the
+        # same namespace the co_names resolution walks
         clo = getattr(f, "__closure__", None)
-        for cell in (clo if isinstance(clo, tuple) else ()):
-            v = cell.cell_contents
+        freevars = tuple(getattr(code, "co_freevars", ()))
+        for fname, cell in zip(freevars,
+                               clo if isinstance(clo, tuple) else ()):
+            try:
+                v = cell.cell_contents
+            except ValueError:  # empty cell
+                continue
             if callable(v):
                 stack.append(v)
-        gl = getattr(f, "__globals__", {})
-        names = tuple(getattr(code, "co_names", ())) \
-            + tuple(getattr(code, "co_freevars", ()))
+            gl.setdefault(fname, v)
+        names = tuple(getattr(code, "co_names", ())) + freevars
         for name in names:
             v = gl.get(name)
             if isinstance(v, _t.ModuleType):
