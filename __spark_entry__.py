@@ -481,6 +481,7 @@ def queries() -> dict[str, Query]:
         "ann_topk_pq_indexed": _ann_topk_pq_indexed,
         "dedup_incremental_indexed": _dedup_incremental_indexed,
         "semantic_dedup_indexed": _semantic_dedup_indexed,
+        "bm25_search": _mk_text(textops.bm25_search),
         "bpe_encode": _bpe_encode,
         "index_validate": _index_validate,
         # -- (d) stalest green cohort: r3-checked, carried through r4
@@ -525,12 +526,12 @@ def queries() -> dict[str, Query]:
         "ann_topk_pq": _ann_topk_pq,
         "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
         "bloom_contamination": _mk_text(pipeline.bloom_contamination),
-        "filter_funnel": _mk_text(pipeline.filter_funnel),
         # ---- tail: past the 50-entry window from here down ----
         # Every tail entry is green (or rows-fresh) in CORRECTNESS_r04
         # and its reachable functions + oracle are AST-identical to
         # that checked form: verified by tools/audit_window.py (run it
         # against the r4 final commit; warnings==0 is the contract).
+        "filter_funnel": _mk_text(pipeline.filter_funnel),
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_components": _dedup_components,
         "graph_dedup": _graph_dedup,
@@ -689,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq_indexed": similarity.brute_topk_oracle(),
         "dedup_incremental_indexed": dedup.incremental_dedup_oracle(),
         "semantic_dedup_indexed": dedup.semantic_dedup_oracle(),
+        "bm25_search": textops.bm25_search_oracle(),
         "ann_topk_bruteforce": similarity.brute_topk_oracle(),
         # The approximate-ANN output contracts ARE the exact top-k at
         # their driver operating points: ann_topk_lsh runs a

@@ -763,3 +763,129 @@ def term_cooccurrence_oracle(min_pairs: int = 2,
     JOIN dfreq db ON db.tok = tok_b
     ORDER BY tok_a, tok_b
     """
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+BM25_QUERY = ("merge", "sort", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_search(t: Tables, query: tuple[str, ...] = BM25_QUERY,
+                k: int = BM25_TOPK, k1: float = BM25_K1,
+                b: float = BM25_B) -> DataFrame:
+    """Ranked text retrieval: BM25 top-k documents for a bag-of-terms
+    query — the full-text-search face of the engine beside the vector
+    face (closest_match); the reference searches its vector tree for
+    embedded STRINGS (GraphSearcher over StringAnalyzer embeddings),
+    and this is the inverted-index ranked analog every search engine
+    user expects.
+
+    Exactness: idf uses the Okapi RATIONAL form (N - df + 0.5)/(df +
+    0.5) WITHOUT the logarithm — the tfidf_topterms convention: IEEE
+    +,·,/ are exactly rounded and bit-identical across engines while
+    ln() is implementation-defined in the last ulp. ln is monotone, so
+    per-term weighting order is unchanged; the documented deviation is
+    that multi-term sums weight rare terms more steeply than textbook
+    BM25. Per-doc term-score sums go through the string→decimal(28,15)
+    exact-sum recipe so accumulation order cannot flip the hash.
+
+    Plan/scale: one corpus scan feeds both the doc-length aggregate
+    and the query-term tf aggregate (the term filter keeps the scored
+    relation |query|-bounded); df/N/avgdl are |query|-row or scalar;
+    scoring joins broadcast; the global top-k is orderBy+limit —
+    Spark's TakeOrdered, map-side k per partition, never a
+    single-partition sort of the corpus.
+    """
+    toks = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("tot")).first()
+    n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
+    tf = (
+        toks.filter(F.col("term").isin(list(query)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k11, one_minus_b = k1 + 1.0, 1.0 - b
+    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) \
+        / (F.col("df").cast("double") + 0.5)
+    ratio = F.col("dl").cast("double") / F.lit(avgdl)
+    denom = F.col("tf").cast("double") \
+        + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
+    score_t = idf * ((F.col("tf").cast("double") * F.lit(k11)) / denom)
+    from pyspark.sql.functions import broadcast
+    per_doc = (
+        tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", score_t.alias("score_t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(F.col("score_t").cast("string").cast("decimal(28,15)"))
+            .cast("double").alias("score"),
+        )
+    )
+    top = per_doc.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_hits", "score")
+        .orderBy("rank")
+    )
+
+
+def bm25_search_oracle(query: tuple[str, ...] = BM25_QUERY,
+                       k: int = BM25_TOPK, k1: float = BM25_K1,
+                       b: float = BM25_B) -> str:
+    toks = T.tokens_sql("text")
+    terms = ", ".join(f"'{q}'" for q in query)
+    k11, one_minus_b = k1 + 1.0, 1.0 - b
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS term
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               ((CAST(s.n - df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {k11})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {k1} * ({one_minus_b}
+                               + {b} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+                   AS score_t
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_hits,
+               CAST(SUM(CAST(CAST(score_t AS VARCHAR) AS DECIMAL(28,15)))
+                    AS DOUBLE) AS score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT rank, doc_id, n_hits, score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM per_doc
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """

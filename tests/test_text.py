@@ -156,3 +156,26 @@ def test_term_cooccurrence_cap_bounds_megadoc(spark, tmp_path):
         {"documents": df}, per_doc_cap=cap).collect()[0]
     assert rep["n_docs"] == 4 and rep["n_docs_capped"] == 1
     assert rep["n_tokens_dropped"] == 201 - cap
+
+
+def test_bm25_search_ranks_by_relevance(spark):
+    """BM25 sanity on a controlled corpus: a doc saturated with the
+    query terms outranks a doc with one hit; docs with no query terms
+    never appear; k bounds the output; rational-idf scores positive."""
+    from resin_spark.operators import textops as tx
+    docs = spark.createDataFrame(
+        [(1, "merge sort window merge sort window merge"),
+         (2, "merge of a long document " + "filler " * 50),
+         (3, "nothing relevant here at all"),
+         (4, "sort window sort")],
+        "doc_id long, text string")
+    out = tx.bm25_search({"documents": docs}).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids
+    assert ids[0] in (1, 4)  # term-dense short docs lead
+    assert out[0]["score"] >= out[-1]["score"] > 0
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_hits"] == 3 and by_id[2]["n_hits"] == 1
+    # k bound
+    top1 = tx.bm25_search({"documents": docs}, k=1).collect()
+    assert len(top1) == 1 and top1[0]["rank"] == 1
