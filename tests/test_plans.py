@@ -418,3 +418,15 @@ def test_r5_argmax_rewrites_have_no_rank_window(spark):
         plan = plan_of(df)
         assert "Window" not in plan, plan[:2000]
         assert "partial_min_by" in plan, plan[:2000]
+
+
+def test_bm25_topk_is_take_ordered_not_corpus_sort(spark):
+    """The global top-k must compile to TakeOrderedAndProject (map-side
+    k per partition); the only Window sits ABOVE it, ranking <= k rows.
+    The df and dl scoring joins broadcast."""
+    df = textops.bm25_search(load_tables(spark, SF))
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
