@@ -773,6 +773,51 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
+def bm25_scores(t: Tables, query: tuple[str, ...] = BM25_QUERY,
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(doc_id, n_hits, score): the full unranked BM25 per-doc scoring
+    relation — the library surface for "score everything" consumers
+    (exports, joins, the streaming twin's batch pin); bm25_search is
+    its top-k presentation. No global sort anywhere: the output stays
+    partitioned by doc_id."""
+    toks = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("tot")).first()
+    n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
+    tf = (
+        toks.filter(F.col("term").isin(list(query)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k11, one_minus_b = k1 + 1.0, 1.0 - b
+    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) \
+        / (F.col("df").cast("double") + 0.5)
+    ratio = F.col("dl").cast("double") / F.lit(avgdl)
+    denom = F.col("tf").cast("double") \
+        + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
+    score_t = idf * ((F.col("tf").cast("double") * F.lit(k11)) / denom)
+    from pyspark.sql.functions import broadcast
+    return (
+        tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", score_t.alias("score_t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(F.col("score_t").cast("string").cast("decimal(28,15)"))
+            .cast("double").alias("score"),
+        )
+    )
+
+
+BM25_MAX_K = 100_000
+
+
 def bm25_search(t: Tables, query: tuple[str, ...] = BM25_QUERY,
                 k: int = BM25_TOPK, k1: float = BM25_K1,
                 b: float = BM25_B) -> DataFrame:
@@ -799,39 +844,12 @@ def bm25_search(t: Tables, query: tuple[str, ...] = BM25_QUERY,
     Spark's TakeOrdered, map-side k per partition, never a
     single-partition sort of the corpus.
     """
-    toks = (
-        t["documents"].filter(F.col("doc_id").isNotNull())
-        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("tot")).first()
-    n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
-    tf = (
-        toks.filter(F.col("term").isin(list(query)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    k11, one_minus_b = k1 + 1.0, 1.0 - b
-    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) \
-        / (F.col("df").cast("double") + 0.5)
-    ratio = F.col("dl").cast("double") / F.lit(avgdl)
-    denom = F.col("tf").cast("double") \
-        + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
-    score_t = idf * ((F.col("tf").cast("double") * F.lit(k11)) / denom)
-    from pyspark.sql.functions import broadcast
-    per_doc = (
-        tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .select("doc_id", score_t.alias("score_t"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.sum(F.col("score_t").cast("string").cast("decimal(28,15)"))
-            .cast("double").alias("score"),
-        )
-    )
+    if k > BM25_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}: the top-k holds a "
+            "k-sized ordered buffer per partition (TakeOrdered); for the "
+            "full ranked relation use bm25_scores() and rank downstream")
+    per_doc = bm25_scores(t, query, k1, b)
     top = per_doc.orderBy(F.col("score").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (

@@ -323,3 +323,106 @@ def stream_lang_classify(spark: SparkSession, docs_parquet_dir: str,
             "doc_id long, true_lang string, pred_lang string, "
             "best_bits double, correct boolean")
     )
+
+
+# --- streaming BM25 (ingestion-time twin of textops.bm25_search) -------------
+
+def build_bm25_model(docs: DataFrame, query=None):
+    """(df_by_term, n_docs, avgdl): the frozen ranked-retrieval scorer
+    artifact — query-term document frequencies plus the corpus length
+    statistics, computed with textops.bm25_search's exact recipe so
+    streaming scores over the same corpus equal the batch per-doc rows
+    bit-for-bit. |query|+2 scalars: trivially broadcastable at any
+    corpus size."""
+    from resin_spark.operators.textops import BM25_QUERY
+
+    query = tuple(query or BM25_QUERY)
+    toks = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("tot")).first()
+    n_docs = stats["n"] or 0
+    avgdl = (stats["tot"] / stats["n"]) if n_docs else 1.0
+    df_rows = (
+        toks.filter(F.col("term").isin(list(query)))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    return {r["term"]: r["df"] for r in df_rows}, n_docs, avgdl
+
+
+def stream_bm25_score(spark: SparkSession, docs_parquet_dir: str,
+                      model_docs: DataFrame, query=None,
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Score a document stream against a frozen BM25 model:
+    (doc_id, n_hits, score), append mode — the ingestion-time ranked
+    filter ("does this new doc match the standing query profile").
+
+    Per-row scoring only: tokenize, count query-term hits, apply the
+    SAME IEEE float expression chain as the batch operator (Python
+    floats are IEEE doubles; identical literals, identical op order)
+    and the same string→decimal(28,15) HALF_UP exact sum — so on a
+    shared corpus the emitted rows equal batch per-doc scores
+    bit-for-bit (pinned in tests). No watermark, no state store, no
+    stream-side shuffle. Query terms unseen in the model corpus
+    (df=0) are skipped — no idf is defined for them; docs with zero
+    query-term hits emit nothing (the batch inner join's semantics).
+    """
+    import pandas as pd
+
+    from resin_spark.operators.textops import BM25_QUERY
+
+    query = tuple(query or BM25_QUERY)
+    df_by_term, n_docs, avgdl = build_bm25_model(model_docs, query)
+    bc = spark.sparkContext.broadcast((df_by_term, n_docs, avgdl))
+    tokenize_re = T.TOKEN_SPLIT_RE
+    k11, one_minus_b = k1 + 1.0, 1.0 - b
+
+    def score(batches):
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q15 = Decimal("1e-15")
+        dft, n, ad = bc.value
+        splitter = re.compile(tokenize_re)
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or text is None:
+                    continue
+                toks = [t for t in splitter.split(text.lower()) if t]
+                if not toks:
+                    continue
+                dl = len(toks)
+                total, hits = Decimal(0), 0
+                for term in query:
+                    tf = toks.count(term)
+                    df = dft.get(term, 0)
+                    if tf == 0 or df == 0:
+                        continue
+                    hits += 1
+                    idf = (float(n - df) + 0.5) / (float(df) + 0.5)
+                    denom = float(tf) + k1 * (one_minus_b
+                                              + b * (float(dl) / ad))
+                    score_t = idf * ((float(tf) * k11) / denom)
+                    total += Decimal(repr(score_t)).quantize(
+                        q15, rounding=ROUND_HALF_UP)
+                if hits:
+                    out.append((doc_id, hits, float(total)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_hits", "score"])
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .mapInPandas(score, "doc_id long, n_hits long, score double")
+    )

@@ -745,3 +745,34 @@ def test_stream_cms_counters_match_batch(spark, tmp_path):
     want = {(r["j"], r["c"]): r["cnt"]
             for r in sk.cms_counters(toks).collect()}
     assert got == want and got
+
+
+def test_stream_bm25_matches_batch(spark, tmp_path):
+    """Ingestion-time BM25 with the frozen (df, N, avgdl) artifact must
+    emit exactly the batch per-doc (n_hits, score) rows when the stream
+    is the corpus the model was built from (k large enough that the
+    batch top-k is the full scored relation)."""
+    from resin_spark.operators import textops as tx
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    batch = {r["doc_id"]: (r["n_hits"], r["score"])
+             for r in tx.bm25_scores(t).collect()}
+    assert batch
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0000.parquet")
+    sq = (
+        q.stream_bm25_score(spark, str(src_dir), t["documents"])
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm25"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_hits"], r["score"])
+           for r in spark.sql("SELECT * FROM bm25_stream").collect()}
+    assert got == batch

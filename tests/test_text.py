@@ -179,3 +179,16 @@ def test_bm25_search_ranks_by_relevance(spark):
     # k bound
     top1 = tx.bm25_search({"documents": docs}, k=1).collect()
     assert len(top1) == 1 and top1[0]["rank"] == 1
+
+
+def test_bm25_search_rejects_unbounded_k(spark):
+    """TakeOrdered holds a k-sized buffer per partition — an absurd k
+    must fail loudly instead of OOMing the JVM (found the hard way:
+    k=1e9 allocated a billion-slot priority queue). Full ranked output
+    is bm25_scores()."""
+    import pytest as _pt
+    from resin_spark.operators import textops as tx
+    docs = spark.createDataFrame([(1, "merge sort")],
+                                 "doc_id long, text string")
+    with _pt.raises(ValueError, match="BM25_MAX_K"):
+        tx.bm25_search({"documents": docs}, k=10**9)
