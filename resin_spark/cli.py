@@ -189,8 +189,12 @@ def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
 
     kind, path = flags["kind"], flags["path"]
     kwargs: dict = {}
-    if flags.get("corpus") and kind in ("pq", "cell"):
-        kwargs["emb"] = spark.read.parquet(flags["corpus"])
+    if flags.get("corpus"):
+        src = spark.read.parquet(flags["corpus"])
+        if kind in ("pq", "cell"):
+            kwargs["emb"] = src
+        elif kind == "text":
+            kwargs["docs"] = src
     rows = val.validate_index(spark, path, kind, **kwargs).collect()
     bad = [r for r in rows if not r["ok"]]
     for r in rows:

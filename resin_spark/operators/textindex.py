@@ -1,0 +1,139 @@
+"""Persisted inverted text index + indexed BM25 retrieval.
+
+The reference IS an on-disk search index: build once (LexiconBuilder /
+GraphBuilder → GraphSerializer writes node pages), then serve queries
+by seeking only the pages a query touches (SeekableGraphReader). This
+module is that shape for ranked TEXT retrieval: ``write_text_index``
+persists the postings relation (term, doc_id, tf) PARTITIONED BY a
+term-hash bucket, plus the doc-length relation and the corpus scalars,
+and ``bm25_topk_indexed`` answers a query by reading ONLY the buckets
+its terms hash into — partition pruning makes query cost proportional
+to the query terms' postings, not the corpus. Output is row-identical
+to ``textops.bm25_search`` on the same corpus (same rational-idf BM25,
+same exact-sum recipe), so the indexed path shares its DuckDB oracle.
+
+Scale: the index build is one tokenise + one (doc, term) aggregate —
+the same cost as a single bm25_search — amortised over every later
+query; a query reads |query| buckets of |vocab|/n_buckets terms each.
+At 100 TB the postings relation partitions across the cluster like any
+parquet table, and per-bucket files sorted by term let row-group
+min/max statistics prune within a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from resin_spark.functions import text as T
+from resin_spark.operators.textops import (
+    BM25_B, BM25_K1, BM25_MAX_K, BM25_QUERY, BM25_TOPK,
+)
+
+Tables = dict[str, DataFrame]
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(term, n_buckets: int = N_TERM_BUCKETS):
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def write_text_index(docs: DataFrame, path: str,
+                     n_buckets: int = N_TERM_BUCKETS) -> None:
+    """Persist the inverted index of a corpus:
+
+    - ``{path}/postings``: (term, doc_id, tf) partitioned by
+      ``bucket = pmod(xxhash64(term), n_buckets)`` and sorted by term
+      within files — a query reads only its terms' bucket directories
+      and skips row groups via term min/max stats.
+    - ``{path}/doclens``: (doc_id, dl) — the length-normalisation side.
+    - ``{path}/stats``: one row (n_docs, total_tokens) — avgdl is
+      derived at read time with the same exact division the direct
+      operator uses.
+
+    Deterministic: same corpus → byte-identical relations.
+    """
+    toks = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    (
+        tf.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/postings")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_text_index(spark: SparkSession, path: str):
+    """(postings, doclens, stats_row) from a write_text_index dir."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclens"),
+        spark.read.parquet(f"{path}/stats").first(),
+    )
+
+
+def bm25_topk_indexed(spark: SparkSession, path: str,
+                      query: tuple[str, ...] = BM25_QUERY,
+                      k: int = BM25_TOPK, k1: float = BM25_K1,
+                      b: float = BM25_B,
+                      n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """bm25_search against a persisted index: the postings scan carries
+    a bucket partition filter (only the query terms' directories are
+    read) plus the term equality filter; df comes from the pruned
+    postings themselves. Row-identical to ``textops.bm25_search`` on
+    the same corpus and parameters (same expression chain, same
+    string→decimal exact sum), so it shares that operator's oracle.
+    ``n_buckets`` must match the write."""
+    if k > BM25_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}; rank bm25 scores "
+            "downstream instead of asking TakeOrdered for a corpus")
+    postings, doclens, stats = read_text_index(spark, path)
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_tokens"] / stats["n_docs"]
+    buckets = [
+        r["b"] for r in
+        spark.createDataFrame([(q,) for q in query], "term string")
+        .select(_term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct().collect()
+    ]
+    tf = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(query)))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k11, one_minus_b = k1 + 1.0, 1.0 - b
+    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) \
+        / (F.col("df").cast("double") + 0.5)
+    ratio = F.col("dl").cast("double") / F.lit(avgdl)
+    denom = F.col("tf").cast("double") \
+        + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
+    score_t = idf * ((F.col("tf").cast("double") * F.lit(k11)) / denom)
+    per_doc = (
+        tf.join(broadcast(df), "term")
+        .join(doclens, "doc_id")
+        .select("doc_id", score_t.alias("score_t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(F.col("score_t").cast("string").cast("decimal(28,15)"))
+            .cast("double").alias("score"),
+        )
+    )
+    top = per_doc.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_hits", "score")
+        .orderBy("rank")
+    )

@@ -331,12 +331,104 @@ def validate_nb_model(spark: SparkSession, path: str) -> DataFrame:
     ])
 
 
+def validate_text_index(spark: SparkSession, path: str,
+                        docs: DataFrame | None = None) -> DataFrame:
+    """Inverted text index (write_text_index): postings keyed and
+    positive, every posting's doc present in doclens with tf ≤ dl,
+    bucket directories consistent with the term hash (a posting filed
+    in the wrong bucket is unreachable by the pruned query path — the
+    unfindable-posting analog), and the stats row equal to the doclens
+    aggregate. With the source corpus supplied, postings and doclens
+    are fully re-derived and compared."""
+    from resin_spark.functions import text as T
+    from resin_spark.operators.textindex import (
+        _term_bucket, read_text_index,
+    )
+
+    postings, doclens, stats = read_text_index(spark, path)
+    per_key = postings.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        _n(F.col("tf").isNull() | (F.col("tf") < 1)).alias("bt"),
+        _n(F.col("bucket") != _term_bucket(F.col("term"))).alias("wb"),
+    )
+    pstats = per_key.agg(
+        F.sum("c").alias("n_postings"),
+        _n(F.col("c") > 1).alias("dup_keys"),
+        F.sum("bt").alias("bad_tf"),
+        F.sum("wb").alias("wrong_bucket"),
+    ).first()
+    # doclens integrity + stats agreement in one pass
+    drow = doclens.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("tot"),
+        _n(F.col("dl").isNull() | (F.col("dl") < 1)).alias("bad_dl"),
+        F.count_distinct("doc_id").alias("nd"),
+    ).first()
+    stats_ok = (stats is not None and drow["n"] == stats["n_docs"]
+                and drow["tot"] == stats["total_tokens"])
+    # every posting's doc must exist in doclens with tf <= dl
+    orow = (
+        postings.select("doc_id", "tf")
+        .join(doclens.withColumn("_d", F.lit(1)), "doc_id", "left")
+        .agg(
+            _n(F.col("_d").isNull()).alias("orphans"),
+            _n(F.col("_d").isNotNull()
+               & (F.col("tf") > F.col("dl"))).alias("tf_gt_dl"),
+        )
+        .first()
+    )
+    checks = [
+        ("postings", pstats["n_postings"] or 0,
+         (pstats["n_postings"] or 0) > 0),
+        ("duplicate_posting_keys", pstats["dup_keys"],
+         pstats["dup_keys"] == 0),
+        ("invalid_tf", pstats["bad_tf"] or 0, not pstats["bad_tf"]),
+        ("postings_in_wrong_bucket", pstats["wrong_bucket"] or 0,
+         not pstats["wrong_bucket"]),
+        ("docs", drow["n"], drow["n"] > 0),
+        ("ids_duplicated", drow["n"] - drow["nd"],
+         drow["n"] == drow["nd"]),
+        ("invalid_doclens", drow["bad_dl"] or 0, not drow["bad_dl"]),
+        ("orphan_postings", orow["orphans"], orow["orphans"] == 0),
+        ("tf_exceeds_doclen", orow["tf_gt_dl"], orow["tf_gt_dl"] == 0),
+        ("stats_row_consistent", 1 if stats_ok else 0, stats_ok),
+    ]
+    if docs is not None:
+        toks = (
+            docs.filter(F.col("doc_id").isNotNull())
+            .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        )
+        expected = toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("retf"))
+        row = (
+            postings.select("term", "doc_id", "tf")
+            .withColumn("_p", F.lit(1))
+            .join(expected.withColumn("_e", F.lit(1)),
+                  ["term", "doc_id"], "full_outer")
+            .agg(
+                _n(F.col("_p").isNotNull() & F.col("_e").isNotNull()
+                   & (F.col("tf") != F.col("retf"))).alias("mm"),
+                _n(F.col("_p").isNull()).alias("missing"),
+                _n(F.col("_e").isNull()).alias("extra"),
+            )
+            .first()
+        )
+        checks += [
+            ("tf_mismatch_rederive", row["mm"], row["mm"] == 0),
+            ("corpus_postings_missing", row["missing"],
+             row["missing"] == 0),
+            ("extra_postings", row["extra"], row["extra"] == 0),
+        ]
+    return _summary(spark, "text", checks)
+
+
 VALIDATORS = {
     "ann": validate_ann_index,
     "pq": validate_pq_index,
     "dedup": validate_dedup_index,
     "cell": validate_cell_index,
     "nb_model": validate_nb_model,
+    "text": validate_text_index,
 }
 
 
