@@ -497,6 +497,7 @@ def queries() -> dict[str, Query]:
         "semantic_dedup_indexed": _semantic_dedup_indexed,
         "bm25_search": _mk_text(textops.bm25_search),
         "bm25_indexed": _bm25_indexed,
+        "phrase_search": _mk_text(textops.phrase_search),
         "bpe_encode": _bpe_encode,
         "index_validate": _index_validate,
         # -- (d) stalest green cohort: r3-checked, carried through r4
@@ -538,7 +539,6 @@ def queries() -> dict[str, Query]:
         # the most
 
         "dedup_incremental": _dedup_incremental,
-        "ann_topk_pq": _ann_topk_pq,
         "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
         # ---- tail: past the 50-entry window from here down ----
         # Every tail entry is green (or rows-fresh) in CORRECTNESS_r04
@@ -547,6 +547,7 @@ def queries() -> dict[str, Query]:
         # against the r4 final commit; warnings==0 is the contract).
         "filter_funnel": _mk_text(pipeline.filter_funnel),
         "bloom_contamination": _mk_text(pipeline.bloom_contamination),
+        "ann_topk_pq": _ann_topk_pq,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_components": _dedup_components,
         "graph_dedup": _graph_dedup,
@@ -707,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_indexed": dedup.semantic_dedup_oracle(),
         "bm25_search": textops.bm25_search_oracle(),
         "bm25_indexed": textops.bm25_search_oracle(),
+        "phrase_search": textops.phrase_search_oracle(),
         "ann_topk_bruteforce": similarity.brute_topk_oracle(),
         # The approximate-ANN output contracts ARE the exact top-k at
         # their driver operating points: ann_topk_lsh runs a

@@ -907,3 +907,89 @@ def bm25_search_oracle(query: tuple[str, ...] = BM25_QUERY,
     ) WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+PHRASE_QUERY = ("merge", "sort")
+PHRASE_TOPK = 20
+
+
+def phrase_search(t: Tables, phrase: tuple[str, ...] = PHRASE_QUERY,
+                  k: int = PHRASE_TOPK) -> DataFrame:
+    """Exact consecutive-phrase search: top-k documents by number of
+    occurrences of ``phrase`` as an adjacent token sequence —
+    (rank, doc_id, n_occurrences, n_tokens). The positional face of
+    the search block beside ranked bag-of-terms retrieval (bm25) and
+    vector search (closest_match).
+
+    Scale: occurrence counting is ROW-LOCAL — one pass builds the
+    token array and a higher-order filter counts the match positions
+    (no explode, no positional-postings join, no shuffle at all before
+    the top-k); the global top-k is orderBy+limit (TakeOrdered).
+    Integer counts make the oracle hash-exact with no float care.
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
+    if k > BM25_MAX_K:
+        raise ValueError(f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}")
+    tk = T.tokens("text")
+    n = len(phrase)
+    # sequence(1, stop) COUNTS DOWN when stop < 1 (the bpe_train /
+    # shingle lesson) — docs shorter than the phrase must short-circuit
+    # to an empty start list, never fall through to the sequence
+    starts = F.when(
+        F.size(tk) >= n,
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def match_at(i):
+        cond = F.element_at(tk, i.cast("int")) == phrase[0]
+        for j in range(1, n):
+            cond = cond & (F.element_at(tk, (i + j).cast("int")) == phrase[j])
+        return cond
+
+    occurrences = F.size(F.filter(starts, match_at))
+    scored = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            occurrences.alias("n_occurrences"),
+            F.size(tk).alias("n_tokens"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+    top = scored.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_occurrences", "n_tokens")
+        .orderBy("rank")
+    )
+
+
+def phrase_search_oracle(phrase: tuple[str, ...] = PHRASE_QUERY,
+                         k: int = PHRASE_TOPK) -> str:
+    toks = T.tokens_sql("text")
+    n = len(phrase)
+    conds = " AND ".join(
+        f"tk[CAST(i + {j} AS BIGINT)] = '{term}'"
+        for j, term in enumerate(phrase)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(list_filter(range(1, greatest(len(tk) - {n - 1}, 0) + 1),
+                               i -> {conds})) AS n_occurrences,
+               len(tk) AS n_tokens
+        FROM base
+    )
+    SELECT rank, doc_id, n_occurrences, n_tokens
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, doc_id)
+                   AS rank
+        FROM scored WHERE n_occurrences > 0
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """

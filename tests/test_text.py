@@ -192,3 +192,25 @@ def test_bm25_search_rejects_unbounded_k(spark):
                                  "doc_id long, text string")
     with _pt.raises(ValueError, match="BM25_MAX_K"):
         tx.bm25_search({"documents": docs}, k=10**9)
+
+
+def test_phrase_search_counts_and_edges(spark):
+    """Occurrence counting: overlapping matches count individually,
+    docs shorter than the phrase can't match (and must not trip the
+    descending-sequence edge), zero-hit docs are absent, ties rank by
+    doc_id."""
+    from resin_spark.operators import textops as tx
+    docs = spark.createDataFrame(
+        [(1, "merge sort merge sort merge sort"),   # 3 occurrences
+         (2, "merge merge merge"),                   # 0 (no 'sort')
+         (3, "merge"),                               # shorter than phrase
+         (4, "x merge sort y"),                      # 1
+         (5, "merge sort"),                          # 1 — tie with 4
+         (6, "")],
+        "doc_id long, text string")
+    out = tx.phrase_search({"documents": docs}).collect()
+    got = [(r["rank"], r["doc_id"], r["n_occurrences"]) for r in out]
+    assert got == [(1, 1, 3), (2, 4, 1), (3, 5, 1)]
+    # single-term phrase degrades to term counting
+    one = tx.phrase_search({"documents": docs}, phrase=("merge",)).collect()
+    assert one[0]["doc_id"] == 1 or one[0]["n_occurrences"] >= 3
