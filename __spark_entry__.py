@@ -309,6 +309,19 @@ def _synthesize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch(kind: str, sf_dir: str) -> str:
+    """Fixed per-(entry, sf) scratch path for the persisted-path
+    entries: every write below is mode("overwrite"), so reusing the
+    path keeps repeated driver/bench runs from accumulating tempdirs
+    in /tmp (mkdtemp leaked one index per run). The driver runs
+    queries serially; concurrent same-entry runs would race, which a
+    scratch demo accepts."""
+    import os
+    base = f"/tmp/resin_spark_scratch/{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def _ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-index production path of ann_topk_lsh, driver-
     checked end-to-end: write_ann_index to a scratch dir, read it back,
@@ -318,9 +331,8 @@ def _ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path under test (GraphSerializer → SeekableGraphReader analog);
     output equality to the in-memory lsh_topk is additionally pinned in
     tests/test_ann.py."""
-    import tempfile
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = tempfile.mkdtemp(prefix="resin_annidx_") + "/ann"
+    path = _scratch("annidx", sf_dir) + "/ann"
     similarity.write_ann_index(emb, path, n_planes=6, n_tables=8)
     idx = similarity.read_ann_index(spark, path)
     return similarity.lsh_topk_indexed(
@@ -332,9 +344,8 @@ def _ann_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scratch dir, then pq_topk_indexed at the complete-rerank operating
     point — provably equal to brute_topk (the ann_topk_pq precedent),
     with the candidate scan reading the stored codes relation."""
-    import tempfile
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = tempfile.mkdtemp(prefix="resin_pqidx_")
+    path = _scratch("pqidx", sf_dir)
     similarity.write_pq_index(emb, path)
     codes, books = similarity.read_pq_index(spark, path)
     return similarity.pq_topk_indexed(codes, books, _query_vectors(emb),
@@ -347,10 +358,9 @@ def _dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the odd-id half as the NEW batch against the stored relations —
     the same parity split the in-memory demo and its oracle model, so
     it shares incremental_dedup's oracle row-for-row."""
-    import tempfile
     docs = load_tables(spark, sf_dir)["documents"] \
         .filter(F.col("doc_id").isNotNull())
-    path = tempfile.mkdtemp(prefix="resin_dedupidx_") + "/idx"
+    path = _scratch("dedupidx", sf_dir) + "/idx"
     dedup.write_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     idx_hashes, idx_bands = dedup.read_dedup_index(spark, path)
     return dedup.incremental_dedup_indexed(
@@ -376,9 +386,8 @@ def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — row-identical to bm25_search, so it shares its oracle.
     The write→prune→score round trip is the reference's build-index/
     seek-pages search shape under the correctness gate."""
-    import tempfile
     docs = load_tables(spark, sf_dir)["documents"]
-    path = tempfile.mkdtemp(prefix="resin_textidx_") + "/text"
+    path = _scratch("textidx", sf_dir) + "/text"
     textindex.write_text_index(docs, path)
     return textindex.bm25_topk_indexed(spark, path)
 
@@ -403,11 +412,9 @@ def _index_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (re-search everything you indexed). Every ok column must be true
     on a fresh write; corruption-detection is pinned in
     tests/test_validate.py."""
-    import tempfile
-
     from resin_spark.operators import validate as val
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="resin_validate_")
+    base = _scratch("validate", sf_dir)
     dedup.write_dedup_index(t["documents"], f"{base}/dedup")
     similarity.write_ann_index(t["embeddings"], f"{base}/ann")
     return (
