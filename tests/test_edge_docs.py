@@ -34,6 +34,9 @@ DOC_QUERIES = [
     "nb_lang_classify", "importance_weights", "epoch_shuffle",
     "filter_funnel", "bloom_contamination", "cms_heavy_hitters",
     "corpus_stats", "lang_stats",
+    # r5 search block (bm25_indexed shares bm25's oracle but writes a
+    # scratch index — the edge corpus exercises its write+prune path too)
+    "bm25_search", "bm25_indexed", "phrase_search",
 ]
 
 EDGE_DOCS = [
@@ -50,6 +53,11 @@ EDGE_DOCS = [
     (8, None, "en", "web", 0),                     # null text
     (9, "alpha beta", None, "web", 10),            # null lang
     (10, "gamma delta", "en", None, 11),           # null source
+    # r5: rows containing the search block's query/phrase terms so the
+    # bm25/phrase edge checks score real hits (not just empty-set parity)
+    (11, "merge sort merge sort window merge", "en", "web", 34),
+    (12, "merge", "en", "web", 5),                 # hit shorter than phrase
+    (13, "sort merge", "en", "web", 10),           # reversed phrase: 0 hits
 ]
 
 
