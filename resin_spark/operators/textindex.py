@@ -57,9 +57,16 @@ def write_text_index(docs: DataFrame, path: str,
     """
     toks = (
         docs.filter(F.col("doc_id").isNotNull())
-        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .select("doc_id",
+                F.posexplode(T.tokens("text")).alias("pos", "term"))
     )
-    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # positions are 0-based token offsets, sorted — tf rides as their
+    # count; the positional payload is what makes phrase queries an
+    # index probe instead of a corpus scan
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    ).select("term", "doc_id", F.size("positions").alias("tf"),
+             "positions")
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     (
         tf.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
@@ -135,5 +142,67 @@ def bm25_topk_indexed(spark: SparkSession, path: str,
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "n_hits", "score")
+        .orderBy("rank")
+    )
+
+
+def phrase_topk_indexed(spark: SparkSession, path: str,
+                        phrase: tuple[str, ...] = None,
+                        k: int = None,
+                        n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """textops.phrase_search against the persisted positional index:
+    the probe reads ONLY the phrase terms' bucket directories, then
+    counts adjacency by iterated position-set intersection —
+    S_1 = positions(term_1); S_j = (S_{j-1} + 1) ∩ positions(term_j);
+    occurrences = |S_n| shifted back to start positions. Row-identical
+    to phrase_search on the same corpus (same tokenizer, same ranking),
+    so it shares that operator's oracle. Query cost ∝ the phrase
+    terms' postings — a phrase query never rescans the corpus.
+
+    Repeated phrase terms work unchanged: a term's position set
+    intersected with its own shifted self counts exactly the
+    consecutive repeats."""
+    from resin_spark.operators.textops import (
+        BM25_MAX_K, PHRASE_QUERY, PHRASE_TOPK,
+    )
+
+    phrase = tuple(phrase or PHRASE_QUERY)
+    k = PHRASE_TOPK if k is None else k
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
+    if k > BM25_MAX_K:
+        raise ValueError(f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}")
+    postings, doclens, _ = read_text_index(spark, path)
+    buckets = [
+        r["b"] for r in
+        spark.createDataFrame([(q,) for q in set(phrase)], "term string")
+        .select(_term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct().collect()
+    ]
+    pruned = postings.filter(
+        F.col("bucket").isin(buckets)
+        & F.col("term").isin(list(set(phrase))))
+    # one side per phrase slot; a term repeated in the phrase reuses
+    # its (single) posting row per doc under a different alias
+    joined = None
+    for i, t in enumerate(phrase):
+        side = pruned.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}"))
+        joined = side if joined is None else joined.join(side, "doc_id")
+    surv = F.col("pos_0")
+    for i in range(1, len(phrase)):
+        surv = F.array_intersect(
+            F.transform(surv, lambda x: x + 1), F.col(f"pos_{i}"))
+    scored = (
+        joined.select("doc_id", F.size(surv).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .join(doclens, "doc_id")
+        .select("doc_id", "n_occurrences", F.col("dl").alias("n_tokens"))
+    )
+    top = scored.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_occurrences", "n_tokens")
         .orderBy("rank")
     )

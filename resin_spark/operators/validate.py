@@ -346,16 +346,28 @@ def validate_text_index(spark: SparkSession, path: str,
     )
 
     postings, doclens, stats = read_text_index(spark, path)
+    # positional payload invariants ride the same pass: positions must
+    # be present, strictly increasing (sorted + duplicate-free), and
+    # exactly tf long — a corrupt position list breaks phrase probes
+    # silently, so it fails loudly here
+    bad_pos = (
+        F.col("positions").isNull()
+        | (F.size("positions") != F.col("tf"))
+        | (F.col("positions")
+           != F.array_sort(F.array_distinct("positions")))
+    )
     per_key = postings.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("c"),
         _n(F.col("tf").isNull() | (F.col("tf") < 1)).alias("bt"),
         _n(F.col("bucket") != _term_bucket(F.col("term"))).alias("wb"),
+        _n(bad_pos).alias("bp"),
     )
     pstats = per_key.agg(
         F.sum("c").alias("n_postings"),
         _n(F.col("c") > 1).alias("dup_keys"),
         F.sum("bt").alias("bad_tf"),
         F.sum("wb").alias("wrong_bucket"),
+        F.sum("bp").alias("bad_positions"),
     ).first()
     # doclens integrity + stats agreement in one pass
     drow = doclens.agg(
@@ -368,12 +380,15 @@ def validate_text_index(spark: SparkSession, path: str,
                 and drow["tot"] == stats["total_tokens"])
     # every posting's doc must exist in doclens with tf <= dl
     orow = (
-        postings.select("doc_id", "tf")
+        postings.select("doc_id", "tf", "positions")
         .join(doclens.withColumn("_d", F.lit(1)), "doc_id", "left")
         .agg(
             _n(F.col("_d").isNull()).alias("orphans"),
             _n(F.col("_d").isNotNull()
                & (F.col("tf") > F.col("dl"))).alias("tf_gt_dl"),
+            _n(F.col("_d").isNotNull() & F.col("positions").isNotNull()
+               & (F.element_at("positions", -1) >= F.col("dl"))
+               ).alias("pos_out_of_range"),
         )
         .first()
     )
@@ -389,8 +404,12 @@ def validate_text_index(spark: SparkSession, path: str,
         ("ids_duplicated", drow["n"] - drow["nd"],
          drow["n"] == drow["nd"]),
         ("invalid_doclens", drow["bad_dl"] or 0, not drow["bad_dl"]),
+        ("bad_position_lists", pstats["bad_positions"] or 0,
+         not pstats["bad_positions"]),
         ("orphan_postings", orow["orphans"], orow["orphans"] == 0),
         ("tf_exceeds_doclen", orow["tf_gt_dl"], orow["tf_gt_dl"] == 0),
+        ("positions_out_of_range", orow["pos_out_of_range"],
+         orow["pos_out_of_range"] == 0),
         ("stats_row_consistent", 1 if stats_ok else 0, stats_ok),
     ]
     if docs is not None:

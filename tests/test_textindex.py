@@ -84,3 +84,52 @@ def test_validate_index_dispatches_text(spark, tmp_path, index_dir):
     df = validate.validate_index(spark, index_dir, "text")
     assert df.columns == ["artifact", "check", "n", "ok"]
     assert all(r["ok"] for r in df.collect())
+
+
+def test_indexed_phrase_equals_direct(spark, index_dir):
+    t = load_tables(spark, SF)
+    direct = [tuple(r) for r in tx.phrase_search(t).collect()]
+    indexed = [tuple(r)
+               for r in ti.phrase_topk_indexed(spark, index_dir).collect()]
+    assert indexed == direct and len(indexed) > 0
+    # repeated-term phrase: position-set self-intersection
+    docs = spark.createDataFrame(
+        [(1, "go go go stop go go"), (2, "go stop go stop")],
+        "doc_id long, text string")
+    import tempfile
+    p2 = tempfile.mkdtemp() + "/t2"
+    ti.write_text_index(docs, p2)
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in ti.phrase_topk_indexed(
+               spark, p2, phrase=("go", "go")).collect()}
+    assert got == {1: 3}  # "go go go" has 2 + "go go" has 1
+    direct2 = {r["doc_id"]: r["n_occurrences"]
+               for r in tx.phrase_search(
+                   {"documents": docs}, phrase=("go", "go")).collect()}
+    assert got == direct2
+
+
+def test_indexed_phrase_prunes_and_positions_validate(spark, index_dir):
+    df = ti.phrase_topk_indexed(spark, index_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan[:3000]
+    # positional invariants are validated (and corruption is loud)
+    res = {r["check"]: r["ok"]
+           for r in validate.validate_text_index(spark, index_dir).collect()}
+    assert res["bad_position_lists"] and res["positions_out_of_range"]
+
+
+def test_text_index_validator_detects_corrupt_positions(spark, tmp_path):
+    docs = load_tables(spark, SF)["documents"].limit(60)
+    path = str(tmp_path / "tpidx")
+    ti.write_text_index(docs, path)
+    post = spark.read.parquet(f"{path}/postings")
+    bad = post.withColumn(
+        "positions", F.transform("positions", lambda x: x + 10_000))
+    bad.write.mode("overwrite").parquet(f"{path}/postings2")
+    shutil.rmtree(f"{path}/postings")
+    shutil.move(f"{path}/postings2", f"{path}/postings")
+    res = {r["check"]: (r["n"], r["ok"])
+           for r in validate.validate_text_index(spark, path).collect()}
+    assert res["positions_out_of_range"][0] > 0
+    assert not res["positions_out_of_range"][1]
