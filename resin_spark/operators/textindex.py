@@ -108,7 +108,12 @@ def bm25_topk_indexed(spark: SparkSession, path: str,
             f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}; rank bm25 scores "
             "downstream instead of asking TakeOrdered for a corpus")
     postings, doclens, stats = read_text_index(spark, path)
-    n_docs = stats["n_docs"]
+    n_docs = stats["n_docs"] if stats else 0
+    if not n_docs:
+        # an index over zero tokenized docs: avgdl undefined, nothing
+        # can match (the bm25_scores empty-corpus guard's indexed twin)
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, n_hits long, score double")
     avgdl = stats["total_tokens"] / stats["n_docs"]
     buckets = [
         r["b"] for r in

@@ -787,6 +787,12 @@ def bm25_scores(t: Tables, query: tuple[str, ...] = BM25_QUERY,
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("dl").alias("tot")).first()
+    if not stats["n"]:
+        # zero tokenized docs: avgdl is undefined and nothing can match
+        # (found by the hypothesis sweep: sum() is NULL over an empty
+        # frame and None / 0 threw) — the empty relation, typed
+        return t["documents"].sparkSession.createDataFrame(
+            [], "doc_id long, n_hits long, score double")
     n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
     tf = (
         toks.filter(F.col("term").isin(list(query)))

@@ -426,3 +426,47 @@ def stream_bm25_score(spark: SparkSession, docs_parquet_dir: str,
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .mapInPandas(score, "doc_id long, n_hits long, score double")
     )
+
+
+def stream_phrase_match(spark: SparkSession, docs_parquet_dir: str,
+                        phrase=None) -> DataFrame:
+    """Streaming exact-phrase matcher: (doc_id, n_occurrences,
+    n_tokens) for arriving docs containing the phrase — the
+    ingestion-time routing face of textops.phrase_search (occurrence
+    counting is already row-local there, so the stream twin is the
+    same stateless expression chain: no watermark, no state, no
+    shuffle). Emitted rows equal the batch operator's pre-top-k scored
+    relation bit-for-bit (integer counts; pinned in tests)."""
+    from resin_spark.operators.textops import PHRASE_QUERY
+
+    phrase = tuple(phrase or PHRASE_QUERY)
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
+    n = len(phrase)
+    tk = T.tokens("text")
+    starts = F.when(
+        F.size(tk) >= n,
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def match_at(i):
+        cond = F.element_at(tk, i.cast("int")) == phrase[0]
+        for j in range(1, n):
+            cond = cond & (F.element_at(tk, (i + j).cast("int")) == phrase[j])
+        return cond
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.filter(starts, match_at)).alias("n_occurrences"),
+            F.size(tk).alias("n_tokens"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )

@@ -386,3 +386,57 @@ def test_filter_funnel_matches_scalar_reference(spark, docs):
     got = {r["stage_name"]: (r["docs_in"], r["docs_out"], r["tokens_out"])
            for r in filter_funnel({"documents": df}).collect()}
     assert got == _funnel_reference(rows)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30),
+              st.lists(st.sampled_from(["merge", "sort", "window", "x",
+                                        "join", "scan"]),
+                       min_size=0, max_size=12)),
+    min_size=1, max_size=12, unique_by=lambda r: r[0]))
+@settings(max_examples=10, deadline=None)
+def test_bm25_matches_python_reference(spark, rows):
+    """bm25_scores on random small corpora must equal a scalar Python
+    BM25 with the module's exact conventions: rational Okapi idf, the
+    same IEEE op order, and string→decimal(28,15) HALF_UP exact sums.
+    The fixed-corpus oracle checks one distribution; this checks the
+    formula on arbitrary tf/df/dl combinations including all-miss and
+    single-doc corpora."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from resin_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in rows],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["score"])
+           for r in tx.bm25_scores({"documents": docs}).collect()}
+
+    corpus = {i: toks for i, toks in rows}
+    lens = {i: len(t) for i, t in corpus.items() if len(t) > 0}
+    if not lens:
+        assert got == {}
+        return
+    n, avgdl = len(lens), sum(lens.values()) / len(lens)
+    k1, b = tx.BM25_K1, tx.BM25_B
+    k11, omb = k1 + 1.0, 1.0 - b
+    dfq = {q: sum(1 for t in corpus.values() if q in t)
+           for q in tx.BM25_QUERY}
+    want = {}
+    q15 = Decimal("1e-15")
+    for i, toks in corpus.items():
+        if not toks:
+            continue
+        total, hits = Decimal(0), 0
+        for q in tx.BM25_QUERY:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = (float(n - dfq[q]) + 0.5) / (float(dfq[q]) + 0.5)
+            denom = float(tf) + k1 * (omb + b * (float(len(toks)) / avgdl))
+            s = idf * ((float(tf) * k11) / denom)
+            total += Decimal(repr(s)).quantize(q15, rounding=ROUND_HALF_UP)
+        if hits:
+            want[i] = (hits, float(total))
+    assert got == want

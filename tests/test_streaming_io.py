@@ -776,3 +776,32 @@ def test_stream_bm25_matches_batch(spark, tmp_path):
     got = {r["doc_id"]: (r["n_hits"], r["score"])
            for r in spark.sql("SELECT * FROM bm25_stream").collect()}
     assert got == batch
+
+
+def test_stream_phrase_match_matches_batch(spark, tmp_path):
+    """The stateless streaming phrase matcher must emit exactly the
+    batch phrase_search scored relation (pre-top-k) on the same docs."""
+    from resin_spark.operators import textops as tx
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    batch = {(r["doc_id"], r["n_occurrences"], r["n_tokens"])
+             for r in tx.phrase_search(t, k=10_000).collect()}
+    assert batch
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0000.parquet")
+    sq = (
+        q.stream_phrase_match(spark, str(src_dir))
+        .writeStream.format("memory")
+        .queryName("phrase_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ph"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {(r["doc_id"], r["n_occurrences"], r["n_tokens"])
+           for r in spark.sql("SELECT * FROM phrase_stream").collect()}
+    assert got == batch
