@@ -440,3 +440,31 @@ def test_bm25_matches_python_reference(spark, rows):
         if hits:
             want[i] = (hits, float(total))
     assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30),
+              st.lists(st.sampled_from(["merge", "sort", "x"]),
+                       min_size=0, max_size=10)),
+    min_size=1, max_size=10, unique_by=lambda r: r[0]))
+@settings(max_examples=10, deadline=None)
+def test_phrase_search_matches_python_reference(spark, rows):
+    """phrase_search occurrence counts on random token sequences must
+    equal a scalar sliding-window count — including overlapping runs
+    ('merge sort merge sort'), docs shorter than the phrase, and empty
+    docs."""
+    from resin_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in rows],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in tx.phrase_search({"documents": docs}, k=100).collect()}
+    phrase = list(tx.PHRASE_QUERY)
+    want = {}
+    for i, toks in rows:
+        c = sum(1 for j in range(len(toks) - len(phrase) + 1)
+                if toks[j:j + len(phrase)] == phrase)
+        if c:
+            want[i] = c
+    assert got == want
