@@ -777,3 +777,110 @@ def bloom_contamination_oracle(n: int = 4, tau: float = 0.5,
     WHERE d.doc_id % {_BENCH_MOD} <> 0
     ORDER BY doc_id
     """
+
+
+# --- corpus snapshot diff (continuous-ingest version accounting) -------------
+
+def corpus_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-doc diff between two corpus snapshots: (doc_id, status,
+    old_md5, new_md5) with status ∈ added | removed | modified |
+    unchanged — the version-accounting step a continuous-ingest
+    pipeline runs between crawls (what must be re-deduped, re-scored,
+    re-embedded; what can be dropped from downstream indexes).
+
+    Content identity is md5(text) (the dedup_exact fingerprint), with
+    null text fingerprinting as NULL and compared null-safely — a doc
+    whose text flipped to/from null counts as modified. Scale: two
+    scans projected to (doc_id, md5) — 24 bytes/row — and ONE
+    full-outer equi-join on doc_id; bucketed snapshot tables co-locate
+    it to zero exchange. No corpus×corpus shape anywhere.
+    """
+    o = old.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.md5("text").alias("old_md5")).withColumn("_o", F.lit(1))
+    n = new.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.md5("text").alias("new_md5")).withColumn("_n", F.lit(1))
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .when(F.col("_n").isNull(), F.lit("removed"))
+            .when(F.col("old_md5").eqNullSafe(F.col("new_md5")),
+                  F.lit("unchanged"))
+            .otherwise(F.lit("modified")).alias("status"),
+            "old_md5", "new_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_delta_summary(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(status, n_docs) rollup of corpus_delta — the four-row change
+    card a crawl report prints."""
+    return (
+        corpus_delta(old, new)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+# Deterministic snapshot derivation for the driver/oracle form (r6
+# promotion): old = documents; new = documents with every 13th doc
+# removed, every 11th (surviving) doc's text suffixed, and a synthetic
+# added doc per 17th id. Both engines derive the same pair from the
+# one physical table.
+DELTA_REMOVE_MOD = 13
+DELTA_EDIT_MOD = 11
+DELTA_ADD_MOD = 17
+DELTA_ADD_OFFSET = 1_000_000_000
+
+
+def corpus_delta_demo(t: Tables) -> DataFrame:
+    """corpus_delta over a deterministic synthetic second snapshot of
+    the documents table (see the DELTA_* constants) — the
+    driver-checkable form; the library API is corpus_delta(old, new)."""
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    survivors = docs.filter(F.col("doc_id") % DELTA_REMOVE_MOD != 0)
+    edited = survivors.select(
+        "doc_id",
+        F.when(F.col("doc_id") % DELTA_EDIT_MOD == 0,
+               F.concat_ws(" ", "text", F.lit("v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % DELTA_ADD_MOD == 0).select(
+        (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.lit("new crawl doc"), "text").alias("text"),
+    )
+    return corpus_delta(docs, edited.unionByName(added))
+
+
+def corpus_delta_demo_oracle() -> str:
+    return f"""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS old_md5 FROM documents
+        WHERE doc_id IS NOT NULL
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % {DELTA_EDIT_MOD} = 0
+                        THEN CASE WHEN text IS NULL THEN 'v2'
+                                  ELSE text || ' v2' END
+                        ELSE text END) AS new_md5
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % {DELTA_REMOVE_MOD} <> 0
+        UNION ALL
+        SELECT doc_id + {DELTA_ADD_OFFSET},
+               md5(CASE WHEN text IS NULL THEN 'new crawl doc'
+                        ELSE 'new crawl doc ' || text END)
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % {DELTA_ADD_MOD} = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old_md5 IS NOT DISTINCT FROM new_md5 THEN 'unchanged'
+                ELSE 'modified' END AS status,
+           old_md5, new_md5
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    ORDER BY doc_id
+    """

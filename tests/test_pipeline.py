@@ -206,3 +206,39 @@ def test_bloom_contamination_superset_of_exact(spark):
         shingle_total += r["n_shingles"]
     assert shingle_total > 0
     assert surplus_total / shingle_total < 0.2, (surplus_total, shingle_total)
+
+
+def test_corpus_delta_statuses(spark):
+    """Hand-built snapshots: every status classifies correctly,
+    including null-text flips (modified) and stable nulls (unchanged)."""
+    from resin_spark.operators import pipeline as pl
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "fresh"), (5, None),
+         (6, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in pl.corpus_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed",
+                   4: "added", 5: "unchanged", 6: "added"}
+    summary = {r["status"]: r["n_docs"]
+               for r in pl.corpus_delta_summary(old, new).collect()}
+    assert summary == {"unchanged": 2, "modified": 1, "removed": 1,
+                       "added": 2}
+
+
+def test_corpus_delta_demo_oracle_parity(spark):
+    """The deterministic-snapshot driver form matches its DuckDB oracle
+    (the r6 promotion contract) and reports every status class on the
+    generated corpus."""
+    from resin_spark.operators import pipeline as pl
+    from tests.oracle_util import compare
+
+    from resin_spark.io import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    df = pl.corpus_delta_demo(t)
+    compare(df, pl.corpus_delta_demo_oracle(), "/root/testdata/sf0.001")
+    statuses = {r["status"] for r in df.select("status").distinct().collect()}
+    assert statuses == {"added", "removed", "modified", "unchanged"}
