@@ -245,3 +245,77 @@ def truncate(spark: SparkSession, path_or_table: str) -> None:
     fs = p.getFileSystem(conf)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+# --- maintenance utilities (100 TB housekeeping) -----------------------------
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 512) -> dict:
+    """Compact a small-files parquet directory to ~``target_mb`` files:
+    read, repartition to ceil(total_bytes / target), write to a sibling
+    temp dir, then atomically swap — the periodic housekeeping job that
+    keeps a 100 TB table's file count (and therefore driver planning
+    time, footer I/O, and shuffle-map fan-out) bounded after many
+    incremental appends. Returns {files_before, files_after, bytes}.
+
+    The swap is rename-based (FileSystem.rename), so readers either see
+    the old layout or the new one, never a half-written mix; the
+    pre-swap layout survives at ``{path}.compact_bak`` until the next
+    compaction for operator-error recovery."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    summary = fs.getContentSummary(p)
+    total_bytes = summary.getLength()
+    files_before = summary.getFileCount()
+    n_parts = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(path + ".compact_bak")
+    spark.read.parquet(path).repartition(int(n_parts)) \
+        .write.mode("overwrite").parquet(path + ".compact_tmp")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(p, bak):
+        raise IOError(f"compact_parquet: could not stage {path} aside")
+    if not fs.rename(tmp, p):
+        fs.rename(bak, p)  # roll back
+        raise IOError(f"compact_parquet: could not swap in compacted {path}")
+    files_after = fs.getContentSummary(p).getFileCount()
+    return {"files_before": int(files_before),
+            "files_after": int(files_after),
+            "bytes": int(total_bytes)}
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnosis: the ``top_n`` heaviest keys
+    with their row counts, share of the relation, and the multiple of
+    a perfectly uniform key's load — the pre-flight check before
+    shuffling 100 TB on a key (a top key at 1000× uniform load means
+    that one reducer gets 1000 partitions' worth of rows: salt it or
+    let AQE skew-split, but MEASURE first). One count aggregate + a
+    bounded top-N; no corpus sort.
+
+    Columns: key value (as string), n_rows, share, x_uniform.
+    """
+    counts = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).cast("string").alias("key_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = counts.agg(F.sum("n_rows").alias("total"),
+                       F.count(F.lit(1)).alias("n_keys")).first()
+    total, n_keys = stats["total"] or 0, stats["n_keys"] or 0
+    if not total:
+        return df.sparkSession.createDataFrame(
+            [], "key_value string, n_rows long, share double, "
+                "x_uniform double")
+    uniform = total / n_keys
+    return (
+        counts.orderBy(F.col("n_rows").desc(), "key_value").limit(top_n)
+        .select(
+            "key_value", "n_rows",
+            (F.col("n_rows") / F.lit(float(total))).alias("share"),
+            (F.col("n_rows") / F.lit(float(uniform))).alias("x_uniform"),
+        )
+    )

@@ -138,3 +138,32 @@ def test_cmd_validateindex_reports_and_exits_zero(spark, tmp_path):
     assert rc == 0
     assert any("FAILED" in l for l in lines), lines
     assert any("failed checks" in l for l in lines)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from resin_spark import io as rio
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    before = spark.read.parquet(path).count()
+    rep = rio.compact_parquet(spark, path, target_mb=512)
+    assert rep["files_before"] >= 64
+    assert rep["files_after"] < rep["files_before"]
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert {r["id"] for r in after.collect()} == set(range(10_000))
+    # backup of the pre-swap layout exists for operator recovery
+    import os
+    assert os.path.exists(path + ".compact_bak")
+
+
+def test_key_skew_report_flags_heavy_hitter(spark):
+    from resin_spark import io as rio
+    from pyspark.sql import functions as F
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"))
+    rep = rio.key_skew_report(df, "k", top_n=3).collect()
+    assert rep[0]["key_value"] == "7"
+    assert rep[0]["n_rows"] == 900
+    assert rep[0]["share"] == 0.9
+    assert rep[0]["x_uniform"] > 80  # 900 vs ~9.9 uniform
