@@ -470,3 +470,42 @@ def stream_phrase_match(spark: SparkSession, docs_parquet_dir: str,
         )
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+def stream_corpus_delta(spark: SparkSession, docs_parquet_dir: str,
+                        old_snapshot: DataFrame) -> DataFrame:
+    """Classify a document stream against a FROZEN snapshot fingerprint
+    relation: each arriving doc emits (doc_id, status, old_md5,
+    new_md5) with status ∈ added | modified | unchanged — the
+    ingestion-time face of pipeline.corpus_delta (batch compares two
+    complete snapshots; the stream classifies docs as they arrive, so
+    'removed' is definitionally out of scope — absence never arrives).
+
+    The old snapshot collapses to its (doc_id, md5) projection once
+    and joins stream-static per micro-batch (broadcastable when it
+    fits; Spark re-plans the static side per batch otherwise); the
+    stream side computes md5 row-locally. Emitted rows equal the batch
+    corpus_delta rows for every streamed doc_id (pinned in tests).
+    """
+    old = old_snapshot.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.md5("text").alias("old_md5")
+    ).withColumn("_o", F.lit(1))
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.md5("text").alias("new_md5"))
+        .join(old, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .when(F.col("old_md5").eqNullSafe(F.col("new_md5")),
+                  F.lit("unchanged"))
+            .otherwise(F.lit("modified")).alias("status"),
+            "old_md5", "new_md5",
+        )
+    )

@@ -805,3 +805,54 @@ def test_stream_phrase_match_matches_batch(spark, tmp_path):
     got = {(r["doc_id"], r["n_occurrences"], r["n_tokens"])
            for r in spark.sql("SELECT * FROM phrase_stream").collect()}
     assert got == batch
+
+
+def test_stream_corpus_delta_matches_batch(spark, tmp_path):
+    """Streaming snapshot classification must agree with batch
+    corpus_delta for every streamed doc (removed is batch-only by
+    definition: absence never arrives on a stream)."""
+    from resin_spark.operators import pipeline as pl
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    docs = t["documents"]
+    # new snapshot = the deterministic demo mutation, materialised
+    from resin_spark.operators.pipeline import (
+        DELTA_ADD_OFFSET, DELTA_ADD_MOD, DELTA_EDIT_MOD, DELTA_REMOVE_MOD,
+    )
+    from pyspark.sql import functions as F
+    base = docs.filter(F.col("doc_id").isNotNull())
+    survivors = base.filter(F.col("doc_id") % DELTA_REMOVE_MOD != 0)
+    new_snap = survivors.select(
+        "doc_id",
+        F.when(F.col("doc_id") % DELTA_EDIT_MOD == 0,
+               F.concat_ws(" ", "text", F.lit("v2")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        base.filter(F.col("doc_id") % DELTA_ADD_MOD == 0).select(
+            (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.lit("new crawl doc"), "text").alias("text"))
+    )
+    src_dir = tmp_path / "new_in"
+    src_dir.mkdir()
+    new_snap.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["doc_id"]: (r["status"], r["old_md5"], r["new_md5"])
+             for r in pl.corpus_delta(base, new_snap).collect()
+             if r["status"] != "removed"}
+
+    sq = (
+        q.stream_corpus_delta(spark, str(src_dir / "p"), base)
+        .writeStream.format("memory")
+        .queryName("delta_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_delta"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["status"], r["old_md5"], r["new_md5"])
+           for r in spark.sql("SELECT * FROM delta_stream").collect()}
+    assert got == batch
+    assert {s for s, _, _ in got.values()} == {
+        "added", "modified", "unchanged"}
