@@ -1718,3 +1718,151 @@ def lang_stats_oracle() -> str:
     JOIN quants q USING (lang), totals t
     ORDER BY d.lang
     """
+
+
+# --- embedding snapshot drift (late r5) --------------------------------------
+
+DRIFT_SCALE_MOD = 7
+DRIFT_SCALE = 1.25
+
+
+def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-label drift card between two embedding snapshots: (label,
+    n_old, n_new, centroid_shift_l2, mean_norm_old, mean_norm_new) —
+    the monitoring step a pipeline runs after re-embedding a corpus
+    (model update, preprocessing change): which classes moved, and did
+    vector magnitudes shift. Catches an embedding-space regression
+    before it silently degrades every downstream ANN/dedup/cluster
+    result.
+
+    Exactness: centroids use the decimal-exact per-label means
+    (label_centroid_vectors); the shift is the strict left-to-right L2
+    fold between the two centroid arrays; per-label mean norms use the
+    string→decimal(28,15) exact-sum recipe over per-vector norms. All
+    rounded to 9 for hash-stable output.
+
+    Scale: each side is one posexplode + (label, dim) partial-agg
+    shuffle (the centroid build every labeled operator pays) plus a
+    per-label norm aggregate; the join is |labels| rows. Labels
+    present in only one snapshot report null metrics with the other
+    side's count 0.
+    """
+    def side(emb, suffix):
+        base = _valid_labeled(emb)
+        cents = label_centroid_vectors(emb).select(
+            F.col("c_label").alias("label"),
+            F.col("centroid").alias(f"centroid_{suffix}"))
+        stats = base.groupBy("label").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.round(
+                F.sum(V.norm("embedding").cast("string")
+                      .cast("decimal(28,15)")).cast("double")
+                / F.count(F.lit(1)), 9).alias(f"mean_norm_{suffix}"),
+        )
+        return cents.join(stats, "label")
+
+    o, n = side(old, "old"), side(new, "new")
+    return (
+        o.join(n, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.when(
+                F.col("centroid_old").isNotNull()
+                & F.col("centroid_new").isNotNull(),
+                F.round(V.l2_distance("centroid_old", "centroid_new"), 9),
+            ).alias("centroid_shift_l2"),
+            "mean_norm_old", "mean_norm_new",
+        )
+        .orderBy("label")
+    )
+
+
+def _valid_labeled(emb: DataFrame) -> DataFrame:
+    from resin_spark.operators.similarity import valid_vectors
+    return valid_vectors(emb).filter(F.col("label").isNotNull())
+
+
+def embedding_drift_demo(t: Tables) -> DataFrame:
+    """embedding_drift over a deterministic synthetic second snapshot:
+    every DRIFT_SCALE_MOD-th vector scaled by DRIFT_SCALE (a model
+    update that stretched part of the space) — the driver-checkable
+    form; the library API is embedding_drift(old, new)."""
+    emb = t["embeddings"]
+    # scaled elements round back to FLOAT so both snapshots stay
+    # array<float>: unscaled vectors keep exact bit identity (no
+    # representation-only phantom drift), and the float round-trip is
+    # deterministic on both engines (CAST ... AS REAL in the oracle)
+    new = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % DRIFT_SCALE_MOD == 0,
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * DRIFT_SCALE).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    return embedding_drift(emb, new)
+
+
+def embedding_drift_demo_oracle() -> str:
+    from resin_spark.operators.similarity import VALID_VECTORS_SQL
+    shift = V.l2_distance_sql("o.centroid", "n.centroid")
+    norm = V.norm_sql("embedding")
+
+    def cent_cte(src, name):
+        return f"""
+    {name}_dims AS (
+        SELECT label, CAST(p.i - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'i': i, 'x': embedding[i]}})) AS p
+            FROM {src}
+        )
+        GROUP BY 1, 2
+    ),
+    {name}_cent AS (
+        SELECT label, list(mean_val ORDER BY dim) AS centroid
+        FROM {name}_dims GROUP BY label
+    ),
+    {name}_stats AS (
+        SELECT label, COUNT(*) AS n,
+               round(CAST(SUM(CAST(CAST({norm} AS VARCHAR)
+                                   AS DECIMAL(28,15))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_norm
+        FROM {src} GROUP BY label
+    )"""
+
+    return f"""
+    WITH vold AS (
+        SELECT * FROM embeddings
+        WHERE {VALID_VECTORS_SQL} AND label IS NOT NULL
+    ),
+    vnew AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % {DRIFT_SCALE_MOD} = 0
+                    THEN list_transform(embedding,
+                                        x -> CAST(CAST(x AS DOUBLE)
+                                                  * {DRIFT_SCALE} AS REAL))
+                    ELSE embedding
+               END AS embedding, label
+        FROM embeddings
+        WHERE {VALID_VECTORS_SQL} AND label IS NOT NULL
+    ),{cent_cte("vold", "o")},{cent_cte("vnew", "n")}
+    SELECT COALESCE(o.label, n.label) AS label,
+           COALESCE(os.n, 0) AS n_old,
+           COALESCE(ns.n, 0) AS n_new,
+           CASE WHEN o.centroid IS NOT NULL AND n.centroid IS NOT NULL
+                THEN round({shift}, 9) END AS centroid_shift_l2,
+           os.mean_norm AS mean_norm_old,
+           ns.mean_norm AS mean_norm_new
+    FROM o_cent o
+    FULL OUTER JOIN n_cent n ON o.label = n.label
+    LEFT JOIN o_stats os ON os.label = COALESCE(o.label, n.label)
+    LEFT JOIN n_stats ns ON ns.label = COALESCE(o.label, n.label)
+    ORDER BY label
+    """

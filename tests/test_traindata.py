@@ -407,3 +407,43 @@ def test_nb_stored_model_classifies_new_batch(spark, tables, tmp_path):
     out = td.nb_classify_with_model(new, model, cand).collect()
     assert len(out) == 2
     assert all(r["pred_lang"] is not None for r in out)
+
+
+def test_embedding_drift_semantics(spark):
+    """Hand-built snapshots: unchanged labels report zero shift, a
+    scaled label reports positive shift and a larger mean norm, a
+    label present on one side only reports the other count 0 with
+    null metrics."""
+    from resin_spark.operators import traindata as td
+    from pyspark.sql import functions as F
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),
+         (3, [3.0, 4.0], 1),
+         (4, [1.0, 1.0], 2)],
+        "vec_id long, embedding array<float>, label int")
+    new = (
+        old.filter(F.col("label") != 2)
+        .withColumn("embedding",
+                    F.when(F.col("label") == 1,
+                           F.transform("embedding", lambda x: x * 2))
+                    .otherwise(F.col("embedding")))
+        .unionByName(spark.createDataFrame(
+            [(9, [0.5, 0.5], 3)],
+            "vec_id long, embedding array<float>, label int"))
+    )
+    rows = {r["label"]: r for r in td.embedding_drift(old, new).collect()}
+    assert rows[0]["centroid_shift_l2"] == 0.0
+    assert rows[0]["mean_norm_old"] == rows[0]["mean_norm_new"]
+    assert rows[1]["centroid_shift_l2"] == 5.0   # (3,4) -> (6,8)
+    assert rows[1]["mean_norm_new"] == 2 * rows[1]["mean_norm_old"]
+    assert rows[2]["n_new"] == 0 and rows[2]["centroid_shift_l2"] is None
+    assert rows[3]["n_old"] == 0 and rows[3]["mean_norm_old"] is None
+
+
+def test_embedding_drift_demo_oracle_parity(spark):
+    from resin_spark.io import load_tables
+    from resin_spark.operators import traindata as td
+    from tests.oracle_util import compare
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(td.embedding_drift_demo(t), td.embedding_drift_demo_oracle(),
+            "/root/testdata/sf0.001")
