@@ -468,3 +468,35 @@ def test_phrase_search_matches_python_reference(spark, rows):
         if c:
             want[i] = c
     assert got == want
+
+
+snapshot = st.lists(
+    st.tuples(st.integers(0, 15),
+              st.one_of(st.none(), st.text(alphabet="abc ", max_size=6))),
+    min_size=0, max_size=12, unique_by=lambda r: r[0])
+
+
+@given(snapshot, snapshot)
+@settings(max_examples=10, deadline=None)
+def test_corpus_delta_matches_python_reference(spark, old_rows, new_rows):
+    """corpus_delta status classification on random snapshot pairs must
+    equal the set-theoretic reference — including null-text docs on
+    either or both sides (md5(NULL) compares null-safely equal)."""
+    from resin_spark.operators import pipeline as pl
+
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in pl.corpus_delta(old, new).collect()}
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for i in set(o) | set(n):
+        if i not in o:
+            want[i] = "added"
+        elif i not in n:
+            want[i] = "removed"
+        elif o[i] == n[i]:
+            want[i] = "unchanged"
+        else:
+            want[i] = "modified"
+    assert got == want
