@@ -117,7 +117,47 @@ def main() -> None:
         pass
     spark.stop()
     sys.stdout.flush()
-    print(line, flush=True)
+    # The round driver keeps only the LAST 2000 chars of stdout and
+    # json-parses them; the full per-query dict (93+ entries, ~2.7 KB)
+    # cannot fit, which left BENCH_r04/r05 `parsed: null`. The printed
+    # line is therefore a BUDGETED view: queries sorted by cost
+    # descending, kept while the line stays under the tail capture,
+    # with the omission made explicit. `value` stays the total over
+    # ALL queries; the complete dict is in BENCH_LOCAL.json.
+    print(_budgeted_line(total, timings, sf, RUNS), flush=True)
+
+
+TAIL_BUDGET = 1900  # driver tail capture is 2000 chars; leave margin
+
+
+def _budgeted_line(total: float, timings: dict[str, float], sf,
+                   runs: int, budget: int = TAIL_BUDGET) -> str:
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def render(n_shown: int) -> str:
+        return json.dumps({
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(ordered[:n_shown]),
+            "sf": sf,
+            "runs_per_query": runs,
+            "aggregation": "min",
+            "n_queries": len(timings),
+            "n_shown": n_shown,
+            "full_in": "BENCH_LOCAL.json",
+        }, separators=(",", ":"))
+
+    if len(render(len(ordered))) <= budget:
+        return render(len(ordered))
+    lo, hi = 0, len(ordered)
+    while lo < hi:  # largest n_shown that fits the budget
+        mid = (lo + hi + 1) // 2
+        if len(render(mid)) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return render(lo)
 
 
 if __name__ == "__main__":
