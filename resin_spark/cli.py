@@ -180,11 +180,12 @@ def cmd_truncate(flags: dict, spark: SparkSession, log=print) -> int:
 
 def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
     """GraphIndexValidator.cs / SeekableGraphIndexValidator.cs as a CLI
-    surface: re-probe a persisted index store (--path, --kind
-    ann|pq|dedup|cell|nb_model) and print one check line per invariant;
-    --corpus <parquet> enables the re-encode/re-assign checks for
-    pq/cell. Exit 0 regardless (Program.cs convention); failures are
-    printed per line and summarised."""
+    surface: re-probe a persisted index store (--path, --kind one of
+    the validate.VALIDATORS keys — ann|pq|dedup|cell|nb_model|text)
+    and print one check line per invariant; --corpus <parquet> enables
+    the re-encode/re-assign/re-tokenize checks for pq/cell/text. Exit
+    0 regardless (Program.cs convention); failures are printed per
+    line and summarised."""
     from resin_spark.operators import validate as val
 
     kind, path = flags["kind"], flags["path"]

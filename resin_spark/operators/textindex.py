@@ -49,9 +49,13 @@ def write_text_index(docs: DataFrame, path: str,
       within files — a query reads only its terms' bucket directories
       and skips row groups via term min/max stats.
     - ``{path}/doclens``: (doc_id, dl) — the length-normalisation side.
-    - ``{path}/stats``: one row (n_docs, total_tokens) — avgdl is
-      derived at read time with the same exact division the direct
-      operator uses.
+    - ``{path}/stats``: one row (n_docs, total_tokens, n_buckets) —
+      avgdl is derived at read time with the same exact division the
+      direct operator uses, and n_buckets makes the store
+      self-describing: probes and the validator recover the bucket
+      function from the stats row instead of trusting the caller to
+      re-supply the write-time value (a mismatch silently filed every
+      query into the wrong directories).
 
     Deterministic: same corpus → byte-identical relations.
     """
@@ -79,30 +83,58 @@ def write_text_index(docs: DataFrame, path: str,
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
+        F.lit(n_buckets).alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+POSTINGS_SCHEMA = ("term string, doc_id bigint, tf int, "
+                   "positions array<int>, bucket int")
+DOCLENS_SCHEMA = "doc_id bigint, dl bigint"
+
+
 def read_text_index(spark: SparkSession, path: str):
-    """(postings, doclens, stats_row) from a write_text_index dir."""
+    """(postings, doclens, stats_row) from a write_text_index dir.
+
+    Stats is read FIRST: an index written over a corpus with zero
+    tokenized docs has no postings part files at all (partitionBy
+    writes nothing for an empty frame), so reading postings before
+    checking n_docs would die in schema inference — an empty index
+    instead round-trips as typed empty frames."""
+    stats = spark.read.parquet(f"{path}/stats").first()
+    if stats is None or not stats["n_docs"]:
+        return (spark.createDataFrame([], POSTINGS_SCHEMA),
+                spark.createDataFrame([], DOCLENS_SCHEMA), stats)
     return (
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/doclens"),
-        spark.read.parquet(f"{path}/stats").first(),
+        stats,
     )
+
+
+def stored_n_buckets(stats, fallback: int | None = None) -> int:
+    """Bucket count a text index was written with: from the stats row
+    (self-describing stores), else ``fallback``, else the module
+    default — pre-r6 stores carry no n_buckets column."""
+    if stats is not None and "n_buckets" in stats.__fields__ \
+            and stats["n_buckets"] is not None:
+        return int(stats["n_buckets"])
+    return N_TERM_BUCKETS if fallback is None else fallback
 
 
 def bm25_topk_indexed(spark: SparkSession, path: str,
                       query: tuple[str, ...] = BM25_QUERY,
                       k: int = BM25_TOPK, k1: float = BM25_K1,
                       b: float = BM25_B,
-                      n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+                      n_buckets: int | None = None) -> DataFrame:
     """bm25_search against a persisted index: the postings scan carries
     a bucket partition filter (only the query terms' directories are
     read) plus the term equality filter; df comes from the pruned
     postings themselves. Row-identical to ``textops.bm25_search`` on
     the same corpus and parameters (same expression chain, same
     string→decimal exact sum), so it shares that operator's oracle.
-    ``n_buckets`` must match the write."""
+    ``n_buckets`` defaults to the value recorded in the store's stats
+    row; pass it only for pre-r6 stores written with a non-default
+    count."""
     if k > BM25_MAX_K:
         raise ValueError(
             f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}; rank bm25 scores "
@@ -114,6 +146,7 @@ def bm25_topk_indexed(spark: SparkSession, path: str,
         # can match (the bm25_scores empty-corpus guard's indexed twin)
         return spark.createDataFrame(
             [], "rank int, doc_id long, n_hits long, score double")
+    n_buckets = stored_n_buckets(stats, n_buckets)
     avgdl = stats["total_tokens"] / stats["n_docs"]
     buckets = [
         r["b"] for r in
@@ -154,7 +187,7 @@ def bm25_topk_indexed(spark: SparkSession, path: str,
 def phrase_topk_indexed(spark: SparkSession, path: str,
                         phrase: tuple[str, ...] = None,
                         k: int = None,
-                        n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+                        n_buckets: int | None = None) -> DataFrame:
     """textops.phrase_search against the persisted positional index:
     the probe reads ONLY the phrase terms' bucket directories, then
     counts adjacency by iterated position-set intersection —
@@ -177,7 +210,8 @@ def phrase_topk_indexed(spark: SparkSession, path: str,
         raise ValueError("phrase must contain at least one term")
     if k > BM25_MAX_K:
         raise ValueError(f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}")
-    postings, doclens, _ = read_text_index(spark, path)
+    postings, doclens, stats = read_text_index(spark, path)
+    n_buckets = stored_n_buckets(stats, n_buckets)
     buckets = [
         r["b"] for r in
         spark.createDataFrame([(q,) for q in set(phrase)], "term string")

@@ -332,20 +332,28 @@ def validate_nb_model(spark: SparkSession, path: str) -> DataFrame:
 
 
 def validate_text_index(spark: SparkSession, path: str,
-                        docs: DataFrame | None = None) -> DataFrame:
+                        docs: DataFrame | None = None,
+                        n_buckets: int | None = None) -> DataFrame:
     """Inverted text index (write_text_index): postings keyed and
     positive, every posting's doc present in doclens with tf ≤ dl,
     bucket directories consistent with the term hash (a posting filed
     in the wrong bucket is unreachable by the pruned query path — the
     unfindable-posting analog), and the stats row equal to the doclens
     aggregate. With the source corpus supplied, postings and doclens
-    are fully re-derived and compared."""
+    are fully re-derived and compared.
+
+    The bucket function is recovered from the store's own stats row
+    (write_text_index persists n_buckets), so an index written with a
+    non-default bucket count validates clean; ``n_buckets`` overrides
+    only for pre-r6 stores that predate the self-describing stats
+    row."""
     from resin_spark.functions import text as T
     from resin_spark.operators.textindex import (
-        _term_bucket, read_text_index,
+        _term_bucket, read_text_index, stored_n_buckets,
     )
 
     postings, doclens, stats = read_text_index(spark, path)
+    n_buckets = stored_n_buckets(stats, n_buckets)
     # positional payload invariants ride the same pass: positions must
     # be present, strictly increasing (sorted + duplicate-free), and
     # exactly tf long — a corrupt position list breaks phrase probes
@@ -359,7 +367,8 @@ def validate_text_index(spark: SparkSession, path: str,
     per_key = postings.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("c"),
         _n(F.col("tf").isNull() | (F.col("tf") < 1)).alias("bt"),
-        _n(F.col("bucket") != _term_bucket(F.col("term"))).alias("wb"),
+        _n(F.col("bucket")
+           != _term_bucket(F.col("term"), n_buckets)).alias("wb"),
         _n(bad_pos).alias("bp"),
     )
     pstats = per_key.agg(
@@ -454,7 +463,7 @@ VALIDATORS = {
 def validate_index(spark: SparkSession, path: str, kind: str,
                    **kwargs) -> DataFrame:
     """Dispatch to the validator for a persisted artifact kind
-    (ann | pq | dedup | cell | nb_model). Returns the uniform
+    (ann | pq | dedup | cell | nb_model | text). Returns the uniform
     (artifact, check, n, ok) summary; ``ok`` false on any row means
     the store failed validation."""
     try:

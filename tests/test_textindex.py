@@ -133,3 +133,43 @@ def test_text_index_validator_detects_corrupt_positions(spark, tmp_path):
            for r in validate.validate_text_index(spark, path).collect()}
     assert res["positions_out_of_range"][0] > 0
     assert not res["positions_out_of_range"][1]
+
+
+def test_nondefault_bucket_count_is_self_describing(spark, tmp_path):
+    """r6 (ADVICE): the store records n_buckets in its stats row, so
+    probes and the validator recover the bucket function without the
+    caller re-supplying the write-time value — an index written with
+    any non-default count must query identically and validate clean."""
+    docs = load_tables(spark, SF)["documents"].limit(80)
+    path = str(tmp_path / "nb7")
+    ti.write_text_index(docs, path, n_buckets=7)
+    _, _, stats = ti.read_text_index(spark, path)
+    assert stats["n_buckets"] == 7
+    direct = [tuple(r)
+              for r in tx.bm25_search({"documents": docs}).collect()]
+    indexed = [tuple(r)
+               for r in ti.bm25_topk_indexed(spark, path).collect()]
+    assert indexed == direct
+    res = {r["check"]: r["ok"]
+           for r in validate.validate_text_index(spark, path).collect()}
+    assert res["postings_in_wrong_bucket"], res
+    ph_direct = [tuple(r)
+                 for r in tx.phrase_search({"documents": docs}).collect()]
+    ph_indexed = [tuple(r)
+                  for r in ti.phrase_topk_indexed(spark, path).collect()]
+    assert ph_indexed == ph_direct
+
+
+def test_empty_corpus_index_roundtrips(spark, tmp_path):
+    """r6 (ADVICE): a corpus with zero tokenized docs writes no
+    postings part files under partitionBy; read_text_index must serve
+    typed empty frames (stats first) instead of dying in parquet
+    schema inference, and the probes must return empty results."""
+    docs = load_tables(spark, SF)["documents"].filter(F.lit(False))
+    path = str(tmp_path / "empty")
+    ti.write_text_index(docs, path)
+    postings, doclens, stats = ti.read_text_index(spark, path)
+    assert postings.count() == 0 and doclens.count() == 0
+    assert stats["n_docs"] == 0
+    assert ti.bm25_topk_indexed(spark, path).count() == 0
+    assert ti.phrase_topk_indexed(spark, path).count() == 0
