@@ -932,13 +932,27 @@ def phrase_search(t: Tables, phrase: tuple[str, ...] = PHRASE_QUERY,
     (no explode, no positional-postings join, no shuffle at all before
     the top-k); the global top-k is orderBy+limit (TakeOrdered).
     Integer counts make the oracle hash-exact with no float care.
+
+    The token array is materialised by a LOWER projection and the
+    match lambda references that column, not the tokenize expression:
+    inlining T.tokens into every element_at re-ran the tokenizer once
+    per (start × term) probe — codegen subexpression elimination does
+    not reach inside higher-order-function lambdas — which multiplied
+    the scan cost by roughly the phrase length (r5 bench: 4.4 s vs
+    0.6 s for the same corpus scan in text_tokenize_stats).
+    CollapseProject cannot re-inline it: the column is referenced more
+    than once and tokenize is not a cheap expression.
     """
     if not phrase:
         raise ValueError("phrase must contain at least one term")
     if k > BM25_MAX_K:
         raise ValueError(f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}")
-    tk = T.tokens("text")
     n = len(phrase)
+    base = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+    )
+    tk = F.col("tk")
     # sequence(1, stop) COUNTS DOWN when stop < 1 (the bpe_train /
     # shingle lesson) — docs shorter than the phrase must short-circuit
     # to an empty start list, never fall through to the sequence
@@ -954,16 +968,22 @@ def phrase_search(t: Tables, phrase: tuple[str, ...] = PHRASE_QUERY,
         return cond
 
     occurrences = F.size(F.filter(starts, match_at))
-    scored = (
-        t["documents"].filter(F.col("doc_id").isNotNull())
-        .select(
-            "doc_id",
-            occurrences.alias("n_occurrences"),
-            F.size(tk).alias("n_tokens"),
-        )
+    scored = base.select(
+        "doc_id",
+        occurrences.alias("n_occurrences"),
+        F.size(tk).alias("n_tokens"),
+    )
+    # The >0 filter runs AFTER the limit: a pre-TakeOrdered filter gets
+    # predicate-pushed below the tk projection with the whole
+    # occurrences expression substituted — re-inlining the tokenizer
+    # the lower projection exists to run once (measured 6x). Past the
+    # limit it cannot push, and the output is identical: every
+    # positive count sorts before every zero, so the top-k prefix of
+    # all docs filtered to >0 is exactly the top-k of matching docs.
+    top = (
+        scored.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(k)
         .filter(F.col("n_occurrences") > 0)
     )
-    top = scored.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), "doc_id")
     return (
         top.withColumn("rank", F.row_number().over(w))
