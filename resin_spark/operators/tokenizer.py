@@ -307,6 +307,13 @@ def bpe_encode(t: Tables, merges: list[tuple[str, str]]) -> DataFrame:
     Python; at web scale the word→encoding map is broadcast (it is a
     vocabulary, not a corpus). Pinned against a pure-Python reference
     encoder in tests/test_tokenizer.py.
+
+    subword_text concatenates encodings in ORIGINAL token order: the
+    token position rides through the vocab join and an array_sort on
+    (pos, enc) structs rebuilds the document order — a bare
+    collect_list after the shuffle join was partition-order
+    nondeterministic, which rows-only checks never caught but the r6
+    hash oracle would.
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
 
@@ -337,7 +344,7 @@ def bpe_encode(t: Tables, merges: list[tuple[str, str]]) -> DataFrame:
     words = (
         t["documents"]
         .filter(F.col("doc_id").isNotNull())
-        .select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        .select("doc_id", F.posexplode(T.tokens("text")).alias("pos", "word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
     )
     vocab = words.select("word").distinct() \
@@ -349,7 +356,95 @@ def bpe_encode(t: Tables, merges: list[tuple[str, str]]) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.size(F.split("enc", r"\|"))).alias("n_subwords"),
-            F.concat_ws(" ", F.collect_list("enc")).alias("subword_text"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda x: x["enc"],
+                ),
+            ).alias("subword_text"),
         )
     )
     return per_doc.orderBy("doc_id")
+
+
+def bpe_encode_oracle(n_merges: int = 20) -> str:
+    """DuckDB oracle for ``bpe_encode`` run on merges trained by
+    ``bpe_train`` over the SAME corpus — the kmeans_refine precedent:
+    the iteration count is unrolled into a generated CTE chain, so the
+    oracle RETRAINS the merge list itself (sequential textbook BPE,
+    same max-count / (left, right)-ascending tie-break) and then
+    encodes every document with it.
+
+    Greedy left-to-right merge application maps onto plain string
+    ``replace``: each symbol is wrapped as ``(sym)`` so the pattern
+    ``(a)(b)`` can only match at symbol boundaries, and replace's
+    scan-continues-after-replacement semantics IS BPE's non-overlapping
+    leftmost pass ("(a)(a)(a)" + merge (a,a) → "(aa)(a)"). Parens can
+    never appear inside a symbol: the trainer scopes to ^[a-z]+$ words
+    plus the '</w>' marker. Ranked-priority application (the Spark
+    encoder) equals this sequential replay for trained words —
+    tests/test_tokenizer.py pins that equivalence.
+
+    Every s{{i}} CTE is MATERIALIZED: it is referenced twice (pair
+    count + merge application), and DuckDB inlining would otherwise
+    re-expand the whole chain exponentially.
+    """
+    toks = T.tokens_sql("text")
+    parts = [f"""
+    WITH wfreq AS MATERIALIZED (
+        SELECT word, COUNT(*) AS wf FROM (
+            SELECT unnest({toks}) AS word
+            FROM documents WHERE doc_id IS NOT NULL
+        ) WHERE regexp_full_match(word, '[a-z]+')
+        GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, wf,
+               list_aggregate(list_transform(range(1, length(word) + 1),
+                   i -> '(' || substr(word, i, 1) || ')'),
+                   'string_agg', '') || '({END})' AS st
+        FROM wfreq
+    )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT q.l AS l, q.r AS r, SUM(wf) AS c FROM (
+            SELECT wf, unnest(list_transform(range(1, len(ss)),
+                       j -> {{'l': ss[j], 'r': ss[j + 1]}})) AS q
+            FROM (SELECT wf,
+                         str_split(substr(st, 2, length(st) - 2),
+                                   ')(') AS ss
+                  FROM s{i - 1})
+        ) GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    s{i} AS MATERIALIZED (
+        SELECT word, wf,
+               replace(st, '(' || t.l || ')(' || t.r || ')',
+                       '(' || t.l || t.r || ')') AS st
+        FROM s{i - 1}, t{i} t
+    )""")
+    parts.append(f""",
+    enc AS (
+        SELECT word,
+               replace(substr(st, 2, length(st) - 2), ')(', '|') AS enc
+        FROM s{n_merges}
+    ),
+    toks AS (
+        SELECT doc_id, p.i AS pos, p.w AS word FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                       i -> {{'i': i, 'w': tk[i]}})) AS p
+            FROM (SELECT doc_id, {toks} AS tk FROM documents
+                  WHERE doc_id IS NOT NULL)
+        )
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(str_split(e.enc, '|'))) AS BIGINT) AS n_subwords,
+           string_agg(e.enc, ' ' ORDER BY pos) AS subword_text
+    FROM toks JOIN enc e USING (word)
+    WHERE regexp_full_match(word, '[a-z]+')
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """)
+    return "".join(parts).replace("{END}", END)
