@@ -69,3 +69,16 @@ def test_oracle_callables_resolves_call_and_literal():
     # a literal-SQL oracle maps to None (covered by the entry file itself)
     assert out["kv_try_put"] is None
     assert len(out) >= 80
+
+
+def test_staleness_flags_unchecked_tail_entry():
+    """r6 rotation guarantee: a tail entry absent from the latest
+    CORRECTNESS artifact (so >1 round stale after the coming round)
+    must warn; tail entries present there must not."""
+    from tools import audit_window as aw
+
+    fresh = "corpus_stats"  # green in the r5 artifact
+    pad = {f"w{i}": None for i in range(aw.WINDOW)}
+    assert aw._staleness_warnings({**pad, fresh: None}) == 0
+    assert aw._staleness_warnings(
+        {**pad, "never_checked_entry": None}) == 1

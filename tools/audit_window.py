@@ -242,10 +242,50 @@ def main() -> int:
             warned += 1
             print(f"WARNING tail[{i}] {name}: changed since {base}: "
                   f"{', '.join(diffs)} — re-window")
+    warned += _staleness_warnings(q)
     print(f"audited {len(q)} entries, window={WINDOW}, "
           f"tail={len(q) - WINDOW}, warnings={warned} "
-          f"(function-level, docstring-stripped)")
+          f"(function-level, docstring-stripped; "
+          f"max tail staleness {MAX_TAIL_STALENESS} round)")
     return 1 if warned else 0
+
+
+# Rotation guarantee (r6, SURVEY §6): every entry is driver-checked at
+# least once per two rounds. A tail entry skips the upcoming round's
+# check, so it must have been checked in the LATEST correctness
+# artifact; anything older (or never checked) must hold a window slot
+# this round — AST identity alone may not carry an entry further than
+# one unchecked round.
+MAX_TAIL_STALENESS = 1
+
+
+def _staleness_warnings(q) -> int:
+    import glob
+    import json
+    import re
+
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not arts:
+        return 0
+    latest = arts[-1]
+    rnd = re.search(r"r(\d+)", os.path.basename(latest)).group(1)
+    try:
+        with open(latest) as fh:
+            checked = set(json.load(fh))
+    except (OSError, ValueError):
+        print(f"WARNING cannot read {latest} for the staleness check")
+        return 1
+    warned = 0
+    for i, name in enumerate(q):
+        if i < WINDOW:
+            continue
+        if name not in checked:
+            warned += 1
+            print(f"WARNING tail[{i}] {name}: not checked in r{rnd} "
+                  f"(latest artifact) — a tail slot would make it "
+                  f">{MAX_TAIL_STALENESS} round stale; move it into "
+                  f"the window")
+    return warned
 
 
 if __name__ == "__main__":
