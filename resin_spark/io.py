@@ -258,10 +258,15 @@ def compact_parquet(spark: SparkSession, path: str,
     time, footer I/O, and shuffle-map fan-out) bounded after many
     incremental appends. Returns {files_before, files_after, bytes}.
 
-    The swap is rename-based (FileSystem.rename), so readers either see
-    the old layout or the new one, never a half-written mix; the
-    pre-swap layout survives at ``{path}.compact_bak`` until the next
-    compaction for operator-error recovery."""
+    NOT reader-atomic: the swap is two FileSystem.rename calls
+    (path→bak, tmp→path), and between them ``path`` does not exist —
+    a concurrent reader gets FileNotFound. Run compaction with
+    exclusive access to the directory (maintenance window), or have
+    readers retry; a swap that fails mid-way rolls the original back.
+    The pre-swap layout survives at ``{path}.compact_bak`` until the
+    next compaction for operator-error recovery; a failed compacted
+    WRITE cleans its ``.compact_tmp`` staging dir up instead of
+    stranding it."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -272,14 +277,21 @@ def compact_parquet(spark: SparkSession, path: str,
     n_parts = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact_tmp")
     bak = jvm.org.apache.hadoop.fs.Path(path + ".compact_bak")
-    spark.read.parquet(path).repartition(int(n_parts)) \
-        .write.mode("overwrite").parquet(path + ".compact_tmp")
+    try:
+        spark.read.parquet(path).repartition(int(n_parts)) \
+            .write.mode("overwrite").parquet(path + ".compact_tmp")
+    except Exception:
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        raise
     if fs.exists(bak):
         fs.delete(bak, True)
     if not fs.rename(p, bak):
+        fs.delete(tmp, True)
         raise IOError(f"compact_parquet: could not stage {path} aside")
     if not fs.rename(tmp, p):
         fs.rename(bak, p)  # roll back
+        fs.delete(tmp, True)
         raise IOError(f"compact_parquet: could not swap in compacted {path}")
     files_after = fs.getContentSummary(p).getFileCount()
     return {"files_before": int(files_before),
