@@ -509,3 +509,62 @@ def stream_corpus_delta(spark: SparkSession, docs_parquet_dir: str,
             "old_md5", "new_md5",
         )
     )
+
+
+def stream_embedding_drift(spark: SparkSession, emb_parquet_dir: str,
+                           old_snapshot: DataFrame) -> DataFrame:
+    """Classify an embedding stream against a FROZEN old-snapshot
+    centroid relation: each arriving vector emits (vec_id, label,
+    label_known, dist_to_old_centroid, norm_new) — the ingestion-time
+    face of traindata.embedding_drift (batch compares two complete
+    snapshots; the stream scores vectors as a re-embedding run lands
+    them, so per-label rollups and 'labels that vanished' are
+    definitionally batch-side). A vector arriving with a label the old
+    snapshot never saw reports label_known=false — the new-class
+    signal a monitoring sink alerts on.
+
+    The old snapshot collapses once to its per-label decimal-exact
+    centroids (label_centroid_vectors — one row per label, broadcast-
+    safe at any corpus size) and joins stream-static per micro-batch;
+    the stream side is a row-local distance/norm fold, JVM-side
+    (zip_with/aggregate), no Python, no stream-side shuffle, no state.
+    norm_new is emitted UNROUNDED so the batch pin can rebuild
+    embedding_drift's decimal-exact per-label mean_norm_new from the
+    streamed rows bit-for-bit (tests/test_streaming_io.py).
+    """
+    from resin_spark.functions import vectors as V
+    from resin_spark.operators.similarity import valid_vectors
+    from resin_spark.operators.traindata import label_centroid_vectors
+
+    cents = (
+        label_centroid_vectors(old_snapshot)
+        .select(F.col("c_label").alias("label"),
+                F.col("centroid").alias("centroid_old"))
+        .withColumn("_o", F.lit(1))
+    )
+    schema = spark.read.parquet(emb_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_parquet_dir)
+    )
+    new = valid_vectors(stream).filter(F.col("label").isNotNull())
+    # norm_new folds over the RAW float array — the exact expression
+    # the batch operator sums, so the decimal pin holds bit-for-bit;
+    # the distance fold runs on the double-cast copy to match the
+    # double-typed stored centroids
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        new.select("vec_id", "label", emb_d.alias("e"),
+                   V.norm("embedding").alias("norm_new"))
+        .join(cents, "label", "left")
+        .select(
+            "vec_id", "label",
+            F.col("_o").isNotNull().alias("label_known"),
+            F.when(
+                F.col("_o").isNotNull(),
+                F.round(V.l2_distance("e", "centroid_old"), 9),
+            ).alias("dist_to_old_centroid"),
+            "norm_new",
+        )
+    )

@@ -856,3 +856,79 @@ def test_stream_corpus_delta_matches_batch(spark, tmp_path):
     assert got == batch
     assert {s for s, _, _ in got.values()} == {
         "added", "modified", "unchanged"}
+
+
+def test_stream_embedding_drift_matches_batch(spark, tmp_path):
+    """Streaming centroid-drift classification must agree with batch
+    embedding_drift for every streamed vector: per-label counts equal
+    n_new, the decimal-exact mean_norm_new rebuilds bit-for-bit from
+    the streamed unrounded norms, per-row distances equal the same
+    expression computed batch-side, and every label the old snapshot
+    carries reports label_known."""
+    from resin_spark.functions import vectors as V
+    from resin_spark.operators import traindata as td
+    from resin_spark.operators.similarity import valid_vectors
+    from resin_spark.streaming import quality as q
+
+    emb = load_tables(spark, SF)["embeddings"]
+    new = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % td.DRIFT_SCALE_MOD == 0,
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * td.DRIFT_SCALE).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    src_dir = tmp_path / "emb_in"
+    src_dir.mkdir()
+    new.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["label"]: r for r in td.embedding_drift(emb, new).collect()}
+
+    sq = (
+        q.stream_embedding_drift(spark, str(src_dir / "p"), emb)
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM drift_stream")
+    assert rows.count() > 0
+
+    rebuilt = rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("norm_new").cast("string").cast("decimal(28,15)"))
+            .cast("double") / F.count(F.lit(1)), 9).alias("mean_norm"),
+        F.min(F.col("label_known").cast("int")).alias("known"),
+    )
+    for r in rebuilt.collect():
+        b = batch[r["label"]]
+        assert r["n"] == b["n_new"], (r["label"], r["n"], b["n_new"])
+        assert r["mean_norm"] == b["mean_norm_new"], r["label"]
+        assert r["known"] == 1  # old snapshot carries every label
+
+    # per-row distance: same expression computed batch-side over the
+    # written snapshot (identical float round-trip)
+    cents = td.label_centroid_vectors(emb).select(
+        F.col("c_label").alias("label"),
+        F.col("centroid").alias("centroid_old"))
+    expected = {
+        r["vec_id"]: r["d"]
+        for r in valid_vectors(
+            spark.read.parquet(str(src_dir / "p")))
+        .filter(F.col("label").isNotNull())
+        .join(cents, "label")
+        .select(
+            "vec_id",
+            F.round(V.l2_distance(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "centroid_old"), 9).alias("d"))
+        .collect()
+    }
+    got = {r["vec_id"]: r["dist_to_old_centroid"] for r in rows.collect()}
+    assert got == expected
