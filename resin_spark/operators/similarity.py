@@ -1154,3 +1154,156 @@ def pq_topk_indexed(codes: DataFrame, books: np.ndarray, queries: DataFrame,
     return _pq_adc_topk(codes, books, valid_vectors(queries, q_vec),
                         valid_vectors(emb, vec_col), k, rerank,
                         id_col, vec_col, q_id, q_vec)
+
+
+# --- recall / cost report (r6) ------------------------------------------------
+
+def _ivf_cell_udf(cent: np.ndarray):
+    """Cell assignment against a trained centroid matrix — the same
+    normalise-then-argmax kernel ann_topk_ivf closes over (kept as a
+    factory here so the report can mirror it without touching the
+    frozen operator)."""
+    @pandas_udf(LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n) @ cent.T, axis=1).astype(np.int64))
+    return cell_of
+
+
+def _ivf_probe_udf(cent: np.ndarray, probe_n: int):
+    @pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        s = (m / n) @ cent.T
+        top = np.argsort(-s, axis=1)[:, :probe_n].astype(np.int64)
+        return pd.Series(list(top))
+    return probe_cells
+
+
+ANN_REPORT_CONFIGS = (
+    {"method": "lsh", "n_planes": 6, "n_tables": 8, "probe_radius": 2},
+    {"method": "lsh", "n_planes": 6, "n_tables": 4, "probe_radius": 1},
+    {"method": "lsh", "n_planes": 8, "n_tables": 4, "probe_radius": 2},
+    {"method": "ivf", "n_cells": 64, "n_probe": 64},
+    {"method": "ivf", "n_cells": 64, "n_probe": 16},
+    {"method": "ivf", "n_cells": 64, "n_probe": 8},
+    {"method": "pq", "m_sub": 8, "n_codes": 16, "rerank": 100},
+    {"method": "pq", "m_sub": 8, "n_codes": 16, "rerank": 25},
+)
+
+
+def ann_recall_report(emb: DataFrame, queries: DataFrame,
+                      configs=ANN_REPORT_CONFIGS, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id: str = "query_id",
+                      q_vec: str = "q_vec") -> DataFrame:
+    """Measured recall@k and candidate-scan cost for ANN operating
+    points vs exact brute force — the eyes-open trade table a 100 TB
+    operator reads before picking a NON-complete configuration (the
+    driver entries run measured-complete points so their oracles are
+    exact; production at scale wants the cheapest point whose recall
+    clears its bar — the GraphOptions.cs FoldAngle trade, quantified).
+
+    One row per config: (method, config, recall_at_k,
+    n_candidate_pairs, n_exhaustive_pairs, scan_fraction) where
+    n_candidate_pairs counts the exact-rescored (query, vector) pairs
+    the config generates — bucket-join matches for LSH (deduplicated,
+    exactly lsh_topk's candidate relation), probed-cell members for
+    IVF (same trainer seed and argmax kernel), the ADC rerank window
+    for PQ — and n_exhaustive_pairs = |queries| × (|corpus| − 1) is
+    the brute-force scan. recall is averaged over queries on the
+    neighbor-ID sets (score ties broken identically on both sides).
+
+    Cost: one brute_topk + per config one candidate count + one
+    top-k run — every job bounded by the config's own candidate
+    relation; the collected report is |configs| rows of scalars.
+    """
+    emb = valid_vectors(emb, vec_col)
+    queries = valid_vectors(queries, q_vec)
+    dims = _probe_dims(emb, vec_col)
+    n_corpus = emb.count()
+    n_queries = queries.count()
+    exhaustive = n_queries * max(0, n_corpus - 1)
+
+    def pair_set(df: DataFrame) -> dict:
+        by_q: dict = {}
+        for r in df.collect():
+            by_q.setdefault(r[q_id], set()).add(r["neighbor_id"])
+        return by_q
+
+    exact = pair_set(brute_topk(emb, queries, k=k, id_col=id_col,
+                                vec_col=vec_col, q_id=q_id, q_vec=q_vec))
+
+    def recall_of(approx: dict) -> float:
+        if not exact:
+            return 1.0
+        per_q = [
+            len(exact[qk] & approx.get(qk, set())) / len(exact[qk])
+            for qk in exact
+        ]
+        return sum(per_q) / len(per_q)
+
+    rows = []
+    for cfg in configs:
+        cfg = dict(cfg)
+        method = cfg.pop("method")
+        if method == "lsh":
+            h = hyperplane_buckets_udf(dims, cfg["n_planes"],
+                                       cfg["n_tables"])
+            eb = emb.select(
+                F.col(id_col),
+                F.posexplode(h(F.col(vec_col))).alias("tbl", "bucket"))
+            qb = _multi_probe(
+                queries.select(
+                    F.col(q_id),
+                    F.posexplode(h(F.col(q_vec))).alias("tbl", "bucket")),
+                cfg["n_planes"], cfg["probe_radius"])
+            n_cand = (
+                eb.join(broadcast(qb), ["tbl", "bucket"])
+                .filter(F.col(id_col) != F.col(q_id))
+                .select(q_id, id_col).distinct().count())
+            approx = pair_set(lsh_topk(
+                emb, queries, k=k, dims=dims, id_col=id_col,
+                vec_col=vec_col, q_id=q_id, q_vec=q_vec, **cfg))
+        elif method == "ivf":
+            cent = _train_ivf_centroids(
+                emb, cfg["n_cells"], dims, 100_000, 33, id_col, vec_col)
+            probe_n = min(cfg["n_probe"], len(cent))
+            eb = emb.select(
+                F.col(id_col),
+                _ivf_cell_udf(cent)(F.col(vec_col)).alias("cell"))
+            qb = queries.select(
+                F.col(q_id),
+                F.explode(_ivf_probe_udf(cent, probe_n)(
+                    F.col(q_vec))).alias("cell"))
+            n_cand = (
+                eb.join(broadcast(qb), "cell")
+                .filter(F.col(id_col) != F.col(q_id))
+                .select(q_id, id_col).distinct().count())
+            approx = pair_set(ann_topk_ivf(
+                emb, queries, k=k, dims=dims, id_col=id_col,
+                vec_col=vec_col, q_id=q_id, q_vec=q_vec, **cfg))
+        elif method == "pq":
+            n_cand = n_queries * min(cfg["rerank"], max(0, n_corpus - 1))
+            approx = pair_set(ann_topk_pq(
+                emb, queries, k=k, dims=dims, id_col=id_col,
+                vec_col=vec_col, q_id=q_id, q_vec=q_vec, **cfg))
+        else:
+            raise ValueError(f"unknown ANN method {method!r}")
+        cfg_str = ",".join(f"{kk}={vv}" for kk, vv in sorted(cfg.items()))
+        rows.append((
+            method, cfg_str, round(recall_of(approx), 6), int(n_cand),
+            int(exhaustive),
+            round(n_cand / exhaustive, 6) if exhaustive else 0.0,
+        ))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, recall_at_k double, "
+        "n_candidate_pairs bigint, n_exhaustive_pairs bigint, "
+        "scan_fraction double",
+    )

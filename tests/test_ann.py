@@ -213,3 +213,46 @@ def test_pq_persisted_index_matches_direct(spark, tmp_path):
         via = similarity.pq_topk_indexed(codes, books, q, emb,
                                          rerank=rer).collect()
         assert [tuple(r) for r in via] == [tuple(r) for r in direct]
+
+
+def test_ann_recall_report_trade_table(spark):
+    """r6: the recall/cost report must (a) certify the measured-
+    complete driver operating points at recall 1.0, (b) show the lean
+    points scanning a strictly smaller candidate fraction, and (c)
+    price candidates consistently (never more than exhaustive)."""
+    emb = load_tables(spark, SF)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    cfgs = (
+        {"method": "lsh", "n_planes": 6, "n_tables": 8, "probe_radius": 2},
+        {"method": "lsh", "n_planes": 8, "n_tables": 2, "probe_radius": 0},
+        {"method": "ivf", "n_cells": 64, "n_probe": 64},
+        {"method": "ivf", "n_cells": 64, "n_probe": 4},
+        {"method": "pq", "m_sub": 8, "n_codes": 16, "rerank": 1_000_000},
+        {"method": "pq", "m_sub": 8, "n_codes": 16, "rerank": 25},
+    )
+    rep = {(r["method"], r["config"]): r
+           for r in similarity.ann_recall_report(emb, qs, cfgs).collect()}
+    assert len(rep) == len(cfgs)
+    # measured-complete operating points: exactly the driver entries'
+    complete = [
+        ("lsh", "n_planes=6,n_tables=8,probe_radius=2"),
+        ("ivf", "n_cells=64,n_probe=64"),
+        ("pq", "m_sub=8,n_codes=16,rerank=1000000"),
+    ]
+    for key in complete:
+        assert rep[key]["recall_at_k"] == 1.0, key
+    for r in rep.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0 < r["n_candidate_pairs"] <= r["n_exhaustive_pairs"]
+        assert 0.0 < r["scan_fraction"] <= 1.0
+    # lean points must actually be leaner than their complete twins
+    assert rep[("ivf", "n_cells=64,n_probe=4")]["n_candidate_pairs"] \
+        < rep[("ivf", "n_cells=64,n_probe=64")]["n_candidate_pairs"]
+    assert rep[("lsh", "n_planes=8,n_tables=2,probe_radius=0")][
+        "n_candidate_pairs"] \
+        < rep[("lsh", "n_planes=6,n_tables=8,probe_radius=2")][
+        "n_candidate_pairs"]
+    assert rep[("pq", "m_sub=8,n_codes=16,rerank=25")][
+        "scan_fraction"] < 1.0
