@@ -291,6 +291,15 @@ def lexicon_validate(t: Tables, dims: int = 512, n_probes: int = 200,
     LexiconInspector probe (probe_missing_angles): how many of n_probes
     grid angles have no key in their 10^-precision bucket.
 
+    Rows-only permanently (r6 adjudication): every output value derives
+    from the angle keys, which are cosines of the 512-dim hashed
+    char-ngram embedding (functions/hashing.py) — the same procedural
+    embedder that makes lexicon_angle and string_compare genuinely
+    non-SQL-expressible. A DuckDB oracle would have to reimplement the
+    FNV feature hasher in SQL; the scalar-Python parity tests
+    (tests/test_hashing_features.py, test_text.py) pin the values
+    instead.
+
     ONE aggregate pass over the lexicon: the probe grid is
     deterministic, so its buckets are a literal array and the gap count
     is a set-membership expression against collect_set of the observed
