@@ -245,3 +245,81 @@ def phrase_topk_indexed(spark: SparkSession, path: str,
         .select("rank", "doc_id", "n_occurrences", "n_tokens")
         .orderBy("rank")
     )
+
+
+def append_text_index(docs_new: DataFrame, path: str) -> None:
+    """Merge a NEW batch of documents into a stored text index —
+    the continuous-ingest maintenance shape (write_dedup_index's
+    incremental counterpart for search): a crawl appends its docs
+    without rebuilding the corpus-wide index.
+
+    Equivalent by contract to ``write_text_index(old ∪ new)`` — pinned
+    relation-for-relation in tests/test_textindex.py. The cost is
+    proportional to the NEW batch plus the bucket directories its
+    terms touch, never the whole index:
+
+    - new postings/doclens derive from one tokenise of the batch;
+    - only the term-hash bucket partitions the batch's terms hash into
+      are rewritten (dynamic partition overwrite — untouched bucket
+      directories keep their files byte-identical, the seek-side I/O
+      win persists across appends);
+    - the affected stored postings are eagerly materialised
+      (localCheckpoint) before the overwrite, because Spark cannot
+      overwrite a partition it is still lazily reading from — the held
+      rows are bucket-scoped, ~|touched vocab|/n_buckets of the index;
+    - doclens appends; stats recomputes from the appended doclens (one
+      aggregate), preserving the stored n_buckets.
+
+    Batch doc_ids must be NEW: a doc_id already in the index would
+    double its postings, so overlap raises loudly (one |doclens|-row
+    semi-join to check — the validator's ids_duplicated invariant,
+    enforced at write time).
+    """
+    spark = docs_new.sparkSession
+    postings, doclens, stats = read_text_index(spark, path)
+    n_buckets = stored_n_buckets(stats)
+    new_ids = docs_new.filter(F.col("doc_id").isNotNull()) \
+        .select("doc_id").distinct()
+    n_overlap = new_ids.join(doclens, "doc_id").count()
+    if n_overlap:
+        raise ValueError(
+            f"append_text_index: {n_overlap} doc_ids already indexed at "
+            f"{path}; incremental appends require fresh ids (re-crawls "
+            "of existing docs need corpus_delta + rebuild of affected "
+            "docs, not a blind append)")
+    toks = (
+        docs_new.filter(F.col("doc_id").isNotNull())
+        .select("doc_id",
+                F.posexplode(T.tokens("text")).alias("pos", "term"))
+    )
+    tf_new = toks.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    ).select("term", "doc_id", F.size("positions").alias("tf"),
+             "positions",
+             _term_bucket(F.col("term"), n_buckets).alias("bucket"))
+    dl_new = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    affected = [r["bucket"] for r in
+                tf_new.select("bucket").distinct().collect()]
+    if affected:
+        kept = postings.filter(F.col("bucket").isin(affected)) \
+            .select("term", "doc_id", "tf", "positions", "bucket") \
+            .localCheckpoint()
+        (
+            kept.unionByName(tf_new)
+            .repartition("bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(f"{path}/postings")
+        )
+    dl_new.write.mode("append").parquet(f"{path}/doclens")
+    (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+        .coalesce(1).localCheckpoint()
+        .write.mode("overwrite").parquet(f"{path}/stats")
+    )

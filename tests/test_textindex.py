@@ -173,3 +173,85 @@ def test_empty_corpus_index_roundtrips(spark, tmp_path):
     assert stats["n_docs"] == 0
     assert ti.bm25_topk_indexed(spark, path).count() == 0
     assert ti.phrase_topk_indexed(spark, path).count() == 0
+
+
+def test_append_text_index_equals_rebuild(spark, tmp_path):
+    """r6: incremental append must equal a full rebuild over old∪new —
+    postings/doclens/stats relation-for-relation, probes row-identical,
+    validator green — and a doc_id overlap must refuse loudly."""
+    import pytest as _pytest
+
+    docs = load_tables(spark, SF)["documents"]
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    ti.write_text_index(old, inc, n_buckets=16)
+    ti.append_text_index(new, inc)
+    ti.write_text_index(docs, full, n_buckets=16)
+
+    pi, di, si = ti.read_text_index(spark, inc)
+    pf, df_, sf_ = ti.read_text_index(spark, full)
+    key = lambda r: (r["term"], r["doc_id"])
+    assert sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]),
+                    r["bucket"]) for r in pi.collect())) == \
+        sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]),
+                 r["bucket"]) for r in pf.collect()))
+    assert sorted(map(tuple, di.collect())) == \
+        sorted(map(tuple, df_.collect()))
+    assert (si["n_docs"], si["total_tokens"], si["n_buckets"]) == \
+        (sf_["n_docs"], sf_["total_tokens"], sf_["n_buckets"])
+
+    assert [tuple(r) for r in ti.bm25_topk_indexed(spark, inc).collect()] \
+        == [tuple(r) for r in ti.bm25_topk_indexed(spark, full).collect()]
+    assert [tuple(r)
+            for r in ti.phrase_topk_indexed(spark, inc).collect()] \
+        == [tuple(r) for r in ti.phrase_topk_indexed(spark, full).collect()]
+
+    res = {r["check"]: r["ok"]
+           for r in validate.validate_text_index(spark, inc).collect()}
+    assert all(res.values()), res
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        ti.append_text_index(new.limit(5), inc)
+
+
+def test_append_rewrites_only_touched_buckets(spark, tmp_path):
+    """The incremental-I/O claim itself: appending a batch whose terms
+    hash into few buckets must leave every other bucket directory's
+    files byte-identical (same names, sizes, mtimes)."""
+    import os
+
+    docs = load_tables(spark, SF)["documents"]
+    path = str(tmp_path / "few")
+    ti.write_text_index(docs, path, n_buckets=16)
+
+    def snapshot():
+        out = {}
+        base = f"{path}/postings"
+        for d in os.listdir(base):
+            if d.startswith("bucket="):
+                full = os.path.join(base, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)),
+                     os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full) if f.endswith(".parquet"))
+        return out
+
+    before = snapshot()
+    tiny = spark.createDataFrame(
+        [(10_000_001, "zzyzx zzyzx qwertyuiop")], "doc_id long, text string")
+    ti.append_text_index(tiny, path)
+    after = snapshot()
+    tf_new = spark.createDataFrame(
+        [("zzyzx",), ("qwertyuiop",)], "term string")
+    touched = {
+        f"bucket={r['b']}" for r in tf_new.select(
+            ti._term_bucket(F.col("term"), 16).alias("b")).collect()}
+    untouched_same = [d for d in before
+                      if d not in touched and before[d] == after[d]]
+    assert set(before) - touched == set(untouched_same), (
+        "untouched bucket dirs were rewritten")
+    for d in touched:
+        assert after.get(d) != before.get(d)
