@@ -1157,3 +1157,42 @@ def semantic_dedup_indexed(spark, table: str,
         )
         .orderBy("vec_id")
     )
+
+
+def append_dedup_index(new_docs: DataFrame, path: str, n: int = 3,
+                       num_perm: int = 128, bands: int = 32,
+                       seed: int = 42) -> None:
+    """Merge a NEW batch into a stored dedup index — the step that
+    closes the continuous-ingest loop: dedup the batch against the
+    index (incremental_dedup_indexed), then append the survivors'
+    signatures so the NEXT crawl sees them. Cost is one
+    shingle/signature Arrow pass over the batch plus two appends; the
+    standing corpus is never re-signed.
+
+    Both stored relations take pure row-appends (unlike the text
+    index, no per-key merge exists to get wrong: hashes is keyed by
+    the new doc_ids and every (doc_id, band, band_hash) posting is an
+    independent row). Batch doc_ids must be new — an id already
+    indexed would double its band postings and shadow its hash set, so
+    overlap refuses loudly (one id-projection join against the stored
+    hashes). Parameters must match the write; the stored relations
+    carry the same shapes either way, so a mismatch surfaces as the
+    validator's unfindable-posting failure, not silence.
+
+    Repeated appends accumulate small files per band directory;
+    io.compact_parquet is the housekeeping pass (run it on
+    ``{path}/bands`` and ``{path}/hashes`` in a maintenance window).
+    """
+    spark = new_docs.sparkSession
+    base = new_docs.filter(F.col("doc_id").isNotNull())
+    stored_ids = spark.read.parquet(f"{path}/hashes").select("doc_id")
+    n_overlap = base.select("doc_id").distinct() \
+        .join(stored_ids, "doc_id").count()
+    if n_overlap:
+        raise ValueError(
+            f"append_dedup_index: {n_overlap} doc_ids already indexed "
+            f"at {path}; incremental appends require fresh ids")
+    grouped, bands_df = lsh_index(base, n, num_perm, bands, seed)
+    grouped.write.mode("append").parquet(f"{path}/hashes")
+    bands_df.repartition("band").write.mode("append") \
+        .partitionBy("band").parquet(f"{path}/bands")

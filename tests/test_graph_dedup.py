@@ -201,3 +201,50 @@ def test_dedup_components_gated_path_equals_loop(spark):
     # the pin is only meaningful if some component actually merged
     assert any(doc != comp for doc, comp, _ in gated), \
         "corpus has no multi-doc component — pin is vacuous"
+
+
+def test_append_dedup_index_equals_rebuild(spark, tmp_path):
+    """r6: appending a batch to a stored dedup index must equal a full
+    rebuild over old∪new — relations row-for-row, the indexed
+    incremental probe verdict-identical, validator green — and a
+    doc_id overlap must refuse loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup, validate
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    dedup.write_dedup_index(third, inc)
+    dedup.append_dedup_index(rest, inc)
+    dedup.write_dedup_index(docs, full)
+
+    hi, bi = dedup.read_dedup_index(spark, inc)
+    hf, bf = dedup.read_dedup_index(spark, full)
+    assert sorted((r["doc_id"], tuple(r["hashes"])) for r in hi.collect()) \
+        == sorted((r["doc_id"], tuple(r["hashes"])) for r in hf.collect())
+    assert sorted(map(tuple, bi.select("doc_id", "band", "band_hash")
+                      .collect())) \
+        == sorted(map(tuple, bf.select("doc_id", "band", "band_hash")
+                      .collect()))
+
+    vi = [tuple(r) for r in dedup.incremental_dedup_indexed(
+        probe.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        hi, bi).collect()]
+    vf = [tuple(r) for r in dedup.incremental_dedup_indexed(
+        probe.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        hf, bf).collect()]
+    assert vi == vf and len(vi) > 0
+
+    res = {r["check"]: r["ok"]
+           for r in validate.validate_dedup_index(spark, inc).collect()}
+    assert all(res.values()), res
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        dedup.append_dedup_index(third.limit(3), inc)
