@@ -181,7 +181,7 @@ def cmd_truncate(flags: dict, spark: SparkSession, log=print) -> int:
 def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
     """GraphIndexValidator.cs / SeekableGraphIndexValidator.cs as a CLI
     surface: re-probe a persisted index store (--path, --kind one of
-    the validate.VALIDATORS keys — ann|pq|dedup|cell|nb_model|text)
+    the validate.VALIDATORS keys — ann|pq|ivf|dedup|cell|nb_model|text)
     and print one check line per invariant; --corpus <parquet> enables
     the re-encode/re-assign/re-tokenize checks for pq/cell/text. Exit
     0 regardless (Program.cs convention); failures are printed per

@@ -1307,3 +1307,87 @@ def ann_recall_report(emb: DataFrame, queries: DataFrame,
         "n_candidate_pairs bigint, n_exhaustive_pairs bigint, "
         "scan_fraction double",
     )
+
+
+# --- persisted IVF index (r6) -------------------------------------------------
+
+def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 64,
+                    dims: int | None = None, sample_cap: int = 100_000,
+                    seed: int = 33, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF index: ``{path}/centroids`` = (cell, centroid)
+    — the trained spherical-k-means cells — and ``{path}/entries`` =
+    (id, vector, cell) PARTITIONED BY cell, so a probe reads only its
+    probed cells' directories (the partition-pruning move
+    write_text_index makes for terms, applied to vector cells; the
+    LSH/PQ stores' missing sibling). Training and assignment are the
+    exact ann_topk_ivf kernels, so probing a stored index at the same
+    parameters is row-identical to the in-memory operator (pinned)."""
+    emb = valid_vectors(emb, vec_col)
+    if dims is None:
+        dims = _probe_dims(emb, vec_col)
+    cent = _train_ivf_centroids(emb, n_cells, dims, sample_cap, seed,
+                                id_col, vec_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        emb.select(F.col(id_col), F.col(vec_col),
+                   _ivf_cell_udf(cent)(F.col(vec_col)).cast("int")
+                   .alias("cell"))
+        .repartition("cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{path}/entries")
+    )
+
+
+def read_ivf_index(spark, path: str):
+    """(entries_frame, centroid_matrix) from a write_ivf_index dir.
+    The centroid matrix is rebuilt cell-ordered (cells are the train
+    indices 0..n-1, so row i IS cell i's centroid)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell") \
+        .collect()
+    cent = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return spark.read.parquet(f"{path}/entries"), cent
+
+
+def ivf_topk_indexed(entries: DataFrame, cent: np.ndarray,
+                     queries: DataFrame, k: int = 10, n_probe: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id: str = "query_id",
+                     q_vec: str = "q_vec") -> DataFrame:
+    """ann_topk_ivf's probe phase against a persisted index: each
+    query expands to its n_probe nearest stored centroids, the probed
+    cell ids (≤ |queries| × n_probe scalars) prune the entries scan to
+    their partition directories, and candidates rescore with the exact
+    JVM cosine — row-identical to ann_topk_ivf at the same training
+    parameters; n_probe = n_cells still degrades to brute force."""
+    queries = valid_vectors(queries, q_vec)
+    probe_n = min(n_probe, len(cent))
+    qb = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.explode(_ivf_probe_udf(cent, probe_n)(F.col(q_vec)))
+        .alias("cell"))
+    qb = qb.withColumn("cell", F.col("cell").cast("int"))
+    probed = [r["cell"] for r in qb.select("cell").distinct().collect()]
+    scored = (
+        entries.filter(F.col("cell").isin(probed))
+        .join(broadcast(qb), "cell")
+        .filter(F.col(id_col) != F.col(q_id))
+        .select(
+            F.col(q_id),
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine_gated(vec_col, q_vec).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(),
+                                         F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", "neighbor_id",
+                F.round("score", 9).alias("score"))
+        .orderBy(q_id, "rank")
+    )

@@ -5,7 +5,8 @@ The reference ships GraphIndexValidator.cs / SeekableGraphIndexValidator.cs
 an on-disk graph index, re-search every indexed vector and assert the
 index finds it. These are the Spark-first analogs for every persisted
 artifact this repo writes (write_ann_index, write_pq_index,
-write_dedup_index, write_cell_index, write_nb_model): each validator
+write_ivf_index, write_dedup_index, write_cell_index, write_nb_model,
+write_text_index): each validator
 re-derives what the store claims from the store's own contents — with
 the exact production kernels (minhash UDF, hyperplane hashing, PQ
 encoder), so "found" means the real probe path would find it — and
@@ -463,7 +464,7 @@ VALIDATORS = {
 def validate_index(spark: SparkSession, path: str, kind: str,
                    **kwargs) -> DataFrame:
     """Dispatch to the validator for a persisted artifact kind
-    (ann | pq | dedup | cell | nb_model | text). Returns the uniform
+    (ann | pq | ivf | dedup | cell | nb_model | text). Returns the uniform
     (artifact, check, n, ok) summary; ``ok`` false on any row means
     the store failed validation."""
     try:
@@ -472,3 +473,65 @@ def validate_index(spark: SparkSession, path: str, kind: str,
         raise ValueError(
             f"unknown index kind {kind!r}; one of {sorted(VALIDATORS)}")
     return fn(spark, path, **kwargs)
+
+
+def validate_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Persisted IVF index (similarity.write_ivf_index): re-assign
+    every stored vector with the store's OWN centroids and assert its
+    stored cell matches (a mis-filed vector is unreachable by the
+    pruned probe path — the unfindable-posting analog), one entry row
+    per id with a consistent vector, cells within the centroid range,
+    and centroids well-formed (uniform width, cell-contiguous)."""
+    from resin_spark.operators.similarity import (
+        _ivf_cell_udf, read_ivf_index,
+    )
+
+    entries, cent = read_ivf_index(spark, path)
+    n_cells = int(cent.shape[0]) if cent.size else 0
+    crows = spark.read.parquet(f"{path}/centroids")
+    cstats = crows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cell").alias("nd"),
+        F.min("cell").alias("cmin"),
+        F.max("cell").alias("cmax"),
+        F.count_distinct(F.size("centroid")).alias("widths"),
+    ).first()
+    cent_ok = (cstats["n"] > 0 and cstats["n"] == cstats["nd"]
+               and cstats["cmin"] == 0
+               and cstats["cmax"] == cstats["n"] - 1
+               and cstats["widths"] == 1)
+    if n_cells:
+        recomputed = entries.select(
+            "vec_id",
+            F.col("cell").cast("long").alias("stored_cell"),
+            _ivf_cell_udf(cent)(F.col("embedding")).alias("re_cell"),
+        )
+        row = recomputed.agg(
+            F.count(F.lit(1)).alias("n"),
+            _n(F.col("stored_cell") != F.col("re_cell")).alias("mis"),
+            _n((F.col("stored_cell") < 0)
+               | (F.col("stored_cell") >= n_cells)).alias("oor"),
+        ).first()
+        per_id = entries.groupBy("vec_id").agg(
+            F.count(F.lit(1)).alias("np"),
+            F.count_distinct("embedding").alias("nv"),
+        ).agg(
+            F.count(F.lit(1)).alias("ids"),
+            _n(F.col("np") != 1).alias("dup"),
+            _n(F.col("nv") != 1).alias("multi"),
+        ).first()
+    else:
+        row = {"n": 0, "mis": 0, "oor": 0}
+        per_id = {"ids": 0, "dup": 0, "multi": 0}
+    return _summary(spark, "ivf", [
+        ("entries", row["n"], row["n"] > 0),
+        ("centroids", cstats["n"], cent_ok),
+        ("ids_in_wrong_cell", row["mis"], row["mis"] == 0),
+        ("cells_out_of_range", row["oor"], row["oor"] == 0),
+        ("ids_duplicated", per_id["dup"], per_id["dup"] == 0),
+        ("ids_with_inconsistent_vectors", per_id["multi"],
+         per_id["multi"] == 0),
+    ])
+
+
+VALIDATORS["ivf"] = validate_ivf_index

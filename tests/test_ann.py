@@ -256,3 +256,33 @@ def test_ann_recall_report_trade_table(spark):
         "n_candidate_pairs"]
     assert rep[("pq", "m_sub=8,n_codes=16,rerank=25")][
         "scan_fraction"] < 1.0
+
+
+def test_ivf_indexed_equals_in_memory_and_prunes(spark, tmp_path):
+    """r6 persisted IVF: probing the stored index at the same training
+    parameters must be row-identical to ann_topk_ivf — lean probe AND
+    complete probe (= brute force) — and the entries scan must carry a
+    cell partition filter (the pruned-directory I/O claim)."""
+    emb = load_tables(spark, SF)["embeddings"]
+    qs = _queries(emb)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_cells=64)
+    entries, cent = similarity.read_ivf_index(spark, path)
+    assert cent.shape[0] > 0
+
+    for n_probe in (4, 64):
+        direct = [tuple(r) for r in similarity.ann_topk_ivf(
+            emb, qs, n_cells=64, n_probe=n_probe).collect()]
+        indexed = [tuple(r) for r in similarity.ivf_topk_indexed(
+            entries, cent, qs, n_probe=n_probe).collect()]
+        assert indexed == direct, f"n_probe={n_probe}"
+
+    brute = [tuple(r) for r in similarity.brute_topk(emb, qs).collect()]
+    complete = [tuple(r) for r in similarity.ivf_topk_indexed(
+        entries, cent, qs, n_probe=64).collect()]
+    assert complete == brute
+
+    plan = similarity.ivf_topk_indexed(entries, cent, qs, n_probe=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan \
+        or "cell#" in plan.split("PartitionFilters")[1][:120], plan[:3000]

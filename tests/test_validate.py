@@ -119,3 +119,26 @@ def test_validate_index_dispatcher(spark, tables, tmp_path):
     assert _all_ok(df)
     with pytest.raises(ValueError, match="unknown index kind"):
         validate.validate_index(spark, path, "nope")
+
+
+def test_ivf_validator_roundtrip_and_corruption(spark, tables, tmp_path):
+    """r6: a fresh IVF store validates all-green; moving vectors to the
+    wrong cell (unreachable by the pruned probe) fails loudly; the
+    dispatcher knows the 'ivf' kind."""
+    emb = tables["embeddings"].limit(200)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_cells=16)
+    res = {r["check"]: r["ok"]
+           for r in validate.validate_index(spark, path, "ivf").collect()}
+    assert all(res.values()), res
+
+    entries = spark.read.parquet(f"{path}/entries")
+    bad = entries.withColumn(
+        "cell", (F.col("cell") + 1) % 16)
+    bad.write.mode("overwrite").parquet(f"{path}/entries2")
+    shutil.rmtree(f"{path}/entries")
+    shutil.move(f"{path}/entries2", f"{path}/entries")
+    res = {r["check"]: (r["n"], r["ok"])
+           for r in validate.validate_ivf_index(spark, path).collect()}
+    assert res["ids_in_wrong_cell"][0] > 0
+    assert not res["ids_in_wrong_cell"][1]
