@@ -500,3 +500,43 @@ def test_corpus_delta_matches_python_reference(spark, old_rows, new_rows):
         else:
             want[i] = "modified"
     assert got == want
+
+
+corpus = st.lists(
+    st.tuples(st.integers(0, 20),
+              st.one_of(st.none(),
+                        st.text(alphabet="ab c", max_size=10))),
+    min_size=0, max_size=10, unique_by=lambda r: r[0])
+
+
+@given(corpus, st.integers(0, 20))
+@settings(max_examples=6, deadline=None)
+def test_append_text_index_property(spark, tmp_path_factory, rows, pivot):
+    """append == rebuild on random corpora and split points — including
+    empty standing indexes, empty batches, null-text docs, and batches
+    whose terms touch no/few buckets."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.operators import textindex as ti
+
+    base = str(tmp_path_factory.mktemp("prop"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        if rows else spark.createDataFrame([], "doc_id long, text string")
+    standing = docs.filter(F.col("doc_id") < pivot)
+    batch = docs.filter(F.col("doc_id") >= pivot)
+
+    ti.write_text_index(standing, f"{base}/inc", n_buckets=8)
+    ti.append_text_index(batch, f"{base}/inc")
+    ti.write_text_index(docs, f"{base}/full", n_buckets=8)
+
+    pi, di, si = ti.read_text_index(spark, f"{base}/inc")
+    pf, df_, sf_ = ti.read_text_index(spark, f"{base}/full")
+    assert sorted((r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+                  for r in pi.collect()) == \
+        sorted((r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+               for r in pf.collect())
+    assert sorted(map(tuple, di.collect())) == \
+        sorted(map(tuple, df_.collect()))
+    assert (si is None) == (sf_ is None) or \
+        (si["n_docs"], si["total_tokens"]) == \
+        (sf_["n_docs"], sf_["total_tokens"])
