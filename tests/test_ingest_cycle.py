@@ -1,0 +1,109 @@
+"""End-to-end continuous-ingest cycle over the persisted stores — the
+production loop a crawl pipeline runs, composed from the library APIs
+exactly as a user would:
+
+  crawl N+1 arrives
+    → corpus_delta vs the standing snapshot      (what changed?)
+    → incremental_dedup_indexed on the ADDED docs (near-dup gate
+      against the standing dedup index)
+    → survivors append into BOTH standing indexes
+      (append_dedup_index + append_text_index)
+    → probes over the appended stores equal full rebuilds; validators
+      green
+
+Each step is individually driver/pytest-checked elsewhere; this test
+pins that they COMPOSE — ids, schemas, and store contracts line up
+across the whole loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resin_spark.io import load_tables
+from resin_spark.operators import dedup, pipeline, textindex as ti, validate
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_continuous_ingest_cycle(spark, tmp_path):
+    docs = load_tables(spark, SF)["documents"] \
+        .filter(F.col("doc_id").isNotNull()).select("doc_id", "text")
+
+    # standing corpus = crawl 0; its indexes are the standing state
+    standing = docs.filter(F.col("doc_id") % 4 != 3).localCheckpoint()
+    tpath, dpath = str(tmp_path / "text"), str(tmp_path / "dedup")
+    ti.write_text_index(standing, tpath)
+    dedup.write_dedup_index(standing, dpath)
+
+    # crawl 1 = standing plus fresh docs: some genuinely new text, some
+    # near-copies of standing docs (the dup-mass a re-crawl drags in)
+    fresh = docs.filter(F.col("doc_id") % 4 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("brand new crawl")).alias("text"))
+    copies = standing.limit(20).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    crawl1 = standing.unionByName(fresh).unionByName(copies)
+
+    # 1. what changed?
+    delta = pipeline.corpus_delta(standing, crawl1)
+    by_status = {r["status"]: r["n_docs"]
+                 for r in delta.groupBy("status")
+                 .agg(F.count(F.lit(1)).alias("n_docs")).collect()}
+    n_added = fresh.count() + copies.count()
+    assert by_status.get("added", 0) == n_added
+    assert by_status.get("removed", 0) == 0
+    assert by_status.get("modified", 0) == 0
+    added_ids = delta.filter(F.col("status") == "added").select("doc_id")
+
+    # 2. near-dup gate: the added docs against the STANDING dedup index
+    added_docs = crawl1.join(added_ids, "doc_id").localCheckpoint()
+    idx_hashes, idx_bands = dedup.read_dedup_index(spark, dpath)
+    verdicts = dedup.incremental_dedup_indexed(
+        added_docs, idx_hashes, idx_bands)
+    flagged = verdicts.filter("is_dup").collect()
+    dup_ids = {r["doc_id"] for r in flagged}
+    # every verbatim copy must be caught (best match at jaccard 1.0,
+    # pointing back into the standing corpus)...
+    copy_rows = {r["doc_id"]: r for r in flagged
+                 if r["doc_id"] >= 2_000_000}
+    copy_ids = {r["doc_id"] for r in copies.select("doc_id").collect()}
+    assert copy_ids == set(copy_rows)
+    standing_ids = {r["doc_id"] for r in standing.select("doc_id").collect()}
+    for r in copy_rows.values():
+        assert r["best_jaccard"] == 1.0 and r["best_match"] in standing_ids
+    # ...and every flagged doc (the corpus carries organic near-dups,
+    # so some genuinely-fresh text may rightly match too) clears the
+    # exact-Jaccard bar against a standing doc — no false positives
+    for r in flagged:
+        assert r["best_jaccard"] >= 0.5 and r["best_match"] in standing_ids
+    fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    assert fresh_ids - dup_ids, "every fresh doc flagged — gate broken"
+
+    # 3. survivors append into both standing stores
+    survivors = added_docs.filter(
+        ~F.col("doc_id").isin(list(dup_ids))).localCheckpoint()
+    ti.append_text_index(survivors, tpath)
+    dedup.append_dedup_index(survivors, dpath)
+
+    # 4. the appended stores equal rebuilds over standing ∪ survivors
+    final_corpus = standing.unionByName(survivors)
+    ti.write_text_index(final_corpus, str(tmp_path / "text_full"))
+    assert [tuple(r) for r in ti.bm25_topk_indexed(spark, tpath).collect()] \
+        == [tuple(r) for r in ti.bm25_topk_indexed(
+            spark, str(tmp_path / "text_full")).collect()]
+    assert [tuple(r) for r in ti.phrase_topk_indexed(spark, tpath).collect()] \
+        == [tuple(r) for r in ti.phrase_topk_indexed(
+            spark, str(tmp_path / "text_full")).collect()]
+
+    for path, kind in ((tpath, "text"), (dpath, "dedup")):
+        res = {r["check"]: r["ok"]
+               for r in validate.validate_index(spark, path, kind).collect()}
+        assert all(res.values()), (kind, res)
+
+    # 5. next crawl's gate sees the survivors: a copy of a survivor is
+    # now a dup even though it missed crawl 0
+    idx_hashes2, idx_bands2 = dedup.read_dedup_index(spark, dpath)
+    recopy = survivors.limit(5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    v2 = dedup.incremental_dedup_indexed(recopy, idx_hashes2, idx_bands2)
+    assert v2.filter("is_dup").count() == recopy.count()
