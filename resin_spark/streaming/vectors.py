@@ -85,11 +85,20 @@ def stream_ann_topk(spark: SparkSession, queries_parquet_dir: str,
         F.col(id_col).alias("neighbor_id"),
         V.cosine_gated(vec_col, "q_vec").alias("score"),
     )
-    # sort key: score desc, then neighbor_id ASC (the batch window's
-    # tie-break) — encoded as (-score, neighbor_id) sorted ASC, so the
-    # id is never negated: any orderable id type works (string vec_ids
-    # included) and LONG_MIN can't overflow under ANSI mode.
-    ranked = (
+    return _topk_update_agg(scored, k)
+
+
+def _topk_update_agg(scored, k: int):
+    """Stream-safe per-query top-k: windows can't run on a stream, so
+    top-k is an update-mode aggregate — collect_list of (score,
+    neighbor) structs, sorted with the batch window's tie-break,
+    sliced to k. Sort key: score desc then neighbor_id ASC, encoded as
+    (-score, neighbor_id) sorted ASC so the id is never negated: any
+    orderable id type works (string vec_ids included) and LONG_MIN
+    can't overflow under ANSI mode. State is one ≤k-element list per
+    query id; under availableNow each query lives in one micro-batch,
+    so every group emits exactly once."""
+    return (
         scored.groupBy("query_id")
         .agg(
             F.slice(
@@ -115,4 +124,49 @@ def stream_ann_topk(spark: SparkSession, queries_parquet_dir: str,
             ).alias("neighbors"),
         )
     )
-    return ranked
+
+
+def stream_ivf_topk(spark: SparkSession, queries_parquet_dir: str,
+                    index_path: str, k: int = 10, n_probe: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Streaming twin of :func:`similarity.ivf_topk_indexed`: query
+    vectors arrive as a parquet file stream and each micro-batch
+    resolves against the PERSISTED IVF store (write_ivf_index) — the
+    serving face of the r6 index: build once offline, point the query
+    stream at it.
+
+    The stored centroid matrix collects once (|cells| rows) into the
+    probe UDF's closure; per trigger the new queries expand to their
+    n_probe nearest cells and equi-join the stored entries on cell.
+    The static entries side cannot partition-prune per trigger (the
+    probed-cell set isn't known at plan time on a stream), so the join
+    keys both sides on cell — at scale that is the same shuffle the
+    batch corpus side pays; the bounded per-query top-k state and the
+    exact rescore match the LSH streaming twin. Pinned row-identical
+    to the batch indexed probe in tests/test_streaming_io.py.
+    """
+    entries, cent = S.read_ivf_index(spark, index_path)
+    entries = entries.localCheckpoint(eager=False)
+    probe_n = min(n_probe, len(cent))
+    schema = spark.read.parquet(queries_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(queries_parquet_dir)
+    )
+    qb = stream.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(S._ivf_probe_udf(cent, probe_n)(F.col(vec_col)))
+        .alias("cell"),
+    ).withColumn("cell", F.col("cell").cast("int"))
+    scored = (
+        qb.join(entries, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine_gated(vec_col, "q_vec").alias("score"),
+        )
+    )
+    return _topk_update_agg(scored, k)

@@ -932,3 +932,50 @@ def test_stream_embedding_drift_matches_batch(spark, tmp_path):
     }
     got = {r["vec_id"]: r["dist_to_old_centroid"] for r in rows.collect()}
     assert got == expected
+
+
+def test_stream_ivf_topk_matches_batch_indexed(spark, tmp_path):
+    """Streaming IVF lookups against the persisted store must resolve
+    each micro-batch to exactly the batch ivf_topk_indexed result —
+    same stored centroids, same probe budget, same tie-break."""
+    from resin_spark.operators import similarity as S
+    from resin_spark.streaming import vectors as sv
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "ivfidx")
+    S.write_ivf_index(emb, path, n_cells=16)
+    entries, cent = S.read_ivf_index(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    want = {}
+    for r in S.ivf_topk_indexed(entries, cent, queries,
+                                n_probe=4).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"]))
+    assert want
+
+    qdir = tmp_path / "ivf_q"
+    qdir.mkdir()
+    emb.filter(F.col("vec_id") < 20).coalesce(1) \
+        .write.parquet(str(tmp_path / "ivf_qa"))
+    import glob, shutil as sh
+    for i, f in enumerate(sorted(glob.glob(
+            str(tmp_path / "ivf_qa" / "*.parquet")))):
+        sh.copy(f, qdir / f"part-{i:04d}.parquet")
+
+    q = (
+        sv.stream_ivf_topk(spark, str(qdir), path, n_probe=4)
+        .writeStream.format("memory")
+        .queryName("ivf_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM ivf_stream").collect():
+        got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
+                              for n in r["neighbors"]]
+    assert got == want
