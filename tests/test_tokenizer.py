@@ -127,3 +127,31 @@ def test_bpe_encode_agrees_with_sequential_merges(spark):
         assert got[i]["subword_text"] == exp, (w, got[i]["subword_text"], exp)
         assert got[i]["n_subwords"] == exp.count("|") + 1
         assert got[i]["n_words"] == 1
+
+
+def test_bpe_train_and_encode_degenerate_corpora(spark):
+    """No [a-z]+ words (numeric/unicode-only corpus) and fully-empty
+    corpora must train zero merges and encode zero rows — not crash in
+    the pair explode or the Arrow encoder."""
+    for rows in ([], [(1, "123 456 !!!"), (2, "日本語 テキスト"), (3, None)]):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = tok.bpe_train({"documents": docs}, n_merges=5)
+        assert merges == []
+        assert tok.bpe_encode({"documents": docs}, merges).count() == 0
+        # distributed route agrees
+        assert tok.bpe_train({"documents": docs}, n_merges=5,
+                             driver_gate=0) == []
+
+
+def test_bpe_encode_subword_text_is_position_ordered(spark):
+    """r6: subword_text must concatenate encodings in ORIGINAL token
+    order (the collect_list nondeterminism fix) — pinned on a doc whose
+    sorted-word order differs from its text order."""
+    docs = spark.createDataFrame(
+        [(1, "zebra apple zebra mango")], "doc_id long, text string")
+    out = tok.bpe_encode({"documents": docs}, []).collect()
+    assert len(out) == 1
+    txt = out[0]["subword_text"]
+    words = [w.replace("|", "") .replace("</w>", "")
+             for w in txt.split(" ")]
+    assert words == ["zebra", "apple", "zebra", "mango"]
