@@ -206,12 +206,77 @@ def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+_INDEX_BUILDERS = {
+    # kind -> (writer, needs) where needs is the source relation shape
+    "text": ("textindex.write_text_index", "documents"),
+    "dedup": ("dedup.write_dedup_index", "documents"),
+    "ann": ("similarity.write_ann_index", "embeddings"),
+    "pq": ("similarity.write_pq_index", "embeddings"),
+    "ivf": ("similarity.write_ivf_index", "embeddings"),
+}
+
+
+def _index_writer(kind: str):
+    from resin_spark.operators import dedup, similarity, textindex
+    return {
+        "text": textindex.write_text_index,
+        "dedup": dedup.write_dedup_index,
+        "ann": similarity.write_ann_index,
+        "pq": similarity.write_pq_index,
+        "ivf": similarity.write_ivf_index,
+    }[kind]
+
+
+def cmd_buildindex(flags: dict, spark: SparkSession, log=print) -> int:
+    """Build a persisted index store from a parquet source: --kind
+    text|dedup (documents: doc_id, text) or ann|pq|ivf (embeddings:
+    vec_id, embedding), --source <parquet>, --path <store dir>. The
+    CLI face of the write_* index builders (GraphSerializer's
+    build-side as a command, beside validateindex's read side)."""
+    kind, path = flags["kind"], flags["path"]
+    if kind not in _INDEX_BUILDERS:
+        log(f"unknown index kind: {kind} "
+            f"(one of {sorted(_INDEX_BUILDERS)})")
+        return 0
+    src = spark.read.parquet(flags["source"])
+    _index_writer(kind)(src, path)
+    log(f"built {kind} index at {path} from {src.count()} source rows")
+    return 0
+
+
+def cmd_appendindex(flags: dict, spark: SparkSession, log=print) -> int:
+    """Merge a NEW batch into a stored incremental index: --kind
+    text|dedup, --source <parquet batch>, --path <store dir>. Fresh
+    doc_ids required — the underlying append op refuses overlap (see
+    append_text_index / append_dedup_index)."""
+    from resin_spark.operators import dedup, textindex
+
+    kind, path = flags["kind"], flags["path"]
+    appenders = {"text": textindex.append_text_index,
+                 "dedup": dedup.append_dedup_index}
+    if kind not in appenders:
+        log(f"unknown append kind: {kind} (one of {sorted(appenders)}; "
+            "ann/pq/ivf stores rebuild — their training state is "
+            "corpus-global)")
+        return 0
+    src = spark.read.parquet(flags["source"])
+    try:
+        appenders[kind](src, path)
+    except ValueError as e:
+        log(f"append refused: {e}")
+        return 0
+    log(f"appended {src.count()} batch rows into {kind} index at {path}")
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
     "stringcompare": cmd_stringcompare,
     "truncate": cmd_truncate,
     "validateindex": cmd_validateindex,
+    "buildindex": cmd_buildindex,
+    "appendindex": cmd_appendindex,
 }
 
 

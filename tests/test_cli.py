@@ -167,3 +167,65 @@ def test_key_skew_report_flags_heavy_hitter(spark):
     assert rep[0]["n_rows"] == 900
     assert rep[0]["share"] == 0.9
     assert rep[0]["x_uniform"] > 80  # 900 vs ~9.9 uniform
+
+
+def test_cmd_buildindex_and_appendindex_lifecycle(spark, tmp_path):
+    """buildindex → appendindex → validateindex over the text kind: the
+    full index lifecycle through the CLI face, probe-equal to a direct
+    rebuild; append of overlapping ids reports the refusal and exits 0
+    (Program.cs convention)."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import textindex as ti
+
+    docs = load_tables(spark, SF_DIR)["documents"] \
+        .filter(F.col("doc_id").isNotNull()).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    path = str(tmp_path / "tidx")
+
+    lines: list[str] = []
+    assert cli.main(["buildindex", "--kind", "text", "--source",
+                     str(tmp_path / "old"), "--path", path],
+                    spark=spark, log=lines.append) == 0
+    assert any("built text index" in l for l in lines)
+
+    lines.clear()
+    assert cli.main(["appendindex", "--kind", "text", "--source",
+                     str(tmp_path / "new"), "--path", path],
+                    spark=spark, log=lines.append) == 0
+    assert any("appended" in l for l in lines)
+
+    full = str(tmp_path / "tidx_full")
+    ti.write_text_index(docs, full)
+    assert [tuple(r) for r in ti.bm25_topk_indexed(spark, path).collect()] \
+        == [tuple(r) for r in ti.bm25_topk_indexed(spark, full).collect()]
+
+    lines.clear()
+    assert cli.main(["validateindex", "--path", path, "--kind", "text"],
+                    spark=spark, log=lines.append) == 0
+    assert any(l.endswith(": valid") for l in lines), lines
+
+    # overlap refuses but still exits 0 through the CLI
+    lines.clear()
+    assert cli.main(["appendindex", "--kind", "text", "--source",
+                     str(tmp_path / "new"), "--path", path],
+                    spark=spark, log=lines.append) == 0
+    assert any("append refused" in l for l in lines)
+
+    # ivf builds through the CLI too (embeddings kind)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    emb.write.parquet(str(tmp_path / "emb"))
+    lines.clear()
+    assert cli.main(["buildindex", "--kind", "ivf", "--source",
+                     str(tmp_path / "emb"), "--path",
+                     str(tmp_path / "ivfidx")],
+                    spark=spark, log=lines.append) == 0
+    lines.clear()
+    assert cli.main(["validateindex", "--path", str(tmp_path / "ivfidx"),
+                     "--kind", "ivf"],
+                    spark=spark, log=lines.append) == 0
+    assert any(l.endswith(": valid") for l in lines), lines
