@@ -206,25 +206,15 @@ def cmd_validateindex(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
-_INDEX_BUILDERS = {
-    # kind -> (writer, needs) where needs is the source relation shape
-    "text": ("textindex.write_text_index", "documents"),
-    "dedup": ("dedup.write_dedup_index", "documents"),
-    "ann": ("similarity.write_ann_index", "embeddings"),
-    "pq": ("similarity.write_pq_index", "embeddings"),
-    "ivf": ("similarity.write_ivf_index", "embeddings"),
-}
-
-
-def _index_writer(kind: str):
+def _index_writers():
     from resin_spark.operators import dedup, similarity, textindex
     return {
-        "text": textindex.write_text_index,
-        "dedup": dedup.write_dedup_index,
-        "ann": similarity.write_ann_index,
-        "pq": similarity.write_pq_index,
-        "ivf": similarity.write_ivf_index,
-    }[kind]
+        "text": textindex.write_text_index,    # documents: doc_id, text
+        "dedup": dedup.write_dedup_index,      # documents: doc_id, text
+        "ann": similarity.write_ann_index,     # embeddings: vec_id, embedding
+        "pq": similarity.write_pq_index,       # embeddings
+        "ivf": similarity.write_ivf_index,     # embeddings
+    }
 
 
 def cmd_buildindex(flags: dict, spark: SparkSession, log=print) -> int:
@@ -234,12 +224,12 @@ def cmd_buildindex(flags: dict, spark: SparkSession, log=print) -> int:
     CLI face of the write_* index builders (GraphSerializer's
     build-side as a command, beside validateindex's read side)."""
     kind, path = flags["kind"], flags["path"]
-    if kind not in _INDEX_BUILDERS:
-        log(f"unknown index kind: {kind} "
-            f"(one of {sorted(_INDEX_BUILDERS)})")
+    writers = _index_writers()
+    if kind not in writers:
+        log(f"unknown index kind: {kind} (one of {sorted(writers)})")
         return 0
     src = spark.read.parquet(flags["source"])
-    _index_writer(kind)(src, path)
+    writers[kind](src, path)
     log(f"built {kind} index at {path} from {src.count()} source rows")
     return 0
 
