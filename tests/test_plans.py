@@ -430,3 +430,34 @@ def test_bm25_topk_is_take_ordered_not_corpus_sort(spark):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_tokenizes_once(spark):
+    """r6 regression pin: the optimized plan must contain EXACTLY ONE
+    tokenize expression — the lower projection materialises the token
+    array once, and neither CollapseProject nor predicate pushdown may
+    re-inline it into the match lambda or a pre-limit filter (the r5
+    shape re-ran the tokenizer per (start × term) probe, 6×). Top-k
+    stays TakeOrdered; the >0 filter sits above the limit."""
+    df = textops.phrase_search(load_tables(spark, SF))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(lower") == 1, opt[:3000]
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_corpus_delta_is_one_join_pruned_scans(spark):
+    """The snapshot diff must stay two pruned (doc_id, text) scans into
+    ONE equi-join — no nested-loop/cartesian shape, no extra columns
+    read (24 bytes/row moves through the exchange, not documents)."""
+    from resin_spark.operators import pipeline as pl
+    t = load_tables(spark, SF)
+    df = pl.corpus_delta_demo(t)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(s.split(",")) <= {"doc_id:bigint", "text:string"}
+        for s in [x.replace(" ", "") for x in schemas]), schemas
