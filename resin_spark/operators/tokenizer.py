@@ -407,6 +407,12 @@ def bpe_encode_oracle(n_merges: int = 20) -> str:
         FROM wfreq
     )"""]
     for i in range(1, n_merges + 1):
+        # s{i} joins t{i} with LEFT JOIN ON TRUE, not a cross join:
+        # when the pair supply exhausts before n_merges (tiny corpora —
+        # the trainer breaks out of its loop), t{i} is EMPTY and a
+        # cross join would wipe every later state; the left join passes
+        # st through unchanged instead, matching the trainer's early
+        # stop (pinned by the hypothesis cross-engine property)
         parts.append(f""",
     p{i} AS (
         SELECT q.l AS l, q.r AS r, SUM(wf) AS c FROM (
@@ -421,9 +427,10 @@ def bpe_encode_oracle(n_merges: int = 20) -> str:
     t{i} AS (SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
     s{i} AS MATERIALIZED (
         SELECT word, wf,
-               replace(st, '(' || t.l || ')(' || t.r || ')',
-                       '(' || t.l || t.r || ')') AS st
-        FROM s{i - 1}, t{i} t
+               CASE WHEN t.l IS NULL THEN st
+                    ELSE replace(st, '(' || t.l || ')(' || t.r || ')',
+                                 '(' || t.l || t.r || ')') END AS st
+        FROM s{i - 1} LEFT JOIN t{i} t ON TRUE
     )""")
     parts.append(f""",
     enc AS (

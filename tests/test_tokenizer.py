@@ -155,3 +155,40 @@ def test_bpe_encode_subword_text_is_position_ordered(spark):
     words = [w.replace("|", "") .replace("</w>", "")
              for w in txt.split(" ")]
     assert words == ["zebra", "apple", "zebra", "mango"]
+
+
+def test_bpe_encode_oracle_property_random_corpora(spark):
+    """Cross-engine property for the r6 driver oracle: on adversarial
+    small corpora (alphabet {a,b} → heavy repeats, overlapping pair
+    occurrences, words that are prefixes of each other), the engine's
+    train→encode must hash-equal the unrolled-CTE DuckDB oracle that
+    retrains the merges via the bracket-string replace trick. Driven
+    by hypothesis over random corpora and merge counts."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=6), min_size=1, max_size=6)
+
+    @given(corpus, st.integers(1, 6))
+    @settings(max_examples=12, deadline=None)
+    def run(doc_words, n_merges):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        t = {"documents": docs}
+        merges = tok.bpe_train(t, n_merges=n_merges)
+        got = sorted(
+            (r["doc_id"], r["n_words"], r["n_subwords"], r["subword_text"])
+            for r in tok.bpe_encode(t, merges).collect())
+
+        con = duckdb.connect()
+        con.register("documents_src", __import__("pandas").DataFrame(
+            rows, columns=["doc_id", "text"]))
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+        want = sorted(map(tuple, con.execute(
+            tok.bpe_encode_oracle(n_merges)).fetchall()))
+        con.close()
+        assert got == want, (rows, n_merges, merges)
+
+    run()
