@@ -259,6 +259,36 @@ def cmd_appendindex(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_search(flags: dict, spark: SparkSession, log=print) -> int:
+    """Query a persisted text index — the serving face the reference
+    is for (GraphSearcher over SeekableGraphReader, here BM25 /
+    phrase over the pruned postings store): --path <store>,
+    --query "free terms" (BM25 ranked) or --phrase "exact phrase"
+    (consecutive-occurrence ranked), --k (default 10). Prints one
+    ranked line per hit."""
+    from resin_spark.operators import textindex as ti
+
+    path, k = flags["path"], int(flags.get("k") or 10)
+    if flags.get("phrase"):
+        terms = tuple(flags["phrase"].lower().split())
+        rows = ti.phrase_topk_indexed(spark, path, phrase=terms,
+                                      k=k).collect()
+        for r in rows:
+            log(f"{r['rank']}. doc {r['doc_id']} — "
+                f"{r['n_occurrences']} occurrence(s) in "
+                f"{r['n_tokens']} tokens")
+    else:
+        terms = tuple(flags["query"].lower().split())
+        rows = ti.bm25_topk_indexed(spark, path, query=terms,
+                                    k=k).collect()
+        for r in rows:
+            log(f"{r['rank']}. doc {r['doc_id']} — score "
+                f"{r['score']:.6f} ({r['n_hits']} of {len(terms)} "
+                f"terms)")
+    log(f"{len(rows)} hit(s)")
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
@@ -267,6 +297,7 @@ COMMANDS = {
     "validateindex": cmd_validateindex,
     "buildindex": cmd_buildindex,
     "appendindex": cmd_appendindex,
+    "search": cmd_search,
 }
 
 

@@ -229,3 +229,37 @@ def test_cmd_buildindex_and_appendindex_lifecycle(spark, tmp_path):
                      "--kind", "ivf"],
                     spark=spark, log=lines.append) == 0
     assert any(l.endswith(": valid") for l in lines), lines
+
+
+def test_cmd_search_bm25_and_phrase(spark, tmp_path):
+    """search: BM25 ranked hits and exact-phrase hits off a persisted
+    store, agreeing with the library probes."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import textindex as ti
+    from resin_spark.operators.textops import BM25_QUERY, PHRASE_QUERY
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    path = str(tmp_path / "sidx")
+    ti.write_text_index(docs, path)
+
+    lines: list[str] = []
+    assert cli.main(["search", "--path", path, "--query",
+                     " ".join(BM25_QUERY), "--k", "5"],
+                    spark=spark, log=lines.append) == 0
+    want = ti.bm25_topk_indexed(spark, path, k=5).collect()
+    hits = [l for l in lines if ". doc " in l]
+    assert len(hits) == len(want)
+    for line, r in zip(hits, want):
+        assert line.startswith(f"{r['rank']}. doc {r['doc_id']} ")
+
+    lines.clear()
+    assert cli.main(["search", "--path", path, "--phrase",
+                     " ".join(PHRASE_QUERY), "--k", "5"],
+                    spark=spark, log=lines.append) == 0
+    wantp = ti.phrase_topk_indexed(spark, path, k=5).collect()
+    hits = [l for l in lines if ". doc " in l]
+    assert len(hits) == len(wantp)
+    for line, r in zip(hits, wantp):
+        assert line.startswith(f"{r['rank']}. doc {r['doc_id']} ")
