@@ -289,6 +289,50 @@ def cmd_search(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_vsearch(flags: dict, spark: SparkSession, log=print) -> int:
+    """Vector search off a persisted ANN store (the GraphSearcher /
+    ClosestMatch serving shape, batch form): --kind ivf|ann|pq,
+    --path <store>, --queries <parquet with vec_id, embedding>,
+    --k (default 10), --n-probe (ivf) / --probe-radius (ann) /
+    --rerank (pq). Prints per-query ranked neighbor lines."""
+    from resin_spark.operators import similarity as sim
+
+    kind, path, k = flags["kind"], flags["path"], int(flags.get("k") or 10)
+    queries = spark.read.parquet(flags["queries"]).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    if kind == "ivf":
+        entries, cent = sim.read_ivf_index(spark, path)
+        out = sim.ivf_topk_indexed(
+            entries, cent, queries, k=k,
+            n_probe=int(flags.get("n-probe") or 8))
+    elif kind == "ann":
+        idx = sim.read_ann_index(spark, path)
+        out = sim.lsh_topk_indexed(
+            idx, queries, k=k,
+            probe_radius=int(flags.get("probe-radius") or 2))
+    elif kind == "pq":
+        if not flags.get("corpus"):
+            log("pq vsearch needs --corpus <raw vectors parquet> for "
+                "the exact rerank stage (the codes relation alone "
+                "ranks by ADC only)")
+            return 0
+        codes, books = sim.read_pq_index(spark, path)
+        emb = spark.read.parquet(flags["corpus"])
+        out = sim.pq_topk_indexed(codes, books, queries, emb, k=k,
+                                  rerank=int(flags.get("rerank") or 100))
+    else:
+        log(f"unknown vector index kind: {kind} (one of ann|ivf|pq)")
+        return 0
+    n = 0
+    for r in out.collect():
+        n += 1
+        log(f"q {r['query_id']}: #{r['rank']} -> {r['neighbor_id']} "
+            f"(score {r['score']:.6f})")
+    log(f"{n} result row(s)")
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
@@ -298,6 +342,7 @@ COMMANDS = {
     "buildindex": cmd_buildindex,
     "appendindex": cmd_appendindex,
     "search": cmd_search,
+    "vsearch": cmd_vsearch,
 }
 
 

