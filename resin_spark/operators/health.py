@@ -1,0 +1,298 @@
+"""Corpus-health operators: encoding-anomaly detection and cross-source
+shingle overlap (r6 staging; r7 driver-slot candidates).
+
+These are training-data QA steps beyond reference parity (the reference
+has no corpus-health surface; closest analog is the text validation in
+src/Resin.TextAnalysis/StringAnalyzer.cs:714-743 FindUnicodeRange, which
+C7/unicode_range already covers): a 100 TB web crawl always contains
+encoding damage (UTF-8 decoded as Latin-1, stray control bytes, U+FFFD
+replacement characters from lossy transcodes), and a multi-source corpus
+needs a cross-source contamination card before mixture weights are
+trusted.
+
+Scale notes:
+- encoding_anomalies is one scan, all counting inside whole-stage
+  codegen (length/replace/regexp_count — no UDF, no explode), then a
+  groupBy on the low-cardinality source key. Holds unchanged at 100 TB.
+- source_overlap_matrix is shingle-explode → distinct on
+  (source, md5) → self-equi-join on the 32-hex shingle key. Matches per
+  key are bounded by the number of sources (≤ a few dozen in any real
+  mixture), so the join output is ≤ n_sources × distinct-shingle count —
+  linear, never doc×doc. At 100 TB swap md5 hex for xxhash64 longs
+  (8-byte shuffle keys; md5 is kept here because the DuckDB oracle has
+  no xxhash64) and pre-aggregate per (source, band of sh) if the
+  distinct-shingle set itself needs sharding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resin_spark.functions import text as T
+
+Tables = dict[str, DataFrame]
+
+# UTF-8-bytes-read-as-Latin-1 lead forms: 0xC3/0xC2 lead bytes render as
+# 'Ã'/'Â'; the 0xE2 0x80 punctuation family renders with the 'â€' prefix
+# ('â€™' for RIGHT SINGLE QUOTE, 'â€œ' for LEFT DOUBLE QUOTE, …).
+MOJI_MARKS: tuple[str, ...] = ("Ã", "Â", "â€")
+# C0 control characters except \t \n \r (legitimate in text).
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+REPLACEMENT_CHAR = "�"
+
+
+def _occurrences(col, mark: str):
+    """Exact occurrence count of a literal substring — length-difference
+    trick, stays in codegen (no regex escaping worries for multi-byte
+    literals)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(mark), F.lit(""))))
+        / F.lit(len(mark))
+    ).cast("long")
+
+
+def _occurrences_sql(expr: str, mark: str) -> str:
+    esc = mark.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{esc}', '')))"
+        f" / {len(mark)} AS BIGINT)"
+    )
+
+
+def encoding_anomalies(docs: DataFrame) -> DataFrame:
+    """Per-source encoding-damage card: (source, n_docs, n_flagged,
+    repl_chars, ctrl_chars, moji_marks, flagged_share).
+
+    - repl_chars: U+FFFD replacement characters (lossy transcodes).
+    - ctrl_chars: C0 controls other than tab/newline/CR (binary junk
+      that leaked into a text field).
+    - moji_marks: occurrences of the classic UTF-8-as-Latin-1 lead
+      forms 'Ã', 'Â', 'â€' — near-zero in clean text of any language,
+      dense in double-encoded text.
+    - flagged: a doc with any of the above; flagged_share = n_flagged /
+      n_docs (exact single division of exact longs).
+
+    One scan, no explode, no UDF; the only shuffle is the final
+    per-source aggregate.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    moji = None
+    for m in MOJI_MARKS:
+        c = _occurrences(txt, m)
+        moji = c if moji is None else moji + c
+    per_doc = docs.select(
+        "source",
+        _occurrences(txt, REPLACEMENT_CHAR).alias("n_repl"),
+        F.regexp_count(txt, F.lit(CTRL_RE)).cast("long").alias("n_ctrl"),
+        moji.alias("n_moji"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("n_repl") + F.col("n_ctrl") + F.col("n_moji")) > 0)
+                .cast("long")
+            ).alias("n_flagged"),
+            F.sum("n_repl").alias("repl_chars"),
+            F.sum("n_ctrl").alias("ctrl_chars"),
+            F.sum("n_moji").alias("moji_marks"),
+        )
+        .withColumn(
+            "flagged_share", F.col("n_flagged") / F.col("n_docs")
+        )
+        .orderBy("source")
+    )
+
+
+# Deterministic corruption for the driver/oracle form: the synthetic
+# documents table is clean ASCII, so the demo injects damage the same
+# way in both engines — every 7th doc gets a mojibake suffix, every
+# 11th a replacement char, every 13th a BEL control (a doc divisible by
+# several gets several).
+ANOM_MOJI_MOD = 7
+ANOM_REPL_MOD = 11
+ANOM_CTRL_MOD = 13
+ANOM_MOJI_SUFFIX = " donâ€™t cafÃ©"  # 'donâ€™t cafÃ©'
+ANOM_CTRL_CHAR = "\x07"
+
+
+def corrupt_demo_docs(docs: DataFrame) -> DataFrame:
+    """documents with deterministic synthetic encoding damage (see the
+    ANOM_* constants) — shared by the demo entry and its streaming twin."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    for mod, suffix in (
+        (ANOM_MOJI_MOD, ANOM_MOJI_SUFFIX),
+        (ANOM_REPL_MOD, REPLACEMENT_CHAR),
+        (ANOM_CTRL_MOD, ANOM_CTRL_CHAR),
+    ):
+        txt = F.when(F.col("doc_id") % mod == 0,
+                     F.concat(txt, F.lit(suffix))).otherwise(txt)
+    return docs.select("doc_id", txt.alias("text"), "lang", "source")
+
+
+def encoding_anomalies_demo(t: Tables) -> DataFrame:
+    """encoding_anomalies over the deterministically corrupted snapshot —
+    the driver-checkable form; the library API is
+    encoding_anomalies(docs)."""
+    return encoding_anomalies(
+        corrupt_demo_docs(t["documents"].filter(F.col("doc_id").isNotNull()))
+    )
+
+
+def _corrupt_sql() -> str:
+    moji = ANOM_MOJI_SUFFIX.replace("'", "''")
+    return f"""
+        SELECT source,
+               COALESCE(text, '')
+               || CASE WHEN doc_id % {ANOM_MOJI_MOD} = 0
+                       THEN '{moji}' ELSE '' END
+               || CASE WHEN doc_id % {ANOM_REPL_MOD} = 0
+                       THEN '{REPLACEMENT_CHAR}' ELSE '' END
+               || CASE WHEN doc_id % {ANOM_CTRL_MOD} = 0
+                       THEN chr(7) ELSE '' END AS text
+        FROM documents WHERE doc_id IS NOT NULL
+    """
+
+
+def encoding_anomalies_demo_oracle() -> str:
+    occ = lambda m: _occurrences_sql("text", m)  # noqa: E731
+    moji = " + ".join(occ(m) for m in MOJI_MARKS)
+    return f"""
+    WITH corrupted AS ({_corrupt_sql()}),
+    per_doc AS (
+        SELECT source,
+               {occ(REPLACEMENT_CHAR)} AS n_repl,
+               CAST(len(regexp_extract_all(text, '{CTRL_RE}')) AS BIGINT)
+                   AS n_ctrl,
+               {moji} AS n_moji
+        FROM corrupted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_repl) AS BIGINT) AS repl_chars,
+           CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+           CAST(SUM(n_moji) AS BIGINT) AS moji_marks,
+           CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+               AS flagged_share
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+# --- cross-source shingle overlap --------------------------------------------
+
+OVERLAP_SHINGLE_N = 3
+
+
+def _source_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(source, sh) with distinct md5'd word-n-gram shingles per source.
+
+    Same gram construction as dedup.shingles (dedup.py:66) but keyed on
+    source and deduplicated across the whole source, not per doc — kept
+    separate so the dedup entries' audited plan is untouched."""
+    toks = T.tokens("text")
+    base = (
+        docs.select("source", toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tk", (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        base.select("source", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select("source", F.md5("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def source_overlap_matrix(docs: DataFrame,
+                          n: int = OVERLAP_SHINGLE_N) -> DataFrame:
+    """Cross-source contamination card: one row per unordered source
+    pair (source_a < source_b) with exact shingle-set overlap —
+    (source_a, source_b, n_a, n_b, n_shared, jaccard). Pairs with zero
+    overlap are included (a mixture report must show independence too).
+
+    Plan: shingle explode → distinct (source, md5) → self-equi-join on
+    the shingle key (≤ n_sources matches per key — linear output), plus
+    a broadcast cross of the tiny per-source size table to restore
+    zero-overlap pairs. No doc×doc or shingle×shingle shape anywhere.
+    """
+    sh = _source_shingles(docs, n)
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_sh").alias("n_b"))
+    pairs = sa.join(sb, F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0))
+             / (F.col("n_a") + F.col("n_b")
+                - F.coalesce("n_shared", F.lit(0)))).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_demo(t: Tables) -> DataFrame:
+    """source_overlap_matrix over the documents table — the
+    driver-checkable form."""
+    return source_overlap_matrix(
+        t["documents"].filter(F.col("doc_id").isNotNull())
+    )
+
+
+def _source_shingles_sql(n: int) -> str:
+    toks = T.tokens_sql("text")
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT source, md5(shingle) AS sh FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                       range(1, len(toks) - {n - 2}), i -> {parts}))) AS shingle
+            FROM (SELECT source, {toks} AS toks FROM documents
+                  WHERE doc_id IS NOT NULL)
+            WHERE len(toks) >= {n}
+        )
+    """
+
+
+def source_overlap_demo_oracle(n: int = OVERLAP_SHINGLE_N) -> str:
+    return f"""
+    WITH sh AS ({_source_shingles_sql(n)}),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           COALESCE(n_shared, 0) AS n_shared,
+           COALESCE(n_shared, 0)
+               / (sa.n_sh + sb.n_sh - COALESCE(n_shared, 0)) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN shared ON source_a = sa.source AND source_b = sb.source
+    ORDER BY source_a, source_b
+    """

@@ -1,0 +1,100 @@
+"""Corpus-health operators: encoding anomalies + cross-source overlap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resin_spark.operators import health
+from tests.conftest import SF_SMALL
+from tests.oracle_util import compare
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+# --- encoding_anomalies -------------------------------------------------------
+
+def test_encoding_anomalies_counts_each_damage_class(spark):
+    df = _docs(spark, [
+        (1, "clean text here", "en", "web"),
+        (2, "donâ€™t stop", "en", "web"),          # 1 'â€' + 1 'Â'? no: â,€,™
+        (3, "cafÉ cafÃ©", "en", "web"),  # 1 'Ã'
+        (4, "bad\x07byte and � twice �", "en", "books"),
+        (5, "tab\tand\nnewline are fine", "en", "books"),
+        (6, None, "en", "books"),
+    ])
+    out = {r["source"]: r for r in health.encoding_anomalies(df).collect()}
+    web, books = out["web"], out["books"]
+    assert (web["n_docs"], web["n_flagged"]) == (3, 2)
+    assert web["moji_marks"] == 2          # 'â€' in doc 2, 'Ã' in doc 3
+    assert web["repl_chars"] == 0 and web["ctrl_chars"] == 0
+    assert (books["n_docs"], books["n_flagged"]) == (3, 1)
+    assert books["repl_chars"] == 2 and books["ctrl_chars"] == 1
+    assert books["moji_marks"] == 0        # \t \n never flag
+    assert books["flagged_share"] == pytest.approx(1 / 3)
+
+
+def test_encoding_anomalies_clean_corpus_all_zero(spark):
+    df = _docs(spark, [(i, f"plain ascii doc {i}", "en", "s") for i in range(5)])
+    row = health.encoding_anomalies(df).collect()[0]
+    assert row["n_flagged"] == 0 and row["flagged_share"] == 0.0
+    assert row["repl_chars"] == row["ctrl_chars"] == row["moji_marks"] == 0
+
+
+def test_corrupt_demo_docs_is_deterministic_and_additive(spark, tables):
+    c = health.corrupt_demo_docs(
+        tables["documents"].filter(F.col("doc_id").isNotNull()))
+    hit = c.filter(F.col("doc_id") == 7 * 11 * 13).collect()
+    if hit:  # doc 1001 exists at sf0.001
+        t = hit[0]["text"]
+        assert t.endswith(health.ANOM_MOJI_SUFFIX
+                          + health.REPLACEMENT_CHAR + health.ANOM_CTRL_CHAR)
+    clean = c.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 != 0)
+                     & (F.col("doc_id") % 13 != 0))
+    sample = clean.limit(5).collect()
+    for r in sample:
+        assert health.REPLACEMENT_CHAR not in (r["text"] or "")
+
+
+def test_encoding_anomalies_demo_matches_oracle(tables):
+    compare(health.encoding_anomalies_demo(tables),
+            health.encoding_anomalies_demo_oracle(), SF_SMALL)
+
+
+# --- source_overlap_matrix ----------------------------------------------------
+
+def test_source_overlap_exact_jaccard(spark):
+    # a: {x y z, y z w}; b: {y z w, z w v}; c: {p q r} (disjoint)
+    df = _docs(spark, [
+        (1, "x y z w", "en", "a"),       # shingles: x y z, y z w
+        (2, "y z w v", "en", "b"),       # shingles: y z w, z w v
+        (3, "p q r", "en", "c"),         # shingle:  p q r
+    ])
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in health.source_overlap_matrix(df).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (2, 2, 1)
+    assert ab["jaccard"] == pytest.approx(1 / 3)
+    ac = rows[("a", "c")]
+    assert ac["n_shared"] == 0 and ac["jaccard"] == 0.0
+
+
+def test_source_overlap_dedups_within_source(spark):
+    # same shingle from two docs of one source counts once
+    df = _docs(spark, [
+        (1, "x y z", "en", "a"),
+        (2, "x y z", "en", "a"),
+        (3, "x y z", "en", "b"),
+    ])
+    r = health.source_overlap_matrix(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (1, 1, 1)
+    assert r["jaccard"] == 1.0
+
+
+def test_source_overlap_demo_matches_oracle(tables):
+    compare(health.source_overlap_demo(tables),
+            health.source_overlap_demo_oracle(), SF_SMALL)
