@@ -60,6 +60,24 @@ def _occurrences_sql(expr: str, mark: str) -> str:
     )
 
 
+def encoding_anomaly_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc damage counts: (doc_id, source, n_repl, n_ctrl, n_moji)
+    — row-local, no shuffle; shared by the per-source card and the
+    streaming twin (streaming/quality.py:stream_encoding_anomalies)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    moji = None
+    for m in MOJI_MARKS:
+        c = _occurrences(txt, m)
+        moji = c if moji is None else moji + c
+    return docs.select(
+        "doc_id",
+        "source",
+        _occurrences(txt, REPLACEMENT_CHAR).alias("n_repl"),
+        F.regexp_count(txt, F.lit(CTRL_RE)).cast("long").alias("n_ctrl"),
+        moji.alias("n_moji"),
+    )
+
+
 def encoding_anomalies(docs: DataFrame) -> DataFrame:
     """Per-source encoding-damage card: (source, n_docs, n_flagged,
     repl_chars, ctrl_chars, moji_marks, flagged_share).
@@ -76,17 +94,7 @@ def encoding_anomalies(docs: DataFrame) -> DataFrame:
     One scan, no explode, no UDF; the only shuffle is the final
     per-source aggregate.
     """
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    moji = None
-    for m in MOJI_MARKS:
-        c = _occurrences(txt, m)
-        moji = c if moji is None else moji + c
-    per_doc = docs.select(
-        "source",
-        _occurrences(txt, REPLACEMENT_CHAR).alias("n_repl"),
-        F.regexp_count(txt, F.lit(CTRL_RE)).cast("long").alias("n_ctrl"),
-        moji.alias("n_moji"),
-    )
+    per_doc = encoding_anomaly_flags(docs)
     return (
         per_doc.groupBy("source")
         .agg(

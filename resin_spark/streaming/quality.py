@@ -568,3 +568,30 @@ def stream_embedding_drift(spark: SparkSession, emb_parquet_dir: str,
             "norm_new",
         )
     )
+
+
+def stream_encoding_anomalies(spark: SparkSession,
+                              docs_parquet_dir: str) -> DataFrame:
+    """Streaming encoding-damage detector: (doc_id, source, n_repl,
+    n_ctrl, n_moji) for arriving docs with any damage — the
+    ingestion-time face of health.encoding_anomalies (the per-source
+    card is a batch rollup; the stream flags broken docs the moment a
+    crawl shard lands, before they pollute downstream stats).
+
+    Counting is row-local (length/replace/regexp_count — the exact
+    expression chain of health.encoding_anomaly_flags), so the twin is
+    stateless: no watermark, no shuffle. Emitted rows equal the batch
+    flags relation's flagged subset bit-for-bit (pinned in tests).
+    """
+    from resin_spark.operators.health import encoding_anomaly_flags
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        encoding_anomaly_flags(stream.filter(F.col("doc_id").isNotNull()))
+        .filter(F.col("n_repl") + F.col("n_ctrl") + F.col("n_moji") > 0)
+    )

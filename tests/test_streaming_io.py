@@ -979,3 +979,34 @@ def test_stream_ivf_topk_matches_batch_indexed(spark, tmp_path):
         got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
                               for n in r["neighbors"]]
     assert got == want
+
+
+def test_stream_encoding_anomalies_matches_batch(spark, tmp_path):
+    """The stateless streaming damage detector must emit exactly the
+    batch per-doc flags relation's flagged subset on the same docs."""
+    from resin_spark.operators import health
+    from resin_spark.streaming import quality as q
+
+    t = load_tables(spark, SF)
+    corrupted = health.corrupt_demo_docs(
+        t["documents"].filter(F.col("doc_id").isNotNull()))
+    src_dir = tmp_path / "docs_in"
+    corrupted.write.parquet(str(src_dir))
+
+    flags = health.encoding_anomaly_flags(corrupted)
+    batch = {tuple(r) for r in flags.filter(
+        F.col("n_repl") + F.col("n_ctrl") + F.col("n_moji") > 0).collect()}
+    assert batch  # the demo corruption must actually flag docs
+
+    sq = (
+        q.stream_encoding_anomalies(spark, str(src_dir))
+        .writeStream.format("memory")
+        .queryName("anom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM anom_stream").collect()}
+    assert got == batch
