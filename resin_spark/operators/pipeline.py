@@ -884,3 +884,94 @@ def corpus_delta_demo_oracle() -> str:
     FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     ORDER BY doc_id
     """
+
+
+# --- temperature-scaled mixture plan ------------------------------------------
+
+# Token budget for the demo plan. Alpha is FIXED at 0.5 (sqrt): sqrt is
+# IEEE-correctly-rounded in every engine, pow(x, alpha) is not — an
+# arbitrary-alpha plan could not be oracle-exact.
+MIX_BUDGET = 1_000_000
+
+
+def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
+    """Per-source resampling plan for a token-budgeted training run —
+    the step after domain_mix (pipeline.py:408): normalise the
+    temperature weights, allocate the budget, and report how many
+    epochs of each source the allocation implies (sampling_rate > 1
+    means the source repeats).
+
+    (source, n_docs, n_tokens, token_share, temp_share, planned_tokens,
+    sampling_rate, n_epochs) with temp_share ∝ sqrt(n_tokens) — the
+    alpha=0.5 temperature flattening used for multilingual/multi-domain
+    mixtures (small sources upweighted, never dominated).
+
+    Cross-engine exactness: summing raw sqrt doubles is order-sensitive,
+    so each weight is rounded to 6 decimals and summed as
+    decimal(28,6) — exact integer arithmetic, order-free; the share is
+    then ONE double division, planned_tokens ONE multiply + floor.
+    Scale: one token-count scan with map-side partial aggregation onto
+    |sources| groups + a broadcast single-row total; the plan relation
+    itself is |sources| rows.
+    """
+    per = (
+        docs.select("source", F.size(T.tokens("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+        .withColumn("w", F.round(F.sqrt("n_tokens"), 6).cast("decimal(28,6)"))
+    )
+    total = per.groupBy().agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("w").cast("double").alias("total_w"),
+    )
+    planned = F.floor(F.lit(float(budget))
+                      * (F.col("w").cast("double") / F.col("total_w")))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+            (F.col("w").cast("double") / F.col("total_w")).alias("temp_share"),
+            planned.alias("planned_tokens"),
+            (planned / F.col("n_tokens")).alias("sampling_rate"),
+            F.floor((planned + F.col("n_tokens") - 1) / F.col("n_tokens"))
+            .alias("n_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_plan_demo(t: Tables) -> DataFrame:
+    """mixture_plan over the documents table at MIX_BUDGET — the
+    driver-checkable form; the library API is mixture_plan(docs,
+    budget)."""
+    return mixture_plan(t["documents"].filter(F.col("doc_id").isNotNull()))
+
+
+def mixture_plan_demo_oracle(budget: int = MIX_BUDGET) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+               CAST(round(sqrt(CAST(SUM(len({toks})) AS BIGINT)), 6)
+                    AS DECIMAL(28,6)) AS w
+        FROM documents WHERE doc_id IS NOT NULL GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(w) AS DOUBLE) AS total_w
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens / total_tokens AS token_share,
+           CAST(w AS DOUBLE) / total_w AS temp_share,
+           CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
+                AS BIGINT) AS planned_tokens,
+           CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
+                AS BIGINT) / n_tokens AS sampling_rate,
+           CAST(floor((CAST(floor({float(budget)}
+                    * (CAST(w AS DOUBLE) / total_w)) AS BIGINT)
+                    + n_tokens - 1) / n_tokens) AS BIGINT) AS n_epochs
+    FROM per, tot ORDER BY source
+    """

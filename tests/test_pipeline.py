@@ -242,3 +242,36 @@ def test_corpus_delta_demo_oracle_parity(spark):
     compare(df, pl.corpus_delta_demo_oracle(), "/root/testdata/sf0.001")
     statuses = {r["status"] for r in df.select("status").distinct().collect()}
     assert statuses == {"added", "removed", "modified", "unchanged"}
+
+
+def test_mixture_plan_flattens_small_sources(spark):
+    """alpha=0.5 temperature: the small source's planned share must
+    exceed its raw token share; equal sources split the budget evenly."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h", "en", "big")] * 8
+        + [(9, "a b", "en", "small")] * 2,
+        "doc_id long, text string, lang string, source string")
+    # distinct doc_ids
+    from pyspark.sql import functions as F
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    rows = {r["source"]: r for r in pipeline.mixture_plan(df, 1000).collect()}
+    big, small = rows["big"], rows["small"]
+    assert big["n_tokens"] == 64 and small["n_tokens"] == 4
+    assert small["temp_share"] > small["token_share"]
+    assert big["temp_share"] < big["token_share"]
+    # shares sum to 1, planned tokens conserve the budget (floor slack < n)
+    assert abs(big["temp_share"] + small["temp_share"] - 1.0) < 1e-12
+    assert 1000 - 2 <= big["planned_tokens"] + small["planned_tokens"] <= 1000
+    # tiny source oversampled: rate > 1 and epochs = ceil(rate)
+    assert small["sampling_rate"] > 1
+    import math
+    assert small["n_epochs"] == math.ceil(small["planned_tokens"]
+                                          / small["n_tokens"])
+
+
+def test_mixture_plan_demo_oracle_parity(spark):
+    from tests.oracle_util import compare
+    from resin_spark.io import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.mixture_plan_demo(t),
+            pipeline.mixture_plan_demo_oracle(), "/root/testdata/sf0.001")
