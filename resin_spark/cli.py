@@ -333,6 +333,41 @@ def cmd_vsearch(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
+    """Corpus-health reports over a documents-shaped parquet store
+    (doc_id, text, source): --docs <parquet>, --report
+    anomalies|overlap|mixture|all (default all), --budget <tokens>
+    (mixture planner, default pipeline.MIX_BUDGET). Prints one line
+    per report row."""
+    from resin_spark.operators import health, pipeline
+
+    docs = spark.read.parquet(flags["docs"])
+    which = (flags.get("report") or "all").lower()
+    if which not in ("anomalies", "overlap", "mixture", "all"):
+        log(f"unknown report: {which} (one of anomalies|overlap|mixture|all)")
+        return 0
+    if which in ("anomalies", "all"):
+        log("-- encoding anomalies --")
+        for r in health.encoding_anomalies(docs).collect():
+            log(f"{r['source']}: {r['n_flagged']}/{r['n_docs']} docs flagged "
+                f"(repl {r['repl_chars']}, ctrl {r['ctrl_chars']}, "
+                f"moji {r['moji_marks']}; share {r['flagged_share']:.4f})")
+    if which in ("overlap", "all"):
+        log("-- source overlap --")
+        for r in health.source_overlap_matrix(docs).collect():
+            log(f"{r['source_a']} ~ {r['source_b']}: jaccard "
+                f"{r['jaccard']:.6f} ({r['n_shared']} shared of "
+                f"{r['n_a']}/{r['n_b']} shingles)")
+    if which in ("mixture", "all"):
+        budget = int(flags.get("budget") or pipeline.MIX_BUDGET)
+        log(f"-- mixture plan (budget {budget}) --")
+        for r in pipeline.mixture_plan(docs, budget).collect():
+            log(f"{r['source']}: {r['n_tokens']} tokens -> plan "
+                f"{r['planned_tokens']} (share {r['temp_share']:.4f}, "
+                f"rate {r['sampling_rate']:.3f}, epochs {r['n_epochs']})")
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
@@ -343,6 +378,7 @@ COMMANDS = {
     "appendindex": cmd_appendindex,
     "search": cmd_search,
     "vsearch": cmd_vsearch,
+    "health": cmd_health,
 }
 
 

@@ -287,3 +287,36 @@ def test_cmd_vsearch_ivf_and_ann(spark, tmp_path):
         hits = [l for l in lines if l.startswith("q ")]
         assert len(hits) == 9, (kind, lines)  # 3 queries x k=3
         assert "9 result row(s)" in lines
+
+
+def test_cmd_health_reports_all_three(spark, tmp_path):
+    """health: anomaly, overlap and mixture reports over a parquet
+    store, agreeing with the library operators' row counts."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import health
+
+    docs = health.corrupt_demo_docs(
+        load_tables(spark, SF_DIR)["documents"]
+        .filter(F.col("doc_id").isNotNull()))
+    path = str(tmp_path / "docs_pq")
+    docs.write.parquet(path)
+
+    lines: list[str] = []
+    assert cli.main(["health", "--docs", path, "--budget", "10000"],
+                    spark=spark, log=lines.append) == 0
+    text = "\n".join(lines)
+    assert "-- encoding anomalies --" in text
+    assert "-- source overlap --" in text
+    assert "-- mixture plan (budget 10000) --" in text
+    n_sources = docs.select("source").distinct().count()
+    assert len([l for l in lines if "docs flagged" in l]) == n_sources
+    assert len([l for l in lines if "jaccard" in l]) \
+        == n_sources * (n_sources - 1) // 2
+    assert len([l for l in lines if "-> plan" in l]) == n_sources
+
+    lines.clear()
+    assert cli.main(["health", "--docs", path, "--report", "bogus"],
+                    spark=spark, log=lines.append) == 0
+    assert any("unknown report" in l for l in lines)
