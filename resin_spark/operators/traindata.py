@@ -1866,3 +1866,53 @@ def embedding_drift_demo_oracle() -> str:
     LEFT JOIN n_stats ns ON ns.label = COALESCE(o.label, n.label)
     ORDER BY label
     """
+
+
+# --- language-metadata QA: NB confusion matrix --------------------------------
+
+def lang_confusion(t: Tables) -> DataFrame:
+    """Language-metadata QA card: confusion matrix of the self-trained
+    NB classifier (nb_lang_classify) against the corpus's declared
+    ``lang`` labels — (true_lang, pred_lang, n_docs, share_of_true).
+
+    A heavy off-diagonal cell means mislabeled metadata or a genuinely
+    confusable language pair — either way, the langs whose declared
+    labels can't be trusted for mixture weighting / per-lang filtering.
+
+    Adds one |langs|²-bounded aggregate on top of the classifier's
+    plan (traindata.py:860 — model build is the only corpus-scale
+    shuffle); share_of_true is a single exact-long division.
+    """
+    per = (
+        nb_lang_classify(t)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
+    return (
+        per.join(tot, "true_lang")
+        .select(
+            "true_lang", "pred_lang", "n_docs",
+            (F.col("n_docs") / F.col("n_true")).alias("share_of_true"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def lang_confusion_oracle() -> str:
+    return f"""
+    WITH cls AS (
+        SELECT * FROM ({nb_lang_classify_oracle()}) q
+    ),
+    per AS (
+        SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+        FROM cls GROUP BY true_lang, pred_lang
+    ),
+    tot AS (
+        SELECT true_lang, SUM(n_docs) AS n_true FROM per GROUP BY true_lang
+    )
+    SELECT per.true_lang, pred_lang, n_docs,
+           n_docs / n_true AS share_of_true
+    FROM per JOIN tot ON per.true_lang = tot.true_lang
+    ORDER BY per.true_lang, pred_lang
+    """

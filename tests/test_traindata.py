@@ -447,3 +447,20 @@ def test_embedding_drift_demo_oracle_parity(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(td.embedding_drift_demo(t), td.embedding_drift_demo_oracle(),
             "/root/testdata/sf0.001")
+
+
+def test_lang_confusion_matches_oracle_and_sums_to_one(spark):
+    from tests.oracle_util import compare
+    from resin_spark.io import load_tables
+    from resin_spark.operators import traindata as td
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    df = td.lang_confusion(t)
+    compare(df, td.lang_confusion_oracle(), "/root/testdata/sf0.001")
+    rows = df.collect()
+    per_true: dict = {}
+    for r in rows:
+        per_true.setdefault(r["true_lang"], 0.0)
+        per_true[r["true_lang"]] += r["share_of_true"]
+    for lang, s in per_true.items():
+        assert abs(s - 1.0) < 1e-9, (lang, s)
