@@ -304,3 +304,92 @@ def source_overlap_demo_oracle(n: int = OVERLAP_SHINGLE_N) -> str:
     LEFT JOIN shared ON source_a = sa.source AND source_b = sb.source
     ORDER BY source_a, source_b
     """
+
+
+# --- per-column table profile -------------------------------------------------
+
+_SPARK_TO_SQLISH = {
+    "bigint": "bigint", "long": "bigint", "int": "int",
+    "double": "double", "float": "float", "string": "string",
+    "boolean": "boolean", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """Deequ/TFDV-style per-column quality profile: one row per column
+    with (col_name, dtype, n_rows, n_null, n_distinct, min_value,
+    max_value) — the schema-drift / null-rate / cardinality check a
+    pipeline runs on every new snapshot before trusting it.
+
+    min/max are rendered as strings for a uniform flat schema; exact
+    cross-engine string casts hold for integer and string columns (the
+    documents table) — float-column renderings differ between engines,
+    so profile floats through an explicit round/format column upstream
+    if oracle-exactness is needed.
+
+    One scan: every metric folds into a single aggregate row (the
+    multi-countDistinct expands the scan ×|columns| map-side — the
+    standard cost of exact profiles; at 100 TB swap in
+    approx_count_distinct and keep the rest), then explodes to the
+    |columns|-row report. No joins, no second pass.
+    """
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"_null_{i}"),
+            F.countDistinct(c).alias(f"_dist_{i}"),
+            F.min(c).cast("string").alias(f"_min_{i}"),
+            F.max(c).cast("string").alias(f"_max_{i}"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(_SPARK_TO_SQLISH.get(
+                df.schema[c].dataType.simpleString(),
+                df.schema[c].dataType.simpleString())).alias("dtype"),
+            F.col(f"_null_{i}").alias("n_null"),
+            F.col(f"_dist_{i}").alias("n_distinct"),
+            F.col(f"_min_{i}").alias("min_value"),
+            F.col(f"_max_{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return (
+        one.select(F.col("_rows").alias("n_rows"),
+                   F.explode(entries).alias("e"))
+        .select("e.col_name", "e.dtype", "n_rows", "e.n_null",
+                "e.n_distinct", "e.min_value", "e.max_value")
+        .orderBy("col_name")
+    )
+
+
+def table_profile_demo(t: Tables) -> DataFrame:
+    """table_profile over the documents table — the driver-checkable
+    form; the library API is table_profile(df)."""
+    return table_profile(t["documents"])
+
+
+def table_profile_demo_oracle() -> str:
+    cols = [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "bigint")]
+    branches = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, '{d}' AS dtype, n_rows,
+                   _null_{c} AS n_null, _dist_{c} AS n_distinct,
+                   _min_{c} AS min_value, _max_{c} AS max_value FROM a"""
+        for c, d in cols
+    )
+    metrics = ", ".join(
+        f"""CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS _null_{c},
+            COUNT(DISTINCT {c}) AS _dist_{c},
+            CAST(MIN({c}) AS VARCHAR) AS _min_{c},
+            CAST(MAX({c}) AS VARCHAR) AS _max_{c}"""
+        for c, _ in cols
+    )
+    return f"""
+    WITH a AS (SELECT COUNT(*) AS n_rows, {metrics} FROM documents)
+    SELECT * FROM ({branches}) ORDER BY col_name
+    """

@@ -98,3 +98,30 @@ def test_source_overlap_dedups_within_source(spark):
 def test_source_overlap_demo_matches_oracle(tables):
     compare(health.source_overlap_demo(tables),
             health.source_overlap_demo_oracle(), SF_SMALL)
+
+
+# --- table_profile ------------------------------------------------------------
+
+def test_table_profile_metrics_exact(spark):
+    df = _docs(spark, [
+        (1, "aa", "en", "web"),
+        (2, None, "en", "web"),
+        (3, "cc", None, "books"),
+        (3, "cc", "fr", "books"),
+    ])
+    rows = {r["col_name"]: r for r in health.table_profile(df).collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows["doc_id"]["n_distinct"] == 3   # 1,2,3 (3 repeated)
+    assert rows["text"]["n_null"] == 1 and rows["text"]["n_distinct"] == 2
+    assert rows["lang"]["n_null"] == 1
+    assert rows["doc_id"]["min_value"] == "1"
+    assert rows["doc_id"]["max_value"] == "3"
+    assert rows["source"]["min_value"] == "books"
+    assert rows["source"]["dtype"] == "string"
+    assert rows["doc_id"]["dtype"] == "bigint"
+
+
+def test_table_profile_demo_matches_oracle(tables):
+    compare(health.table_profile_demo(tables),
+            health.table_profile_demo_oracle(), SF_SMALL)
