@@ -461,3 +461,52 @@ def test_corpus_delta_is_one_join_pruned_scans(spark):
     assert schemas and all(
         set(s.split(",")) <= {"doc_id:bigint", "text:string"}
         for s in [x.replace(" ", "") for x in schemas]), schemas
+
+
+def test_encoding_anomalies_single_scan_no_joins(spark):
+    """The damage card is one codegen scan + the per-source aggregate —
+    no explode, no join, no Python stage."""
+    from resin_spark.operators import health
+
+    p = plan_of(health.encoding_anomalies_demo(load_tables(spark, SF)))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "Generate" not in p          # no explode
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_table_profile_single_scan_with_expand(spark):
+    """All column metrics fold into ONE scan: the multi-countDistinct
+    plans an Expand, not one aggregate job per column."""
+    from resin_spark.operators import health
+
+    p = plan_of(health.table_profile_demo(load_tables(spark, SF)))
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+    assert "Join" not in p
+
+
+def test_source_overlap_no_cartesian_on_shingles(spark):
+    """The shingle self-join is an equi-join; the only nested-loop is
+    the |sources|²-bounded broadcast cross of the tiny size table."""
+    from resin_spark.operators import health
+
+    p = plan_of(health.source_overlap_demo(load_tables(spark, SF)))
+    assert "CartesianProduct" not in p
+    # the shingle-key join must be hash- or sort-merge (an equi-join),
+    # never nested-loop: every BNLJ in this plan must have a broadcast
+    # child (the size-table cross), which a shingle-relation join of two
+    # corpus-scale sides would not
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or p.count("BroadcastHashJoin") >= 1
+
+
+def test_mixture_plan_one_broadcast_total(spark):
+    """The plan relation joins the single-row exact total via broadcast
+    — the corpus never shuffles against itself."""
+    from resin_spark.operators import pipeline
+
+    p = plan_of(pipeline.mixture_plan_demo(load_tables(spark, SF)))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
