@@ -231,9 +231,18 @@ def source_overlap_matrix(docs: DataFrame,
     the shingle key (≤ n_sources matches per key — linear output), plus
     a broadcast cross of the tiny per-source size table to restore
     zero-overlap pairs. No doc×doc or shingle×shingle shape anywhere.
+
+    Sources whose every doc is shorter than the shingle width still
+    appear (n=0 shingles); their pairs report jaccard 0.0 — a report
+    row per source pair is the contract, 0/0 defined as no overlap.
     """
     sh = _source_shingles(docs, n)
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = (
+        docs.select("source").distinct()
+        .join(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh")),
+              "source", "left")
+        .select("source", F.coalesce("n_sh", F.lit(0)).alias("n_sh"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -254,9 +263,11 @@ def source_overlap_matrix(docs: DataFrame,
         .select(
             "source_a", "source_b", "n_a", "n_b",
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0))
-             / (F.col("n_a") + F.col("n_b")
-                - F.coalesce("n_shared", F.lit(0)))).alias("jaccard"),
+            F.when(F.col("n_a") + F.col("n_b") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_shared", F.lit(0))
+                / (F.col("n_a") + F.col("n_b")
+                   - F.coalesce("n_shared", F.lit(0)))).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -287,7 +298,13 @@ def _source_shingles_sql(n: int) -> str:
 def source_overlap_demo_oracle(n: int = OVERLAP_SHINGLE_N) -> str:
     return f"""
     WITH sh AS ({_source_shingles_sql(n)}),
-    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    sizes AS (
+        SELECT d.source, COALESCE(c.n_sh, 0) AS n_sh
+        FROM (SELECT DISTINCT source FROM documents
+              WHERE doc_id IS NOT NULL) d
+        LEFT JOIN (SELECT source, COUNT(*) AS n_sh FROM sh
+                   GROUP BY source) c ON d.source = c.source
+    ),
     shared AS (
         SELECT a.source AS source_a, b.source AS source_b,
                COUNT(*) AS n_shared
@@ -297,8 +314,10 @@ def source_overlap_demo_oracle(n: int = OVERLAP_SHINGLE_N) -> str:
     SELECT sa.source AS source_a, sb.source AS source_b,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
            COALESCE(n_shared, 0) AS n_shared,
-           COALESCE(n_shared, 0)
-               / (sa.n_sh + sb.n_sh - COALESCE(n_shared, 0)) AS jaccard
+           CASE WHEN sa.n_sh + sb.n_sh = 0 THEN 0.0
+                ELSE COALESCE(n_shared, 0)
+                     / (sa.n_sh + sb.n_sh - COALESCE(n_shared, 0))
+           END AS jaccard
     FROM sizes sa
     JOIN sizes sb ON sa.source < sb.source
     LEFT JOIN shared ON source_a = sa.source AND source_b = sb.source

@@ -540,3 +540,77 @@ def test_append_text_index_property(spark, tmp_path_factory, rows, pivot):
     assert (si is None) == (sf_ is None) or \
         (si["n_docs"], si["total_tokens"]) == \
         (sf_["n_docs"], sf_["total_tokens"])
+
+
+# --- corpus-health properties -------------------------------------------------
+
+_anom_text = st.text(
+    alphabet=st.sampled_from(list("ab \n\tÃÂ�") + ["\x07", "€", "â", "™"]),
+    max_size=30)
+
+
+@given(st.lists(st.tuples(_anom_text, st.sampled_from(["s1", "s2"])),
+                min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_encoding_anomalies_matches_python_reference(spark, rows):
+    """Damage counts equal a straightforward scalar Python count on
+    arbitrary mixes of clean chars, marks and controls."""
+    import re as _re
+
+    from resin_spark.operators import health
+
+    df = spark.createDataFrame(
+        [(i, t, "en", s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in health.encoding_anomalies(df).collect()}
+
+    expected: dict = {}
+    for t, s in rows:
+        e = expected.setdefault(s, [0, 0, 0, 0, 0])  # docs, flag, repl, ctrl, moji
+        n_repl = t.count("�")
+        n_ctrl = len(_re.findall("[\x00-\x08\x0b\x0c\x0e-\x1f]", t))
+        n_moji = t.count("Ã") + t.count("Â") + t.count("â€")
+        e[0] += 1
+        e[1] += 1 if n_repl + n_ctrl + n_moji > 0 else 0
+        e[2] += n_repl
+        e[3] += n_ctrl
+        e[4] += n_moji
+    assert set(got) == set(expected)
+    for s, (nd, nf, nr, nc, nm) in expected.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_flagged"], r["repl_chars"],
+                r["ctrl_chars"], r["moji_marks"]) == (nd, nf, nr, nc, nm), s
+
+
+_overlap_doc = st.lists(st.sampled_from("abcde"), min_size=0, max_size=8)
+
+
+@given(st.lists(st.tuples(_overlap_doc, st.sampled_from(["s1", "s2", "s3"])),
+                min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_source_overlap_matches_python_sets(spark, rows):
+    """Pairwise Jaccard equals the set-theoretic reference on random
+    tiny corpora (3-gram shingles over single-char tokens)."""
+    from resin_spark.operators import health
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), "en", s) for i, (toks, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string")
+    got = {(r["source_a"], r["source_b"]): r
+           for r in health.source_overlap_matrix(df).collect()}
+
+    sets: dict = {}
+    for toks, s in rows:
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sets.setdefault(s, set()).update(sh)
+    srcs = sorted(sets)
+    expected_pairs = {(a, b) for i, a in enumerate(srcs)
+                      for b in srcs[i + 1:]}
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert (r["n_a"], r["n_b"], r["n_shared"]) == (
+            len(sets[a]), len(sets[b]), inter), (a, b)
+        if union:
+            assert abs(r["jaccard"] - inter / union) < 1e-12
