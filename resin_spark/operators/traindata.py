@@ -1916,3 +1916,131 @@ def lang_confusion_oracle() -> str:
     FROM per JOIN tot ON per.true_lang = tot.true_lang
     ORDER BY per.true_lang, pred_lang
     """
+
+
+# --- content-defined chunk dedup ----------------------------------------------
+
+# Window width (tokens) and boundary mask for content-defined chunking:
+# a chunk boundary falls after token i whenever the k-gram ending at i
+# hashes to 0 mod (CDC_MASK+1) — expected chunk length ≈ CDC_MASK+1
+# tokens. Lockstep knobs: both engines derive boundaries from the same
+# md5-based 60-bit hash (_token_hash60).
+CDC_K = 4
+CDC_MASK = 15
+
+
+def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
+                    min_count: int = 2) -> DataFrame:
+    """Content-defined-chunk duplication accounting — the
+    storage-dedup trick (Rabin/CDC) applied to corpus hygiene: chunk
+    boundaries are chosen by CONTENT (k-gram hash ≡ 0 mod mask+1), so
+    a duplicated passage chunks identically wherever it appears,
+    regardless of shift — catching copied spans that line_dedup_stats
+    (traindata.py:299) misses when the surrounding text moves the line
+    breaks and dup_span_coverage's fixed-width grams only tally
+    per-token.
+
+    Per doc: (doc_id, n_tokens, n_chunks, n_dup_chunks,
+    dup_chunk_share) where a chunk is "duplicated" when its exact text
+    occurs ``min_count``+ times corpus-wide.
+
+    Plan: boundary selection and chunk assembly are row-local
+    higher-order functions over ONE tokenize (no shuffle, no UDF);
+    chunks travel as md5 keys through one counting shuffle + one hash
+    join back — line_dedup_stats' exact shape with content-defined
+    spans. Linear at 100 TB; boundary-hash skew is impossible (keys
+    are content hashes).
+    """
+    d = mask + 1
+    docs = t["documents"]
+    base = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    n = F.size("tk")
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("tk"), i - (k - 1), F.lit(k)))
+    bpos = F.when(
+        n > k,
+        F.filter(F.sequence(F.lit(k), n - 1),
+                 lambda i: _token_hash60(gram_at(i)) % d == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    with_spans = base.select(
+        "doc_id", "tk", n.alias("n_tokens"),
+        F.concat(F.array(F.lit(1)),
+                 F.transform(bpos, lambda b: b + 1)).alias("starts"),
+        F.concat(bpos, F.array(n)).alias("ends"),
+    )
+    chunks = with_spans.select(
+        "doc_id", "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.slice(F.col("tk"), F.element_at("starts", j),
+                            F.element_at("ends", j)
+                            - F.element_at("starts", j) + 1)),
+            )
+        ).alias("chunk_no", "chunk"),
+    ).withColumn("ch", F.md5("chunk"))
+    dup = (
+        chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("ch", F.lit(True).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "ch", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("is_dup", F.lit(False)).cast("long"))
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_chunks", "n_dup_chunks",
+            (F.col("n_dup_chunks") / F.col("n_chunks"))
+            .alias("dup_chunk_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def cdc_chunk_stats_oracle(k: int = CDC_K, mask: int = CDC_MASK,
+                           min_count: int = 2) -> str:
+    d = mask + 1
+    toks = T.tokens_sql("text")
+    gram = f"array_to_string(list_slice(tk, i - {k - 1}, i), ' ')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), base1 AS (
+        SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) >= 1
+    ), spans AS (
+        SELECT doc_id, tk, n,
+               list_concat([1], list_transform(bpos, b -> b + 1)) AS starts,
+               list_concat(bpos, [n]) AS ends
+        FROM (
+            SELECT doc_id, tk, n,
+                   list_filter(range({k}, n),
+                       i -> ({_token_hash60_sql(gram)}) % {d} = 0) AS bpos
+            FROM base1
+        )
+    ), chunks AS (
+        SELECT doc_id, n AS n_tokens,
+               md5(array_to_string(list_slice(tk, starts[j], ends[j]), ' '))
+                   AS ch
+        FROM spans, unnest(range(1, len(starts) + 1)) AS u(j)
+    ), dup AS (
+        SELECT ch FROM chunks GROUP BY ch HAVING COUNT(*) >= {min_count}
+    )
+    SELECT doc_id, n_tokens, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ch IN (SELECT ch FROM dup)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN ch IN (SELECT ch FROM dup)
+                         THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+               AS dup_chunk_share
+    FROM chunks GROUP BY doc_id, n_tokens ORDER BY doc_id
+    """
