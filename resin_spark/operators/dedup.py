@@ -1196,3 +1196,56 @@ def append_dedup_index(new_docs: DataFrame, path: str, n: int = 3,
     grouped.write.mode("append").parquet(f"{path}/hashes")
     bands_df.repartition("band").write.mode("append") \
         .partitionBy("band").parquet(f"{path}/bands")
+
+
+def dup_cluster_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Duplicate-cluster size distribution — the one-page corpus card
+    over dedup_components (dedup.py:503): (cluster_size, n_clusters,
+    n_docs, doc_share). cluster_size 1 = unique docs; the heavy tail
+    is what a dedup pass will collapse, and doc_share says how much of
+    the corpus that is.
+
+    Adds two tiny aggregates (per-component size, then per-size count
+    — both shrink fast) and a broadcast single-row total on top of the
+    component relation's audited plan. The histogram itself is at most
+    |distinct sizes| rows.
+    """
+    comp = dedup_components(docs, max_hamming)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"))
+    total = hist.groupBy().agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("total_docs"))
+    return (
+        hist.join(F.broadcast(total))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters")
+             / F.col("total_docs")).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def dup_cluster_histogram_oracle(max_hamming: int = 3) -> str:
+    return f"""
+    WITH comp AS (
+        SELECT * FROM ({dedup_components_oracle(max_hamming)}) q
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp
+        GROUP BY component
+    ),
+    hist AS (
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+        GROUP BY cluster_size
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           cluster_size * n_clusters
+               / (SELECT SUM(cluster_size * n_clusters) FROM hist)
+               AS doc_share
+    FROM hist ORDER BY cluster_size
+    """

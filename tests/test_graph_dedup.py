@@ -248,3 +248,35 @@ def test_append_dedup_index_equals_rebuild(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already indexed"):
         dedup.append_dedup_index(third.limit(3), inc)
+
+
+def test_dup_cluster_histogram_counts(spark):
+    """Three identical docs + two identical + one unique → clusters of
+    3, 2, 1 with exact shares."""
+    from resin_spark.operators import dedup
+
+    rows = [(1, "alpha beta gamma delta common tail words here"),
+            (2, "alpha beta gamma delta common tail words here"),
+            (3, "alpha beta gamma delta common tail words here"),
+            (4, "totally different content in this pair of docs yes"),
+            (5, "totally different content in this pair of docs yes"),
+            (6, "a singleton unlike anything else in the corpus")]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in rows],
+        "doc_id long, text string, lang string, source string")
+    got = {r["cluster_size"]: r
+           for r in dedup.dup_cluster_histogram(df).collect()}
+    assert got[3]["n_clusters"] == 1 and got[2]["n_clusters"] == 1
+    assert got[1]["n_clusters"] == 1
+    assert got[3]["n_docs"] == 3
+    assert abs(got[3]["doc_share"] - 0.5) < 1e-12
+
+
+def test_dup_cluster_histogram_matches_oracle(spark):
+    from tests.oracle_util import compare
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(dedup.dup_cluster_histogram(t["documents"]),
+            dedup.dup_cluster_histogram_oracle(), "/root/testdata/sf0.001")
