@@ -1929,6 +1929,48 @@ CDC_K = 4
 CDC_MASK = 15
 
 
+def cdc_chunks(docs: DataFrame, k: int = CDC_K,
+               mask: int = CDC_MASK) -> DataFrame:
+    """(doc_id, n_tokens, chunk_no, chunk, ch) — the content-defined
+    chunk relation: boundary selection and chunk assembly as row-local
+    higher-order functions over ONE tokenize. Shared by the batch
+    stats rollup and the streaming classifier
+    (streaming/quality.py:stream_cdc_flags)."""
+    d = mask + 1
+    base = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    n = F.size("tk")
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("tk"), i - (k - 1), F.lit(k)))
+    bpos = F.when(
+        n > k,
+        F.filter(F.sequence(F.lit(k), n - 1),
+                 lambda i: _token_hash60(gram_at(i)) % d == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    with_spans = base.select(
+        "doc_id", "tk", n.alias("n_tokens"),
+        F.concat(F.array(F.lit(1)),
+                 F.transform(bpos, lambda b: b + 1)).alias("starts"),
+        F.concat(bpos, F.array(n)).alias("ends"),
+    )
+    return with_spans.select(
+        "doc_id", "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.slice(F.col("tk"), F.element_at("starts", j),
+                            F.element_at("ends", j)
+                            - F.element_at("starts", j) + 1)),
+            )
+        ).alias("chunk_no", "chunk"),
+    ).withColumn("ch", F.md5("chunk"))
+
+
 def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
                     min_count: int = 2) -> DataFrame:
     """Content-defined-chunk duplication accounting — the
@@ -1951,40 +1993,7 @@ def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
     spans. Linear at 100 TB; boundary-hash skew is impossible (keys
     are content hashes).
     """
-    d = mask + 1
-    docs = t["documents"]
-    base = (
-        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", T.tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 1)
-    )
-    n = F.size("tk")
-    gram_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(F.col("tk"), i - (k - 1), F.lit(k)))
-    bpos = F.when(
-        n > k,
-        F.filter(F.sequence(F.lit(k), n - 1),
-                 lambda i: _token_hash60(gram_at(i)) % d == 0),
-    ).otherwise(F.array().cast("array<int>"))
-    with_spans = base.select(
-        "doc_id", "tk", n.alias("n_tokens"),
-        F.concat(F.array(F.lit(1)),
-                 F.transform(bpos, lambda b: b + 1)).alias("starts"),
-        F.concat(bpos, F.array(n)).alias("ends"),
-    )
-    chunks = with_spans.select(
-        "doc_id", "n_tokens",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("starts")),
-                lambda j: F.concat_ws(
-                    " ",
-                    F.slice(F.col("tk"), F.element_at("starts", j),
-                            F.element_at("ends", j)
-                            - F.element_at("starts", j) + 1)),
-            )
-        ).alias("chunk_no", "chunk"),
-    ).withColumn("ch", F.md5("chunk"))
+    chunks = cdc_chunks(t["documents"], k=k, mask=mask)
     dup = (
         chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)

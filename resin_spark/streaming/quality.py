@@ -595,3 +595,41 @@ def stream_encoding_anomalies(spark: SparkSession,
         encoding_anomaly_flags(stream.filter(F.col("doc_id").isNotNull()))
         .filter(F.col("n_repl") + F.col("n_ctrl") + F.col("n_moji") > 0)
     )
+
+
+def stream_cdc_flags(spark: SparkSession, docs_parquet_dir: str,
+                     standing: DataFrame) -> DataFrame:
+    """Streaming content-defined-chunk classifier: each arriving doc's
+    chunks emit (doc_id, chunk_no, ch, is_known) where is_known means
+    the chunk's exact text already exists in a FROZEN standing corpus —
+    the ingestion-time face of traindata.cdc_chunk_stats (the batch op
+    counts corpus-wide; the stream flags copied passages the moment a
+    crawl shard lands, shift-proof because boundaries are content-
+    defined).
+
+    The standing corpus collapses once to its distinct chunk-hash
+    relation (16-byte keys; broadcastable when it fits, stream-static
+    hash join otherwise); the stream side is the row-local HOF
+    chunking + explode — no watermark, no state, no stream-side
+    shuffle before the join. Streamed rows equal the batch chunk
+    relation joined against the same standing set (pinned in tests).
+    """
+    from resin_spark.operators.traindata import cdc_chunks
+
+    known = (
+        cdc_chunks(standing)
+        .select("ch").distinct()
+        .withColumn("_k", F.lit(1))
+    )
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        cdc_chunks(stream)
+        .join(known, "ch", "left")
+        .select("doc_id", "chunk_no", "ch",
+                F.col("_k").isNotNull().alias("is_known"))
+    )

@@ -1010,3 +1010,37 @@ def test_stream_encoding_anomalies_matches_batch(spark, tmp_path):
     sq.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM anom_stream").collect()}
     assert got == batch
+
+
+def test_stream_cdc_flags_matches_batch(spark, tmp_path):
+    """Streaming chunk classification against a frozen standing corpus
+    must equal the batch chunk relation joined to the same set."""
+    from resin_spark.operators.traindata import cdc_chunks
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, SF)["documents"].filter(
+        F.col("doc_id").isNotNull())
+    # standing = even docs; stream = odd docs (the D7 parity split)
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    src_dir = tmp_path / "docs_in"
+    arriving.write.parquet(str(src_dir))
+
+    known = {r["ch"] for r in
+             cdc_chunks(standing).select("ch").distinct().collect()}
+    batch = {(r["doc_id"], r["chunk_no"], r["ch"], r["ch"] in known)
+             for r in cdc_chunks(arriving).collect()}
+    assert batch and any(f for *_, f in batch)  # real cross-set hits
+
+    sq = (
+        q.stream_cdc_flags(spark, str(src_dir), standing)
+        .writeStream.format("memory")
+        .queryName("cdc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cdc_stream").collect()}
+    assert got == batch
