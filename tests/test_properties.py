@@ -614,3 +614,50 @@ def test_source_overlap_matches_python_sets(spark, rows):
             len(sets[a]), len(sets[b]), inter), (a, b)
         if union:
             assert abs(r["jaccard"] - inter / union) < 1e-12
+
+
+_cdc_doc = st.lists(st.sampled_from("abc"), min_size=0, max_size=14)
+
+
+@given(st.lists(_cdc_doc, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_cdc_chunk_stats_property(spark, docs_tokens):
+    """Chunk counts/dup flags equal the scalar reference on random tiny
+    corpora (small alphabet → heavy chunk collisions exercise the
+    min_count path)."""
+    from test_traindata import _cdc_python
+
+    from resin_spark.operators import traindata as td
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in texts],
+        "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chunks"], r["n_dup_chunks"])
+           for r in td.cdc_chunk_stats({"documents": df}).collect()}
+    assert got == _cdc_python(texts)
+
+
+@given(st.lists(st.tuples(st.integers(1, 40), st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=12),
+       st.integers(100, 100_000))
+@settings(max_examples=10, deadline=None)
+def test_mixture_plan_invariants(spark, rows, budget):
+    """Shares sum to 1, the floor allocation never exceeds the budget,
+    and sqrt-flattening never orders shares against token counts."""
+    from resin_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n)), "en", s)
+         for i, (n, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string")
+    out = pipeline.mixture_plan(df, budget).collect()
+    assert abs(sum(r["temp_share"] for r in out) - 1.0) < 1e-9
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-9
+    assert sum(r["planned_tokens"] for r in out) <= budget
+    # temperature flattening preserves the ordering of token counts
+    by_tokens = sorted(out, key=lambda r: r["n_tokens"])
+    shares = [r["temp_share"] for r in by_tokens]
+    assert shares == sorted(shares)
+    for r in out:
+        assert r["n_epochs"] == -(-r["planned_tokens"] // r["n_tokens"])
