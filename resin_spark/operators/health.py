@@ -412,3 +412,103 @@ def table_profile_demo_oracle() -> str:
     WITH a AS (SELECT COUNT(*) AS n_rows, {metrics} FROM documents)
     SELECT * FROM ({branches}) ORDER BY col_name
     """
+
+
+def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot profile drift: table_profile of both
+    snapshots joined per column — (col_name, dtype, n_rows_old,
+    n_rows_new, n_null_old, n_null_new, n_distinct_old,
+    n_distinct_new, null_share_delta) — the gate a pipeline runs
+    between crawls: a column whose null share or cardinality jumps is
+    broken upstream even when every individual row still parses.
+
+    A column present in only one snapshot (schema drift) keeps its row
+    with the missing side's counts NULL — loud, not silent. Cost: the
+    two one-scan profiles + a |columns|-row join; null_share_delta is
+    exact long divisions differenced once.
+    """
+    po = table_profile(old).select(
+        "col_name", F.col("dtype").alias("dtype_old"),
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_null").alias("n_null_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    pn = table_profile(new).select(
+        "col_name", F.col("dtype").alias("dtype_new"),
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_null").alias("n_null_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    return (
+        po.join(pn, "col_name", "full_outer")
+        .select(
+            "col_name",
+            F.coalesce("dtype_new", "dtype_old").alias("dtype"),
+            "n_rows_old", "n_rows_new",
+            "n_null_old", "n_null_new",
+            "n_distinct_old", "n_distinct_new",
+            (F.col("n_null_new") / F.col("n_rows_new")
+             - F.col("n_null_old") / F.col("n_rows_old"))
+            .alias("null_share_delta"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def profile_drift_demo(t: Tables) -> DataFrame:
+    """profile_drift between the documents table and its
+    deterministically corrupted demo snapshot (corrupt_demo_docs drops
+    the n_chars column — exercising the schema-drift path) — the
+    driver-checkable form."""
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    return profile_drift(docs, corrupt_demo_docs(docs))
+
+
+def profile_drift_demo_oracle() -> str:
+    old_cols = [("doc_id", "bigint"), ("text", "string"),
+                ("lang", "string"), ("source", "string"),
+                ("n_chars", "bigint")]
+    new_cols = [("doc_id", "bigint"), ("text", "string"),
+                ("lang", "string"), ("source", "string")]
+
+    def side(cols, rel, suf):
+        metrics = ", ".join(
+            f"""CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS _null_{c},
+                COUNT(DISTINCT {c}) AS _dist_{c}"""
+            for c, _ in cols)
+        branches = " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name, '{d}' AS dtype_{suf},
+                       n_rows AS n_rows_{suf}, _null_{c} AS n_null_{suf},
+                       _dist_{c} AS n_distinct_{suf} FROM a_{suf}"""
+            for c, d in cols)
+        return (f"a_{suf} AS (SELECT COUNT(*) AS n_rows, {metrics}"
+                f" FROM {rel}), p_{suf} AS ({branches})")
+
+    return f"""
+    WITH corrupted AS (
+        SELECT doc_id,
+               COALESCE(text, '')
+               || CASE WHEN doc_id % {ANOM_MOJI_MOD} = 0
+                       THEN '{ANOM_MOJI_SUFFIX.replace("'", "''")}'
+                       ELSE '' END
+               || CASE WHEN doc_id % {ANOM_REPL_MOD} = 0
+                       THEN '{REPLACEMENT_CHAR}' ELSE '' END
+               || CASE WHEN doc_id % {ANOM_CTRL_MOD} = 0
+                       THEN chr(7) ELSE '' END AS text,
+               lang, source
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    {side(old_cols, "(SELECT * FROM documents WHERE doc_id IS NOT NULL)",
+          "old")},
+    {side(new_cols, "corrupted", "new")}
+    SELECT COALESCE(p_old.col_name, p_new.col_name) AS col_name,
+           COALESCE(dtype_new, dtype_old) AS dtype,
+           n_rows_old, n_rows_new,
+           n_null_old, n_null_new,
+           n_distinct_old, n_distinct_new,
+           n_null_new / n_rows_new - n_null_old / n_rows_old
+               AS null_share_delta
+    FROM p_old FULL OUTER JOIN p_new ON p_old.col_name = p_new.col_name
+    ORDER BY col_name
+    """

@@ -125,3 +125,23 @@ def test_table_profile_metrics_exact(spark):
 def test_table_profile_demo_matches_oracle(tables):
     compare(health.table_profile_demo(tables),
             health.table_profile_demo_oracle(), SF_SMALL)
+
+
+def test_profile_drift_flags_null_jump_and_schema_drift(spark):
+    old = _docs(spark, [(i, f"t{i}", "en", "s") for i in range(10)])
+    new = spark.createDataFrame(
+        [(i, (f"t{i}" if i < 5 else None), "en") for i in range(10)],
+        "doc_id long, text string, lang string")   # source dropped
+    rows = {r["col_name"]: r for r in health.profile_drift(old, new).collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source"}
+    t = rows["text"]
+    assert t["n_null_old"] == 0 and t["n_null_new"] == 5
+    assert abs(t["null_share_delta"] - 0.5) < 1e-12
+    s = rows["source"]   # schema drift: loud NULLs, row kept
+    assert s["n_rows_new"] is None and s["n_null_new"] is None
+    assert s["null_share_delta"] is None
+
+
+def test_profile_drift_demo_matches_oracle(tables):
+    compare(health.profile_drift_demo(tables),
+            health.profile_drift_demo_oracle(), SF_SMALL)
