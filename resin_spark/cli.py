@@ -336,15 +336,16 @@ def cmd_vsearch(flags: dict, spark: SparkSession, log=print) -> int:
 def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
-    anomalies|overlap|mixture|all (default all), --budget <tokens>
-    (mixture planner, default pipeline.MIX_BUDGET). Prints one line
-    per report row."""
-    from resin_spark.operators import health, pipeline
+    anomalies|overlap|mixture|profile|chunks|all (default all),
+    --budget <tokens> (mixture planner, default pipeline.MIX_BUDGET).
+    Prints one line per report row."""
+    from resin_spark.operators import health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
-    if which not in ("anomalies", "overlap", "mixture", "all"):
-        log(f"unknown report: {which} (one of anomalies|overlap|mixture|all)")
+    kinds = ("anomalies", "overlap", "mixture", "profile", "chunks", "all")
+    if which not in kinds:
+        log(f"unknown report: {which} (one of {'|'.join(kinds)})")
         return 0
     if which in ("anomalies", "all"):
         log("-- encoding anomalies --")
@@ -365,6 +366,26 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
             log(f"{r['source']}: {r['n_tokens']} tokens -> plan "
                 f"{r['planned_tokens']} (share {r['temp_share']:.4f}, "
                 f"rate {r['sampling_rate']:.3f}, epochs {r['n_epochs']})")
+    if which in ("profile", "all"):
+        log("-- table profile --")
+        for r in health.table_profile(docs).collect():
+            log(f"{r['col_name']} ({r['dtype']}): {r['n_null']} null / "
+                f"{r['n_rows']} rows, {r['n_distinct']} distinct, "
+                f"range [{r['min_value']} .. {r['max_value']}]")
+    if which in ("chunks", "all"):
+        log("-- cdc chunk dedup --")
+        stats = traindata.cdc_chunk_stats({"documents": docs})
+        agg = stats.groupBy().agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chunks").alias("chunks"),
+            F.sum("n_dup_chunks").alias("dups")).collect()[0]
+        log(f"{agg['docs']} docs, {agg['chunks']} chunks, "
+            f"{agg['dups']} duplicated")
+        for r in stats.filter(F.col("n_dup_chunks") > 0)\
+                      .orderBy(F.desc("dup_chunk_share"), "doc_id")\
+                      .limit(20).collect():
+            log(f"doc {r['doc_id']}: {r['n_dup_chunks']}/{r['n_chunks']} "
+                f"chunks duplicated (share {r['dup_chunk_share']:.3f})")
     return 0
 
 

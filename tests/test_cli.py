@@ -310,6 +310,9 @@ def test_cmd_health_reports_all_three(spark, tmp_path):
     assert "-- encoding anomalies --" in text
     assert "-- source overlap --" in text
     assert "-- mixture plan (budget 10000) --" in text
+    assert "-- table profile --" in text
+    assert "-- cdc chunk dedup --" in text
+    assert len([l for l in lines if "distinct, range [" in l]) == 4
     n_sources = docs.select("source").distinct().count()
     assert len([l for l in lines if "docs flagged" in l]) == n_sources
     assert len([l for l in lines if "jaccard" in l]) \
