@@ -447,8 +447,8 @@ def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
             "n_rows_old", "n_rows_new",
             "n_null_old", "n_null_new",
             "n_distinct_old", "n_distinct_new",
-            (F.col("n_null_new") / F.col("n_rows_new")
-             - F.col("n_null_old") / F.col("n_rows_old"))
+            (F.try_divide("n_null_new", "n_rows_new")
+             - F.try_divide("n_null_old", "n_rows_old"))
             .alias("null_share_delta"),
         )
         .orderBy("col_name")

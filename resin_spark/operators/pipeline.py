@@ -924,18 +924,22 @@ def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("w").cast("double").alias("total_w"),
     )
-    planned = F.floor(F.lit(float(budget))
-                      * (F.col("w").cast("double") / F.col("total_w")))
+    # try_divide everywhere a divisor can legitimately be 0 (ANSI mode
+    # throws on bare /): an all-empty-text source plans 0 tokens with a
+    # NULL rate, an all-empty corpus reports NULL shares — loud in the
+    # report, never a job abort.
+    share = F.try_divide(F.col("w").cast("double"), F.col("total_w"))
+    planned = F.coalesce(F.floor(F.lit(float(budget)) * share), F.lit(0))
     return (
         per.join(F.broadcast(total))
         .select(
             "source", "n_docs", "n_tokens",
-            (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
-            (F.col("w").cast("double") / F.col("total_w")).alias("temp_share"),
+            F.try_divide("n_tokens", "total_tokens").alias("token_share"),
+            share.alias("temp_share"),
             planned.alias("planned_tokens"),
-            (planned / F.col("n_tokens")).alias("sampling_rate"),
-            F.floor((planned + F.col("n_tokens") - 1) / F.col("n_tokens"))
-            .alias("n_epochs"),
+            F.try_divide(planned, F.col("n_tokens")).alias("sampling_rate"),
+            F.floor(F.try_divide(planned + F.col("n_tokens") - 1,
+                                 F.col("n_tokens"))).alias("n_epochs"),
         )
         .orderBy("source")
     )

@@ -145,3 +145,13 @@ def test_profile_drift_flags_null_jump_and_schema_drift(spark):
 def test_profile_drift_demo_matches_oracle(tables):
     compare(health.profile_drift_demo(tables),
             health.profile_drift_demo_oracle(), SF_SMALL)
+
+
+def test_profile_drift_empty_snapshot_survives_ansi(spark):
+    """Profiling against an EMPTY snapshot reports NULL deltas — not an
+    ANSI DIVIDE_BY_ZERO job abort."""
+    old = _docs(spark, [(1, "aa", "en", "web")])
+    new = old.filter("doc_id < 0")   # empty, same schema
+    rows = {r["col_name"]: r for r in health.profile_drift(old, new).collect()}
+    assert rows["text"]["n_rows_new"] == 0
+    assert rows["text"]["null_share_delta"] is None

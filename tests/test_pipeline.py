@@ -275,3 +275,21 @@ def test_mixture_plan_demo_oracle_parity(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(pipeline.mixture_plan_demo(t),
             pipeline.mixture_plan_demo_oracle(), "/root/testdata/sf0.001")
+
+
+def test_mixture_plan_zero_token_source_survives_ansi(spark):
+    """An all-empty-text source must yield a 0-token plan row with NULL
+    rate/epochs — not an ANSI DIVIDE_BY_ZERO job abort."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "some words here now", "en", "a"), (2, "", "en", "b"),
+         (3, "??? !!!", "en", "b")],
+        "doc_id long, text string, lang string, source string")
+    rows = {r["source"]: r for r in pipeline.mixture_plan(df, 1000).collect()}
+    b = rows["b"]
+    assert b["n_tokens"] == 0 and b["planned_tokens"] == 0
+    assert b["sampling_rate"] is None and b["n_epochs"] is None
+    assert b["temp_share"] == 0.0
+    a = rows["a"]
+    assert a["temp_share"] == 1.0 and a["planned_tokens"] == 1000
