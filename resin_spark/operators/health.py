@@ -357,7 +357,10 @@ def table_profile(df: DataFrame) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.isnull(c).cast("long")).alias(f"_null_{i}"),
+            # coalesce: SUM over an empty table is NULL, but a profile
+            # of an empty snapshot should report 0 nulls, not unknown
+            F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0))
+            .alias(f"_null_{i}"),
             F.countDistinct(c).alias(f"_dist_{i}"),
             F.min(c).cast("string").alias(f"_min_{i}"),
             F.max(c).cast("string").alias(f"_max_{i}"),

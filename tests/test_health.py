@@ -147,6 +147,14 @@ def test_profile_drift_demo_matches_oracle(tables):
             health.profile_drift_demo_oracle(), SF_SMALL)
 
 
+def test_table_profile_empty_frame_reports_zeros(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    rows = {r["col_name"]: r for r in health.table_profile(df).collect()}
+    assert rows["text"]["n_rows"] == 0
+    assert rows["text"]["n_null"] == 0 and rows["text"]["n_distinct"] == 0
+    assert rows["text"]["min_value"] is None
+
+
 def test_profile_drift_empty_snapshot_survives_ansi(spark):
     """Profiling against an EMPTY snapshot reports NULL deltas — not an
     ANSI DIVIDE_BY_ZERO job abort."""
