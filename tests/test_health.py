@@ -44,19 +44,19 @@ def test_encoding_anomalies_clean_corpus_all_zero(spark):
     assert row["repl_chars"] == row["ctrl_chars"] == row["moji_marks"] == 0
 
 
-def test_corrupt_demo_docs_is_deterministic_and_additive(spark, tables):
-    c = health.corrupt_demo_docs(
-        tables["documents"].filter(F.col("doc_id").isNotNull()))
-    hit = c.filter(F.col("doc_id") == 7 * 11 * 13).collect()
-    if hit:  # doc 1001 exists at sf0.001
-        t = hit[0]["text"]
-        assert t.endswith(health.ANOM_MOJI_SUFFIX
-                          + health.REPLACEMENT_CHAR + health.ANOM_CTRL_CHAR)
-    clean = c.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 != 0)
-                     & (F.col("doc_id") % 13 != 0))
-    sample = clean.limit(5).collect()
-    for r in sample:
-        assert health.REPLACEMENT_CHAR not in (r["text"] or "")
+def test_corrupt_demo_docs_is_deterministic_and_additive(spark):
+    df = _docs(spark, [(i, "base", "en", "s")
+                       for i in (1, 7, 11, 13, 7 * 11 * 13)])
+    got = {r["doc_id"]: r["text"]
+           for r in health.corrupt_demo_docs(df).collect()}
+    assert got[1] == "base"
+    assert got[7] == "base" + health.ANOM_MOJI_SUFFIX
+    assert got[11] == "base" + health.REPLACEMENT_CHAR
+    assert got[13] == "base" + health.ANOM_CTRL_CHAR
+    # a doc divisible by several mods collects every suffix, in order
+    assert got[7 * 11 * 13] == ("base" + health.ANOM_MOJI_SUFFIX
+                                + health.REPLACEMENT_CHAR
+                                + health.ANOM_CTRL_CHAR)
 
 
 def test_encoding_anomalies_demo_matches_oracle(tables):
