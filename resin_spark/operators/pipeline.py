@@ -979,3 +979,80 @@ def mixture_plan_demo_oracle(budget: int = MIX_BUDGET) -> str:
                     + n_tokens - 1) / n_tokens) AS BIGINT) AS n_epochs
     FROM per, tot ORDER BY source
     """
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    KL(source ‖ corpus) in bits: the quantitative "which source is the
+    odd one out" card behind mixture decisions (a source whose token
+    distribution diverges hard deserves its own quality pass before it
+    gets weight). No smoothing needed: every source token exists in
+    the corpus, so p_corpus > 0 wherever p_source > 0.
+
+    (source, n_tokens, n_distinct, kl_bits), kl_bits ≥ 0 with 0 iff
+    the source's distribution equals the corpus's.
+
+    Cross-engine exactness (the nb_lang_classify recipe,
+    traindata.py:860): both ratios are exact long→double divisions,
+    log2 is rounded to 6 decimals at the per-token grain, and the
+    per-source sum runs in decimal(28,12) — order-free. Scale: one
+    (source, tok) count shuffle, a tok-level rollup for the corpus
+    marginals, one join back on tok (Zipf-skewed — AQE territory),
+    |sources| output rows. The NB model-build shape.
+    """
+    toks = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("source", F.explode(T.tokens("text")).alias("tok"))
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    c_tot = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_all = c_tot.groupBy().agg(F.sum("c_t").alias("n_corpus"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n_corpus")
+    term = (p_s * F.round(F.log2(p_s / p_c), 6)).cast("decimal(28,12)")
+    return (
+        st.join(s_tot, "source").join(c_tot, "tok")
+        .join(F.broadcast(n_all))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.sum(term).cast("double").alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_divergence_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH tk AS (
+        SELECT source, unnest({toks}) AS tok FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    st AS (
+        SELECT source, tok, COUNT(*) AS c_st FROM tk GROUP BY source, tok
+    ),
+    s_tot AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+               COUNT(*) AS n_distinct
+        FROM st GROUP BY source
+    ),
+    c_tot AS (
+        SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ),
+    n_all AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_corpus FROM c_tot)
+    SELECT st.source, MAX(n_s) AS n_tokens,
+           MAX(n_distinct) AS n_distinct,
+           CAST(SUM(CAST((c_st / n_s)
+                    * round(log2((c_st / n_s) / (c_t / n_corpus)), 6)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS kl_bits
+    FROM st
+    JOIN s_tot ON st.source = s_tot.source
+    JOIN c_tot ON st.tok = c_tot.tok
+    CROSS JOIN n_all
+    GROUP BY st.source ORDER BY st.source
+    """

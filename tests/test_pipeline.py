@@ -293,3 +293,32 @@ def test_mixture_plan_zero_token_source_survives_ansi(spark):
     assert b["temp_share"] == 0.0
     a = rows["a"]
     assert a["temp_share"] == 1.0 and a["planned_tokens"] == 1000
+
+
+def test_source_divergence_zero_for_identical_distribution(spark):
+    """Two sources with the same unigram distribution diverge 0 bits
+    from the corpus; a skewed source diverges positively."""
+    df = spark.createDataFrame(
+        [(1, "a a b", "en", "s1"), (2, "a a b", "en", "s2"),
+         (3, "z z z z", "en", "s3")],
+        "doc_id long, text string, lang string, source string")
+    rows = {r["source"]: r for r in pipeline.source_divergence(df).collect()}
+    # s1 == s2 by symmetry, both > 0 (corpus includes s3's mass)
+    assert rows["s1"]["kl_bits"] == rows["s2"]["kl_bits"] > 0
+    assert rows["s3"]["kl_bits"] > 0
+    assert rows["s1"]["n_tokens"] == 3 and rows["s1"]["n_distinct"] == 2
+    # uniform corpus: single source diverges 0 from itself
+    one = spark.createDataFrame(
+        [(1, "a b c", "en", "only")],
+        "doc_id long, text string, lang string, source string")
+    r = pipeline.source_divergence(one).collect()[0]
+    assert r["kl_bits"] == 0.0
+
+
+def test_source_divergence_matches_oracle(spark):
+    from tests.oracle_util import compare
+    from resin_spark.io import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.source_divergence(t["documents"]),
+            pipeline.source_divergence_oracle(), "/root/testdata/sf0.001")
