@@ -336,14 +336,15 @@ def cmd_vsearch(flags: dict, spark: SparkSession, log=print) -> int:
 def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
-    anomalies|overlap|mixture|profile|chunks|all (default all),
-    --budget <tokens> (mixture planner, default pipeline.MIX_BUDGET).
-    Prints one line per report row."""
+    anomalies|overlap|mixture|profile|chunks|divergence|all (default
+    all), --budget <tokens> (mixture planner, default
+    pipeline.MIX_BUDGET). Prints one line per report row."""
     from resin_spark.operators import health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
-    kinds = ("anomalies", "overlap", "mixture", "profile", "chunks", "all")
+    kinds = ("anomalies", "overlap", "mixture", "profile", "chunks",
+             "divergence", "all")
     if which not in kinds:
         log(f"unknown report: {which} (one of {'|'.join(kinds)})")
         return 0
@@ -372,6 +373,11 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
             log(f"{r['col_name']} ({r['dtype']}): {r['n_null']} null / "
                 f"{r['n_rows']} rows, {r['n_distinct']} distinct, "
                 f"range [{r['min_value']} .. {r['max_value']}]")
+    if which in ("divergence", "all"):
+        log("-- source divergence --")
+        for r in pipeline.source_divergence(docs).collect():
+            log(f"{r['source']}: KL {r['kl_bits']:.4f} bits "
+                f"({r['n_tokens']} tokens, {r['n_distinct']} distinct)")
     if which in ("chunks", "all"):
         log("-- cdc chunk dedup --")
         stats = traindata.cdc_chunk_stats({"documents": docs})

@@ -312,6 +312,7 @@ def test_cmd_health_reports_all_three(spark, tmp_path):
     assert "-- mixture plan (budget 10000) --" in text
     assert "-- table profile --" in text
     assert "-- cdc chunk dedup --" in text
+    assert "-- source divergence --" in text
     assert len([l for l in lines if "distinct, range [" in l]) == 4
     n_sources = docs.select("source").distinct().count()
     assert len([l for l in lines if "docs flagged" in l]) == n_sources
