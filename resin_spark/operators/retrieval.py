@@ -1,0 +1,140 @@
+"""Hybrid retrieval: a lexical BM25 leg and a vector cosine leg fused
+by reciprocal-rank fusion (late-r6 staging; r7/r8 driver-slot candidate).
+
+Reference parity: kreeben/resin answers text queries by embedding the
+query string and searching its vector graph
+(src/Resin.MachineLearning/GraphSearcher.cs) — a single-leg semantic
+search. A production retrieval stack over a 100 TB corpus runs BOTH a
+lexical leg (inverted-index BM25) and a vector leg (ANN over
+embeddings) and fuses the two rankings; this operator is that composed
+face over the engine's two already-oracle-green legs
+(textops.bm25_search = C38, similarity.brute_topk = E1).
+
+Fusion is reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+2009): rrf(d) = Σ_legs 1 / (rrf_k + rank_leg(d)), summed over the legs
+that returned d, with the standard rrf_k = 60. RRF is the fusion used
+when leg scores live on incomparable scales (BM25 term sums vs cosine)
+— only ranks cross the boundary.
+
+Exactness: ranks are small integers and 1.0/(rrf_k + rank) is a single
+correctly-rounded IEEE division; the two-leg sum is one addition in a
+fixed (lex + vec) order — bit-identical across Spark and the DuckDB
+oracle, so the fused relation is hash-comparable with no rounding
+step.
+
+Scale: each leg is k_each-bounded BEFORE fusion (bm25_search is
+TakeOrdered over the |query|-bounded scored relation; brute_topk is a
+broadcast-query corpus scan with a per-query top-k window), so the
+fusion join touches two ≤ k_each-row relations — the full-outer
+equi-join is an exchange of 2·k_each rows regardless of corpus size,
+and the final top-k orders ≤ 2·k_each rows. At 100 TB the legs swap in
+their persisted-index twins (bm25_topk_indexed = C39, an ANN store =
+E17/E18/E21) with identical output contracts; the fusion stage is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from resin_spark.operators import similarity
+from resin_spark.operators import textops
+
+Tables = dict[str, DataFrame]
+
+HYBRID_QUERY: tuple[str, ...] = textops.BM25_QUERY
+HYBRID_QUERY_VEC_ID = 0
+HYBRID_TOPK = 20
+HYBRID_K_EACH = 50
+RRF_K = 60
+
+
+def hybrid_search_rrf(t: Tables,
+                      query: tuple[str, ...] = HYBRID_QUERY,
+                      query_vec_id: int = HYBRID_QUERY_VEC_ID,
+                      k: int = HYBRID_TOPK,
+                      k_each: int = HYBRID_K_EACH,
+                      rrf_k: int = RRF_K) -> DataFrame:
+    """Top-k documents by RRF over a BM25 leg (bag-of-terms ``query``
+    against documents.text) and a cosine leg (the stored embedding with
+    vec_id == ``query_vec_id`` against all embeddings), with vec_id
+    identified with doc_id. Output: (rank, doc_id, lex_rank, vec_rank,
+    rrf_score) — a leg that did not return the doc leaves its rank NULL
+    and contributes 0 to the fused score.
+    """
+    lex = (
+        textops.bm25_search(t, query, k=k_each)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = t["embeddings"]
+    qside = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_vec"))
+    )
+    vec = (
+        similarity.brute_topk(emb, qside, k=k_each)
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("vec_rank"))
+    )
+    # Full-outer keeps single-leg docs. Spark has no broadcast full-outer
+    # hash join, but both sides are k_each-bounded so the sort-merge
+    # exchange moves ≤ 2·k_each rows — corpus-size-independent.
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank")),
+                         F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf_score")
+        .orderBy("rank")
+    )
+
+
+def hybrid_search_demo(t: Tables) -> DataFrame:
+    """Driver-entry form: fixed query terms + fixed stored query vector."""
+    return hybrid_search_rrf(t)
+
+
+def hybrid_search_oracle(query: tuple[str, ...] = HYBRID_QUERY,
+                         query_vec_id: int = HYBRID_QUERY_VEC_ID,
+                         k: int = HYBRID_TOPK,
+                         k_each: int = HYBRID_K_EACH,
+                         rrf_k: int = RRF_K) -> str:
+    from resin_spark.functions import vectors as V
+
+    bm25 = textops.bm25_search_oracle(query, k=k_each)
+    cos = V.cosine_gated_sql("e.embedding", "q.embedding")
+    return f"""
+    WITH lex AS (
+        SELECT doc_id, rank AS lex_rank FROM ({bm25})
+    ),
+    vemb AS (SELECT * FROM embeddings WHERE {similarity.VALID_VECTORS_SQL}),
+    vec AS (
+        SELECT neighbor_id AS doc_id, rank AS vec_rank FROM (
+            SELECT e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id) AS rank
+            FROM vemb e, vemb q
+            WHERE q.vec_id = {query_vec_id} AND e.vec_id <> q.vec_id
+        ) WHERE rank <= {k_each}
+    ),
+    fused AS (
+        SELECT doc_id, lex_rank, vec_rank,
+               COALESCE(1.0 / ({rrf_k} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({rrf_k} + vec_rank), 0.0) AS rrf_score
+        FROM lex FULL OUTER JOIN vec USING (doc_id)
+    )
+    SELECT rank, doc_id, lex_rank, vec_rank, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """
