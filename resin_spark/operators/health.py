@@ -515,3 +515,135 @@ def profile_drift_demo_oracle() -> str:
     FROM p_old FULL OUTER JOIN p_new ON p_old.col_name = p_new.col_name
     ORDER BY col_name
     """
+
+
+# --- vocab_coverage: tokenizer-vocabulary fitness per source ------------------
+
+# Lockstep knob: vocabulary size appears in BOTH vocab_coverage and its
+# oracle. The synthetic corpus has ~31 distinct terms at every SF, so 16
+# keeps roughly half the vocabulary OOV — the demo's coverage shares are
+# non-trivial and the top-v boundary cut is live.
+COVERAGE_V = 16
+
+
+def vocab_coverage(docs: DataFrame, v: int = COVERAGE_V) -> DataFrame:
+    """Per-source coverage card against the top-``v`` corpus vocabulary:
+    (source, n_tokens, covered_tokens, coverage_share, distinct_terms,
+    oov_terms, oov_share, mean_token_chars).
+
+    The pre-tokenizer-training question: how well does one shared
+    vocabulary serve each source of a mixture? A source whose
+    occurrence coverage lags the corpus pays more OOV fallbacks /
+    longer subword splits per token (the "fertility" cost); the
+    mean_token_chars column is the bytes-per-token proxy that moves
+    with it. Complements mixture_plan (how much of each source) and
+    source_divergence (how differently each source speaks).
+
+    Exactness: shares are single IEEE divisions of exact longs; the
+    top-v vocabulary is cut on the total order (count DESC, term ASC)
+    so the boundary is deterministic. Sources whose documents tokenize
+    to nothing stay in the card with zero counts and NULL shares (the
+    source_overlap_matrix zero-shingle lesson).
+
+    Scale: one corpus scan → (source, term) counts; the term marginal
+    rolls up from that aggregate (no second scan); the vocabulary is
+    TakeOrdered v rows and broadcast back; the final rollup is one
+    low-cardinality groupBy. The only corpus-sized shuffle is the
+    (source, term) aggregate — the C30/C50 model-build shape.
+    """
+    base = docs.filter(F.col("doc_id").isNotNull())
+    st = (
+        base.select("source", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        st.groupBy("term").agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.col("tot").desc(), "term").limit(v)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    per_src = (
+        st.join(broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("covered_tokens"),
+            F.count(F.lit(1)).alias("distinct_terms"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.lit(1))
+                  .otherwise(F.lit(0))).alias("oov_terms"),
+            F.sum(F.length("term") * F.col("cnt")).alias("n_chars"),
+        )
+    )
+    srcs = base.select("source").distinct()
+    zero = F.lit(0).cast("long")
+    return (
+        srcs.join(per_src, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+            F.try_divide(F.col("covered_tokens").cast("double"),
+                         F.col("n_tokens")).alias("coverage_share"),
+            F.coalesce("distinct_terms", zero).alias("distinct_terms"),
+            F.coalesce("oov_terms", zero).alias("oov_terms"),
+            F.try_divide(F.col("oov_terms").cast("double"),
+                         F.col("distinct_terms")).alias("oov_share"),
+            F.try_divide(F.col("n_chars").cast("double"),
+                         F.col("n_tokens")).alias("mean_token_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def vocab_coverage_demo(t: Tables) -> DataFrame:
+    return vocab_coverage(t["documents"])
+
+
+def vocab_coverage_demo_oracle(v: int = COVERAGE_V) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({toks}) AS term
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    st AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, SUM(cnt) AS tot FROM st GROUP BY 1
+        ) ORDER BY tot DESC, term LIMIT {v}
+    ),
+    flagged AS (
+        SELECT st.source, st.term, st.cnt, vc.term IS NOT NULL AS iv
+        FROM st LEFT JOIN vocab vc ON st.term = vc.term
+    ),
+    per AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN iv THEN cnt ELSE 0 END) AS BIGINT)
+                   AS covered_tokens,
+               COUNT(*) AS distinct_terms,
+               CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT)
+                   AS oov_terms,
+               CAST(SUM(len(term) * cnt) AS BIGINT) AS n_chars
+        FROM flagged GROUP BY 1
+    ),
+    srcs AS (
+        SELECT DISTINCT source FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT s.source,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(covered_tokens, 0) AS covered_tokens,
+           CAST(covered_tokens AS DOUBLE) / NULLIF(n_tokens, 0)
+               AS coverage_share,
+           COALESCE(distinct_terms, 0) AS distinct_terms,
+           COALESCE(oov_terms, 0) AS oov_terms,
+           CAST(oov_terms AS DOUBLE) / NULLIF(distinct_terms, 0)
+               AS oov_share,
+           CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0)
+               AS mean_token_chars
+    FROM srcs s LEFT JOIN per USING (source)
+    ORDER BY source
+    """

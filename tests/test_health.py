@@ -163,3 +163,50 @@ def test_profile_drift_empty_snapshot_survives_ansi(spark):
     rows = {r["col_name"]: r for r in health.profile_drift(old, new).collect()}
     assert rows["text"]["n_rows_new"] == 0
     assert rows["text"]["null_share_delta"] is None
+
+
+# --- vocab_coverage -----------------------------------------------------------
+
+def test_vocab_coverage_hand_computed(spark):
+    # corpus counts: aa=4 (a:3, b:1), bb=2 (a:2), cc=1 (b:1) → top-2
+    # vocab on (count desc, term asc) = {aa, bb}; cc is OOV.
+    df = _docs(spark, [
+        (1, "aa aa bb", "en", "a"),
+        (2, "aa bb cc", "en", "a"),
+        (3, "aa", "en", "b"),
+        (4, "", "en", "empty"),          # tokenizes to nothing
+    ])
+    out = {r["source"]: r for r in health.vocab_coverage(df, v=2).collect()}
+    a, b, e = out["a"], out["b"], out["empty"]
+    assert (a["n_tokens"], a["covered_tokens"], a["oov_terms"]) == (6, 5, 1)
+    assert a["coverage_share"] == 5 / 6
+    assert a["distinct_terms"] == 3 and a["oov_share"] == 1 / 3
+    assert a["mean_token_chars"] == 2.0
+    assert (b["n_tokens"], b["covered_tokens"]) == (1, 1)
+    assert b["coverage_share"] == 1.0 and b["oov_terms"] == 0
+    # zero-token sources stay in the card: zero counts, NULL shares
+    assert (e["n_tokens"], e["distinct_terms"]) == (0, 0)
+    assert e["coverage_share"] is None and e["mean_token_chars"] is None
+
+
+def test_vocab_coverage_boundary_cut_is_deterministic(spark):
+    # three terms with EQUAL counts; v=2 must keep the lexicographically
+    # smallest two (count desc, term asc total order)
+    df = _docs(spark, [(1, "zz mm aa", "en", "s")])
+    row = health.vocab_coverage(df, v=2).collect()[0]
+    assert (row["covered_tokens"], row["oov_terms"]) == (2, 1)
+
+
+def test_vocab_coverage_demo_matches_oracle(tables):
+    compare(health.vocab_coverage_demo(tables),
+            health.vocab_coverage_demo_oracle(), SF_SMALL)
+
+
+def test_vocab_coverage_vocab_join_is_broadcast(tables):
+    plan = health.vocab_coverage_demo(tables) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the v-row vocabulary must come back as a broadcast, and the
+    # corpus relation must never cross-join anything
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
