@@ -1249,3 +1249,124 @@ def dup_cluster_histogram_oracle(max_hamming: int = 3) -> str:
                AS doc_share
     FROM hist ORDER BY cluster_size
     """
+
+
+# --- D13: duplicate-mass vs Jaccard threshold curve ---------------------------
+
+# Lockstep knobs shared with dedup_threshold_curve_oracle: the curve's
+# threshold grid and the shingle width. The pair relation is built ONCE
+# at min(CURVE_THRESHOLDS); each grid point is a filter over it.
+CURVE_THRESHOLDS: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+CURVE_N = 3
+
+
+def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
+                          thresholds: tuple[float, ...] = CURVE_THRESHOLDS
+                          ) -> DataFrame:
+    """Duplicate-mass curve: for each Jaccard threshold t, how many
+    exact shingle-Jaccard pairs reach t and how much of the corpus is
+    entangled in them — (threshold, n_pairs, n_docs_in_pairs,
+    dup_doc_share). The eyes-open sheet behind choosing THE dedup
+    threshold: D2/D3 run at one tau; this shows what every other tau
+    would have flagged, from one pair computation.
+
+    Exactness: the pair relation is ngram_jaccard_pairs at the lowest
+    grid point (exact PPJoin, no approximation), so every grid point is
+    an exact filter — and both engines compare the same IEEE jaccard
+    double against the same parsed threshold literal, so boundary pairs
+    land identically.
+
+    Scale: one exact pair computation at min(thresholds) (the PPJoin
+    prefix grows as tau drops — the curve's floor is "the lowest tau
+    you are willing to pay exactness for"; at 100 TB swap the pair
+    source for minhash_lsh_pairs and keep the curve stage unchanged);
+    the grid rollup is a broadcast cross of the pair relation with
+    |thresholds| rows, two low-cardinality aggregates, and a one-row
+    corpus count.
+    """
+    base_tau = min(thresholds)
+    spark = docs.sparkSession
+    pairs = ngram_jaccard_pairs(docs, n, base_tau).select("doc_a", "doc_b",
+                                                          "jaccard")
+    th = spark.createDataFrame([(float(t),) for t in thresholds],
+                               "threshold double")
+    hits = (
+        pairs.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
+    )
+    per_pairs = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    per_docs = (
+        hits.select("threshold",
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").alias("n_docs_in_pairs"))
+    )
+    n_docs = (docs.filter(F.col("doc_id").isNotNull())
+              .agg(F.countDistinct("doc_id")).first()[0])
+    zero = F.lit(0).cast("long")
+    return (
+        th.join(per_pairs, "threshold", "left")
+        .join(per_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", zero).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", zero).alias("n_docs_in_pairs"),
+            F.try_divide(F.coalesce("n_docs_in_pairs", zero).cast("double"),
+                         F.lit(n_docs)).alias("dup_doc_share"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dedup_threshold_curve_demo(t: dict) -> DataFrame:
+    return dedup_threshold_curve(t["documents"])
+
+
+def dedup_threshold_curve_oracle(n: int = CURVE_N,
+                                 thresholds: tuple[float, ...] = CURVE_THRESHOLDS
+                                 ) -> str:
+    base_tau = min(thresholds)
+    grid = ", ".join(repr(t) for t in thresholds)
+    return f"""
+    WITH sh AS ({_shingles_sql(n)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {base_tau}
+    ),
+    th AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS threshold),
+    hits AS (
+        SELECT threshold, doc_a, doc_b FROM pairs, th
+        WHERE jaccard >= threshold
+    ),
+    per_pairs AS (
+        SELECT threshold, COUNT(*) AS n_pairs FROM hits GROUP BY 1
+    ),
+    per_docs AS (
+        SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs_in_pairs
+        FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc_id FROM hits)
+        GROUP BY 1
+    ),
+    total AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        WHERE doc_id IS NOT NULL
+    )
+    SELECT th.threshold,
+           COALESCE(n_pairs, 0) AS n_pairs,
+           COALESCE(n_docs_in_pairs, 0) AS n_docs_in_pairs,
+           CAST(COALESCE(n_docs_in_pairs, 0) AS DOUBLE) / total.n
+               AS dup_doc_share
+    FROM th
+    LEFT JOIN per_pairs USING (threshold)
+    LEFT JOIN per_docs USING (threshold)
+    CROSS JOIN total
+    ORDER BY threshold
+    """

@@ -280,3 +280,65 @@ def test_dup_cluster_histogram_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(dedup.dup_cluster_histogram(t["documents"]),
             dedup.dup_cluster_histogram_oracle(), "/root/testdata/sf0.001")
+
+
+def test_threshold_curve_steps_with_pair_similarity(spark):
+    """Pairs engineered at jaccard 1.0, ~0.6 and ~0.33: the curve's
+    counts must step down as the threshold crosses each pair."""
+    from resin_spark.operators import dedup
+
+    rows = [
+        # exact duplicate pair: jaccard 1.0
+        (1, "one two three four five six seven eight"),
+        (2, "one two three four five six seven eight"),
+        # 6 shared shingles of 9-ish: jaccard ~0.6
+        (3, "red green blue cyan magenta yellow black white gray"),
+        (4, "red green blue cyan magenta yellow black brown pink"),
+        # shared 2 of 6 distinct shingles: jaccard 1/3
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (6, "alpha beta gamma delta words entirely"),
+        # singleton
+        (7, "nothing matches this lonely document at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in rows],
+        "doc_id long, text string, lang string, source string")
+    curve = {r["threshold"]: r for r in dedup.dedup_threshold_curve(
+        df, thresholds=(0.2, 0.5, 0.9)).collect()}
+    assert curve[0.2]["n_pairs"] == 3 and curve[0.2]["n_docs_in_pairs"] == 6
+    assert curve[0.5]["n_pairs"] == 2 and curve[0.5]["n_docs_in_pairs"] == 4
+    assert curve[0.9]["n_pairs"] == 1 and curve[0.9]["n_docs_in_pairs"] == 2
+    assert curve[0.9]["dup_doc_share"] == 2 / 7
+    # grid rows with zero hits must still appear
+    empty = {r["threshold"]: r for r in dedup.dedup_threshold_curve(
+        df, thresholds=(0.99,)).collect()}
+    assert empty[0.99]["n_pairs"] == 1  # the exact pair survives 0.99
+    solo = dedup.dedup_threshold_curve(
+        df.limit(1), thresholds=(0.5,)).collect()[0]
+    assert solo["n_pairs"] == 0 and solo["dup_doc_share"] == 0.0
+
+
+def test_threshold_curve_demo_matches_oracle(spark):
+    from tests.oracle_util import compare
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(dedup.dedup_threshold_curve_demo(t),
+            dedup.dedup_threshold_curve_oracle(), "/root/testdata/sf0.001")
+
+
+def test_threshold_curve_grid_join_is_broadcast(spark):
+    """The only nested-loop join allowed is pairs × the |grid|-row
+    broadcast threshold dim; the corpus-sized relations must never
+    cross-join each other."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plan = dedup.dedup_threshold_curve_demo(t) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0, plan[:3000]
+    # the hits subtree feeds two aggregate branches, so the grid BNLJ
+    # compiles once per branch — never more
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
