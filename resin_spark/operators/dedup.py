@@ -1370,3 +1370,73 @@ def dedup_threshold_curve_oracle(n: int = CURVE_N,
     CROSS JOIN total
     ORDER BY threshold
     """
+
+
+# --- D14: minhash-LSH banding tuning report -----------------------------------
+
+BANDING_GRID: tuple[int, ...] = (64, 32, 16, 8)
+
+
+def minhash_banding_report(docs: DataFrame, tau: float = 0.5, n: int = 3,
+                           num_perm: int = 128,
+                           bands_grid: tuple[int, ...] = BANDING_GRID,
+                           seed: int = 42) -> DataFrame:
+    """Measured banding trade table for minhash-LSH dedup: per bands
+    config (rows_per_band = num_perm/bands), the candidate-pair count
+    (verification cost), recall of the exact Jaccard-≥-tau pair set,
+    and candidate precision (share of candidates that verify) —
+    (bands, rows_per_band, n_candidates, n_exact_pairs, n_found,
+    recall, candidate_precision).
+
+    The D3 sibling of ann_recall_report (E20): D3's driver entry runs
+    128/32 where banded recall is ~1 at tau 0.5; a 100 TB operator
+    trading recall for candidate volume picks a different point — this
+    is the eyes-open sheet (the MMDS S-curve 1-(1-J^r)^b, measured
+    instead of assumed; reference trade: GraphOptions.cs FoldAngle).
+
+    Diagnostics utility, not a driver entry: ground truth is the exact
+    PPJoin pair set, so the report only makes sense at a SAMPLE scale
+    where exactness is payable — run it on a hash-sampled slice and
+    carry the chosen (bands, rows) to the full corpus. Signatures and
+    the exact pair set are each computed ONCE (localCheckpoint) and
+    re-banded per config; per-config results are bounded scalar counts.
+    """
+    spark = docs.sparkSession
+    sh = shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("hashes"))
+    sig = _minhash_udf(num_perm, seed)
+    sigs = sh.select("doc_id", sig("hashes").alias("sig")) \
+        .localCheckpoint(eager=False)
+    exact = ngram_jaccard_pairs(docs, n, tau).select("doc_a", "doc_b") \
+        .localCheckpoint(eager=False)
+    n_exact = exact.count()
+    rows = []
+    for b in bands_grid:
+        if num_perm % b:
+            raise ValueError(f"bands={b} does not divide num_perm={num_perm}")
+        bands_df = sigs.select(
+            "doc_id",
+            F.posexplode(_band_hash_array("sig", num_perm, b))
+            .alias("band", "band_hash"))
+        a, bb = bands_df.alias("a"), bands_df.alias("b")
+        cand = (
+            a.join(bb, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_cand = cand.count()
+        n_found = cand.join(exact, ["doc_a", "doc_b"]).count()
+        rows.append((
+            b, num_perm // b, n_cand, n_exact, n_found,
+            n_found / n_exact if n_exact else None,
+            n_found / n_cand if n_cand else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, n_candidates long, "
+        "n_exact_pairs long, n_found long, recall double, "
+        "candidate_precision double")

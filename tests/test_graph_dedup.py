@@ -342,3 +342,42 @@ def test_threshold_curve_grid_join_is_broadcast(spark):
     # the hits subtree feeds two aggregate branches, so the grid BNLJ
     # compiles once per branch — never more
     assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+def test_banding_report_scurve_monotonicity(spark):
+    """More rows per band = stricter collisions: candidate count must be
+    non-increasing as rows_per_band grows, recall 1.0 at r=1 on a
+    corpus whose duplicate pairs are exact."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    rep = dedup.minhash_banding_report(
+        docs, tau=0.5, num_perm=32, bands_grid=(32, 8, 4)).collect()
+    by_r = {r["rows_per_band"]: r for r in rep}
+    assert set(by_r) == {1, 4, 8}
+    # r=1: every single minhash slot match collides → full recall
+    assert by_r[1]["recall"] == 1.0
+    cands = [by_r[r]["n_candidates"] for r in (1, 4, 8)]
+    assert cands[0] >= cands[1] >= cands[2]
+    for r in rep:
+        assert r["n_found"] <= min(r["n_candidates"], r["n_exact_pairs"])
+        assert r["candidate_precision"] is None or \
+            0.0 <= r["candidate_precision"] <= 1.0
+        assert r["recall"] is None or 0.0 <= r["recall"] <= 1.0
+    # driver operating point (128/32, r=4): full recall at tau 0.5 —
+    # the assumption D3's oracle contract rests on, measured here
+    d3 = dedup.minhash_banding_report(
+        docs, tau=0.5, num_perm=128, bands_grid=(32,)).collect()[0]
+    assert d3["recall"] == 1.0
+
+
+def test_banding_report_rejects_non_divisor(spark):
+    import pytest as _pytest
+    from resin_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    with _pytest.raises(ValueError, match="does not divide"):
+        dedup.minhash_banding_report(docs, num_perm=32, bands_grid=(5,))
