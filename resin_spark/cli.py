@@ -336,15 +336,15 @@ def cmd_vsearch(flags: dict, spark: SparkSession, log=print) -> int:
 def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
-    anomalies|overlap|mixture|profile|chunks|divergence|all (default
-    all), --budget <tokens> (mixture planner, default
-    pipeline.MIX_BUDGET). Prints one line per report row."""
-    from resin_spark.operators import health, pipeline, traindata
+    anomalies|overlap|mixture|profile|chunks|divergence|coverage|
+    dupcurve|all (default all), --budget <tokens> (mixture planner,
+    default pipeline.MIX_BUDGET). Prints one line per report row."""
+    from resin_spark.operators import dedup, health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
     kinds = ("anomalies", "overlap", "mixture", "profile", "chunks",
-             "divergence", "all")
+             "divergence", "coverage", "dupcurve", "all")
     if which not in kinds:
         log(f"unknown report: {which} (one of {'|'.join(kinds)})")
         return 0
@@ -378,6 +378,22 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
         for r in pipeline.source_divergence(docs).collect():
             log(f"{r['source']}: KL {r['kl_bits']:.4f} bits "
                 f"({r['n_tokens']} tokens, {r['n_distinct']} distinct)")
+    if which in ("coverage", "all"):
+        log("-- vocab coverage --")
+        for r in health.vocab_coverage(docs).collect():
+            if r["n_tokens"]:
+                log(f"{r['source']}: coverage {r['coverage_share']:.4f} "
+                    f"({r['covered_tokens']}/{r['n_tokens']} tokens; "
+                    f"oov {r['oov_terms']}/{r['distinct_terms']} terms; "
+                    f"{r['mean_token_chars']:.2f} chars/token)")
+            else:
+                log(f"{r['source']}: no tokens")
+    if which in ("dupcurve", "all"):
+        log("-- dedup threshold curve --")
+        for r in dedup.dedup_threshold_curve(docs).collect():
+            log(f"tau {r['threshold']:.1f}: {r['n_pairs']} pairs, "
+                f"{r['n_docs_in_pairs']} docs entangled "
+                f"(share {r['dup_doc_share']:.4f})")
     if which in ("chunks", "all"):
         log("-- cdc chunk dedup --")
         stats = traindata.cdc_chunk_stats({"documents": docs})
@@ -395,6 +411,34 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_hybrid(flags: dict, spark: SparkSession, log=print) -> int:
+    """Hybrid BM25+vector search over documents/embeddings parquet
+    stores, fused by reciprocal-rank fusion: --docs <parquet>,
+    --embeddings <parquet>, --query "free terms" (default the demo
+    terms), --vec-id <stored query embedding id> (default 0),
+    --k (default 10). Prints one fused ranked line per hit with each
+    leg's rank."""
+    from resin_spark.operators import retrieval
+
+    t = {
+        "documents": spark.read.parquet(flags["docs"]),
+        "embeddings": spark.read.parquet(flags["embeddings"]),
+    }
+    terms = tuple((flags.get("query")
+                   or " ".join(retrieval.HYBRID_QUERY)).lower().split())
+    qid = int(flags.get("vec-id") or retrieval.HYBRID_QUERY_VEC_ID)
+    k = int(flags.get("k") or 10)
+    rows = retrieval.hybrid_search_rrf(
+        t, query=terms, query_vec_id=qid, k=k).collect()
+    for r in rows:
+        lex = f"lex #{r['lex_rank']}" if r["lex_rank"] is not None else "lex -"
+        vec = f"vec #{r['vec_rank']}" if r["vec_rank"] is not None else "vec -"
+        log(f"{r['rank']}. doc {r['doc_id']} — rrf {r['rrf_score']:.6f} "
+            f"({lex}, {vec})")
+    log(f"{len(rows)} hit(s)")
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
@@ -405,6 +449,7 @@ COMMANDS = {
     "appendindex": cmd_appendindex,
     "search": cmd_search,
     "vsearch": cmd_vsearch,
+    "hybrid": cmd_hybrid,
     "health": cmd_health,
 }
 

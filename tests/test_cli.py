@@ -324,3 +324,40 @@ def test_cmd_health_reports_all_three(spark, tmp_path):
     assert cli.main(["health", "--docs", path, "--report", "bogus"],
                     spark=spark, log=lines.append) == 0
     assert any("unknown report" in l for l in lines)
+
+
+def test_cmd_health_coverage_and_dupcurve(spark, tmp_path):
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup, health
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    path = str(tmp_path / "docs_pq2")
+    docs.write.parquet(path)
+
+    lines: list[str] = []
+    assert cli.main(["health", "--docs", path, "--report", "coverage"],
+                    spark=spark, log=lines.append) == 0
+    n_sources = docs.filter(docs.doc_id.isNotNull()) \
+        .select("source").distinct().count()
+    assert len([l for l in lines if ": coverage " in l]) == n_sources
+
+    lines.clear()
+    assert cli.main(["health", "--docs", path, "--report", "dupcurve"],
+                    spark=spark, log=lines.append) == 0
+    assert len([l for l in lines if l.startswith("tau ")]) \
+        == len(dedup.CURVE_THRESHOLDS)
+
+
+def test_cmd_hybrid_ranked_lines(spark):
+    lines: list[str] = []
+    assert cli.main(
+        ["hybrid",
+         "--docs", os.path.join(SF_DIR, "documents.parquet"),
+         "--embeddings", os.path.join(SF_DIR, "embeddings.parquet"),
+         "--k", "5"],
+        spark=spark, log=lines.append) == 0
+    ranked = [l for l in lines if " — rrf " in l]
+    assert len(ranked) == 5 and "5 hit(s)" in lines
+    # leg ranks surface in the output
+    assert any("lex #" in l for l in ranked)
+    assert any("vec #" in l for l in ranked)
