@@ -1056,3 +1056,135 @@ def source_divergence_oracle() -> str:
     CROSS JOIN n_all
     GROUP BY st.source ORDER BY st.source
     """
+
+
+# --- C53: apply_mixture — execute the mixture plan ----------------------------
+
+# Salt decorrelating the epoch-boost coin from stratified_sample's keep
+# coin (both hash doc_id); lockstep with apply_mixture_demo_oracle.
+MIX_SALT = ":mix"
+
+
+def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
+                  salt: str = MIX_SALT) -> DataFrame:
+    """Materialise mixture_plan deterministically: per document,
+    (doc_id, source, n_copies) — how many epochs this doc appears in a
+    training run that realises its source's sampling_rate. Every doc
+    gets floor(rate) copies plus one more when its md5 coin lands under
+    the fractional part, so E[realised tokens] = planned tokens with
+    NO RNG state: reproducible across engines, runs and partitionings
+    (the stratified_sample recipe, decorrelated by ``salt``; the coin
+    is 16-bit — rate granularity 1/65536, the same step the sampler
+    uses).
+
+    n_copies = 0 drops the doc (downsampled source); > 1 repeats it
+    (upsampled source). Consumers explode n_copies into epoch rows or
+    feed it to a weighted loader directly — at 100 TB you ship the
+    (doc_id, n_copies) relation, never the replicated corpus.
+
+    Scale: the |sources|-row plan broadcasts; one scan computes the
+    coin and copy count map-side. No shuffle beyond mixture_plan's own
+    token-count aggregate.
+    """
+    plan = mixture_plan(docs, budget).select("source", "sampling_rate")
+    rate = F.coalesce(F.col("sampling_rate"), F.lit(0.0))
+    base = F.floor(rate).cast("long")
+    frac = rate - F.floor(rate)
+    thr = F.lpad(F.lower(F.hex(F.floor(frac * 65536).cast("long"))),
+                 4, "0")
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 4)
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .join(F.broadcast(plan), "source", "left")
+        .select(
+            "doc_id", "source",
+            (base + F.when(h4 < thr, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("n_copies"),
+        )
+    )
+
+
+def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET) -> DataFrame:
+    """Per-source realisation accounting of apply_mixture vs the plan:
+    (source, n_docs, realized_docs, realized_tokens, planned_tokens,
+    realization_ratio). The driver-checkable rollup — the per-doc
+    relation is the library surface."""
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    copies = apply_mixture(docs, budget)
+    toks = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("nt"))
+    plan = mixture_plan(docs, budget).select("source", "planned_tokens")
+    per = (
+        copies.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").alias("realized_docs"),
+            F.sum(F.col("n_copies") * F.col("nt")).alias("realized_tokens"),
+        )
+    )
+    return (
+        per.join(F.broadcast(plan), "source")
+        .select(
+            "source", "n_docs", "realized_docs", "realized_tokens",
+            "planned_tokens",
+            F.try_divide(F.col("realized_tokens").cast("double"),
+                         F.col("planned_tokens")).alias("realization_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def apply_mixture_demo_oracle(budget: int = MIX_BUDGET,
+                              salt: str = MIX_SALT) -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+               CAST(round(sqrt(CAST(SUM(len({toks})) AS BIGINT)), 6)
+                    AS DECIMAL(28,6)) AS w
+        FROM documents WHERE doc_id IS NOT NULL GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS total_w FROM per
+    ),
+    plan AS (
+        SELECT source,
+               CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
+                    AS BIGINT) AS planned_tokens,
+               CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
+                    AS BIGINT) / n_tokens AS sampling_rate
+        FROM per, tot
+    ),
+    coins AS (
+        SELECT d.doc_id, d.source, len({toks}) AS nt,
+               COALESCE(p.sampling_rate, 0.0) AS rate,
+               substr(md5(CAST(d.doc_id AS VARCHAR) || '{salt}'), 1, 4)
+                   AS h4
+        FROM documents d LEFT JOIN plan p ON d.source = p.source
+        WHERE d.doc_id IS NOT NULL
+    ),
+    copies AS (
+        SELECT doc_id, source, nt,
+               CAST(floor(rate) AS BIGINT)
+               + CASE WHEN h4 < lpad(lower(to_hex(CAST(floor(
+                          (rate - floor(rate)) * 65536) AS BIGINT))),
+                          4, '0')
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM coins
+    ),
+    rolled AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_copies) AS BIGINT) AS realized_docs,
+               CAST(SUM(n_copies * nt) AS BIGINT) AS realized_tokens
+        FROM copies GROUP BY source
+    )
+    SELECT r.source, r.n_docs, r.realized_docs, r.realized_tokens,
+           p.planned_tokens,
+           CAST(r.realized_tokens AS DOUBLE) / NULLIF(p.planned_tokens, 0)
+               AS realization_ratio
+    FROM rolled r JOIN plan p ON r.source = p.source
+    ORDER BY r.source
+    """

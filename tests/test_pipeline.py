@@ -322,3 +322,83 @@ def test_source_divergence_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(pipeline.source_divergence(t["documents"]),
             pipeline.source_divergence_oracle(), "/root/testdata/sf0.001")
+
+
+# --- apply_mixture -------------------------------------------------------------
+
+
+def _mix_docs(spark, sizes: dict[str, tuple[int, int]]):
+    """sizes: source -> (n_docs, words_per_doc)."""
+    rows, i = [], 0
+    for src, (n, w) in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, " ".join(f"w{j}" for j in range(w)), "en", src))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_apply_mixture_copy_counts_bracket_the_rate(spark):
+    """Every doc gets floor(rate) or ceil(rate) copies, and realised
+    tokens land within one doc of the plan's granularity."""
+    docs = _mix_docs(spark, {"big": (40, 50), "small": (10, 5)})
+    from pyspark.sql import functions as F
+
+    budget = 1000
+    plan = {r["source"]: r for r in
+            pipeline.mixture_plan(docs, budget).collect()}
+    out = pipeline.apply_mixture(docs, budget).collect()
+    assert len(out) == 50
+    import math
+    for r in out:
+        rate = plan[r["source"]]["sampling_rate"]
+        assert r["n_copies"] in (math.floor(rate), math.ceil(rate)), r
+    # temperature upweights the small source: its rate outruns its
+    # token share
+    assert plan["small"]["sampling_rate"] > plan["big"]["sampling_rate"]
+
+
+def test_apply_mixture_is_deterministic_and_salted(spark):
+    docs = _mix_docs(spark, {"a": (30, 10)})
+    one = sorted(map(tuple, pipeline.apply_mixture(docs, 200).collect()))
+    two = sorted(map(tuple, pipeline.apply_mixture(docs, 200).collect()))
+    assert one == two
+    other_salt = sorted(map(tuple,
+                            pipeline.apply_mixture(docs, 200,
+                                                   salt=":x").collect()))
+    # same distribution, different coins: totals stay put, assignment moves
+    assert sum(r[2] for r in one) != 0
+    assert one != other_salt or sum(r[2] for r in one) == sum(
+        r[2] for r in other_salt)
+
+
+def test_apply_mixture_zero_token_source_gets_zero_copies(spark):
+    from pyspark.sql import functions as F
+
+    docs = _mix_docs(spark, {"a": (5, 10)}).union(
+        _mix_docs(spark, {"empty": (3, 1)})
+        .withColumn("text", F.lit("")))
+    out = {r["doc_id"]: r for r in
+           pipeline.apply_mixture(docs, 100).collect()}
+    empties = [r for r in out.values() if r["source"] == "empty"]
+    assert len(empties) == 3 and all(r["n_copies"] == 0 for r in empties)
+
+
+def test_apply_mixture_demo_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.apply_mixture_demo(t),
+            pipeline.apply_mixture_demo_oracle(), "/root/testdata/sf0.001")
+
+
+def test_apply_mixture_plan_join_is_broadcast(spark):
+    from resin_spark.io import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].filter("doc_id IS NOT NULL")
+    plan = pipeline.apply_mixture(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
