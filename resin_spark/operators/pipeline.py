@@ -1065,6 +1065,22 @@ def source_divergence_oracle() -> str:
 MIX_SALT = ":mix"
 
 
+def mixture_copy_count(rate_col, salt: str = MIX_SALT):
+    """Row-local epoch-copy count for a doc given its source's
+    sampling_rate: floor(rate) + a salted 16-bit md5 coin on the
+    fractional part. ONE expression shared by the batch operator and
+    the streaming twin so their copy assignments agree bit-for-bit."""
+    rate = F.coalesce(rate_col, F.lit(0.0))
+    base = F.floor(rate).cast("long")
+    frac = rate - F.floor(rate)
+    thr = F.lpad(F.lower(F.hex(F.floor(frac * 65536).cast("long"))),
+                 4, "0")
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 4)
+    return (base + F.when(h4 < thr, F.lit(1)).otherwise(F.lit(0))) \
+        .cast("long")
+
+
 def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
                   salt: str = MIX_SALT) -> DataFrame:
     """Materialise mixture_plan deterministically: per document,
@@ -1087,20 +1103,13 @@ def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
     token-count aggregate.
     """
     plan = mixture_plan(docs, budget).select("source", "sampling_rate")
-    rate = F.coalesce(F.col("sampling_rate"), F.lit(0.0))
-    base = F.floor(rate).cast("long")
-    frac = rate - F.floor(rate)
-    thr = F.lpad(F.lower(F.hex(F.floor(frac * 65536).cast("long"))),
-                 4, "0")
-    h4 = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 4)
     return (
         docs.filter(F.col("doc_id").isNotNull())
         .join(F.broadcast(plan), "source", "left")
         .select(
             "doc_id", "source",
-            (base + F.when(h4 < thr, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long").alias("n_copies"),
+            mixture_copy_count(F.col("sampling_rate"), salt)
+            .alias("n_copies"),
         )
     )
 

@@ -633,3 +633,36 @@ def stream_cdc_flags(spark: SparkSession, docs_parquet_dir: str,
         .select("doc_id", "chunk_no", "ch",
                 F.col("_k").isNotNull().alias("is_known"))
     )
+
+
+def stream_apply_mixture(spark: SparkSession, docs_parquet_dir: str,
+                         plan: DataFrame) -> DataFrame:
+    """Assign epoch-copy counts to a document stream against a FROZEN
+    mixture plan: each arriving doc emits (doc_id, source, n_copies)
+    using pipeline.mixture_copy_count — the ingestion-time face of
+    pipeline.apply_mixture (batch plans AND executes over one corpus;
+    the stream executes a standing plan as crawl shards land, the shape
+    a production loader actually runs).
+
+    ``plan`` is the (source, sampling_rate) projection of
+    pipeline.mixture_plan over the standing corpus, frozen before the
+    stream starts; it broadcasts per micro-batch. The coin is
+    row-local (salted md5 of doc_id), so rows agree bit-for-bit with
+    batch apply_mixture at the same plan (pinned in tests). Zero
+    state, zero shuffle on the stream side.
+    """
+    from resin_spark.operators.pipeline import mixture_copy_count
+
+    frozen = plan.select("source", "sampling_rate")
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.filter(F.col("doc_id").isNotNull())
+        .join(F.broadcast(frozen), "source", "left")
+        .select("doc_id", "source",
+                mixture_copy_count(F.col("sampling_rate")).alias("n_copies"))
+    )

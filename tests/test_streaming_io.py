@@ -1044,3 +1044,36 @@ def test_stream_cdc_flags_matches_batch(spark, tmp_path):
     sq.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM cdc_stream").collect()}
     assert got == batch
+
+
+def test_stream_apply_mixture_matches_batch(spark, tmp_path):
+    """Streaming plan execution must assign the exact copy counts the
+    batch operator assigns at the same frozen plan."""
+    from resin_spark.operators import pipeline as pl
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, SF)["documents"].filter(
+        "doc_id IS NOT NULL")
+    src_dir = tmp_path / "mix_in"
+    src_dir.mkdir()
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["doc_id"]: (r["source"], r["n_copies"])
+             for r in pl.apply_mixture(docs).collect()}
+    plan = pl.mixture_plan(docs).select("source", "sampling_rate")
+
+    sq = (
+        q.stream_apply_mixture(spark, str(src_dir / "p"), plan)
+        .writeStream.format("memory")
+        .queryName("mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["source"], r["n_copies"])
+           for r in spark.sql("SELECT * FROM mix_stream").collect()}
+    assert got == batch and got
+    assert any(c == 0 for _, c in got.values()) or \
+        all(c >= 1 for _, c in got.values())
