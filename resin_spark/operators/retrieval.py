@@ -78,9 +78,18 @@ def hybrid_search_rrf(t: Tables,
         .select(F.col("neighbor_id").alias("doc_id"),
                 F.col("rank").alias("vec_rank"))
     )
-    # Full-outer keeps single-leg docs. Spark has no broadcast full-outer
-    # hash join, but both sides are k_each-bounded so the sort-merge
-    # exchange moves ≤ 2·k_each rows — corpus-size-independent.
+    return _rrf_fuse(lex, vec, k, rrf_k)
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame, k: int,
+              rrf_k: int) -> DataFrame:
+    """Fuse (doc_id, lex_rank) and (doc_id, vec_rank) legs by RRF —
+    ONE expression shared by the direct and persisted-index paths so
+    their fused relations agree bit-for-bit.
+
+    Full-outer keeps single-leg docs. Spark has no broadcast full-outer
+    hash join, but both sides are k_each-bounded so the sort-merge
+    exchange moves ≤ 2·k_each rows — corpus-size-independent."""
     fused = lex.join(vec, "doc_id", "full_outer").select(
         "doc_id", "lex_rank", "vec_rank",
         (
@@ -97,6 +106,45 @@ def hybrid_search_rrf(t: Tables,
         .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf_score")
         .orderBy("rank")
     )
+
+
+def hybrid_search_indexed(spark, text_index_path: str, ivf_index_path: str,
+                          query: tuple[str, ...] = HYBRID_QUERY,
+                          query_vec_id: int = HYBRID_QUERY_VEC_ID,
+                          k: int = HYBRID_TOPK,
+                          k_each: int = HYBRID_K_EACH,
+                          rrf_k: int = RRF_K,
+                          n_probe: int | None = None) -> DataFrame:
+    """hybrid_search_rrf served off PERSISTED stores — the shape a
+    100 TB deployment actually runs: the lexical leg reads only the
+    query terms' bucket directories of a write_text_index store; the
+    vector leg probes a write_ivf_index store (n_probe=None probes
+    every cell — complete, row-identical to the direct brute leg at
+    the stores' corpus; a lean n_probe trades recall for scan cost,
+    priced by ann_recall_report). Fusion is the shared _rrf_fuse
+    stage, so at complete probe the output is row-identical to
+    hybrid_search_rrf (pinned in tests).
+    """
+    from resin_spark.operators import textindex as ti
+
+    lex = (
+        ti.bm25_topk_indexed(spark, text_index_path, query, k=k_each)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    entries, cent = similarity.read_ivf_index(spark, ivf_index_path)
+    qside = (
+        entries.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_vec"))
+    )
+    vec = (
+        similarity.ivf_topk_indexed(
+            entries, cent, qside, k=k_each,
+            n_probe=(len(cent) if n_probe is None else n_probe))
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("vec_rank"))
+    )
+    return _rrf_fuse(lex, vec, k, rrf_k)
 
 
 def hybrid_search_demo(t: Tables) -> DataFrame:

@@ -92,3 +92,41 @@ def test_hybrid_topk_is_take_ordered(tables):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     # the only unconditioned join is brute_topk's broadcast query-cross
     assert plan.count("CartesianProduct") == 0, plan[:3000]
+
+
+def test_hybrid_indexed_equals_direct_at_complete_probe(spark, tables,
+                                                        tmp_path):
+    """The persisted-store path (bm25_topk_indexed leg + complete-probe
+    IVF leg + shared fusion) must reproduce hybrid_search_rrf row for
+    row — the serving face equals the direct computation."""
+    from resin_spark.operators import similarity, textindex as ti
+
+    tpath, vpath = str(tmp_path / "text_idx"), str(tmp_path / "ivf_idx")
+    ti.write_text_index(tables["documents"], tpath)
+    similarity.write_ivf_index(tables["embeddings"], vpath, n_cells=16)
+
+    direct = [tuple(r) for r in retrieval.hybrid_search_demo(tables).collect()]
+    indexed = [tuple(r) for r in retrieval.hybrid_search_indexed(
+        spark, tpath, vpath).collect()]
+    assert indexed == direct and len(direct) == retrieval.HYBRID_TOPK
+
+
+def test_hybrid_indexed_lean_probe_runs_and_keeps_lex_leg(spark, tables,
+                                                          tmp_path):
+    """A lean n_probe changes only the vector leg's candidate set; the
+    lexical ranks must be identical to the direct path's."""
+    from resin_spark.operators import similarity, textindex as ti
+
+    tpath, vpath = str(tmp_path / "t2"), str(tmp_path / "v2")
+    ti.write_text_index(tables["documents"], tpath)
+    similarity.write_ivf_index(tables["embeddings"], vpath, n_cells=16)
+
+    lean = retrieval.hybrid_search_indexed(spark, tpath, vpath, n_probe=2)
+    rows = lean.collect()
+    assert rows
+    direct_lex = {r["doc_id"]: r["lex_rank"]
+                  for r in retrieval.hybrid_search_demo(tables).collect()
+                  if r["lex_rank"] is not None}
+    for r in rows:
+        if r["lex_rank"] is not None and r["doc_id"] in direct_lex:
+            assert r["lex_rank"] == direct_lex[r["doc_id"]]
