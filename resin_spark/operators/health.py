@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resin_spark.functions import text as T
@@ -646,4 +646,102 @@ def vocab_coverage_demo_oracle(v: int = COVERAGE_V) -> str:
                AS mean_token_chars
     FROM srcs s LEFT JOIN per USING (source)
     ORDER BY source
+    """
+
+
+# --- length_histogram: doc-length distribution per source ---------------------
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Per-source power-of-two histogram of document token lengths:
+    (source, bucket, bucket_lo, bucket_hi, n_docs, n_tokens, doc_share,
+    cum_doc_share) with bucket k covering [2^(k-1), 2^k - 1] and
+    bucket 0 the zero-token docs. The pack-budget chooser: C17 cuts
+    the token tape every `budget` tokens, and this card shows where
+    the corpus mass sits relative to a candidate budget (how many docs
+    straddle cuts, how much of a source is head vs tail).
+
+    Exactness: the bucket is len(bin(n_tokens)) — integer bit length,
+    no log2 (whose last-ulp rounding is implementation-defined and
+    could flip floor() at power-of-two boundaries); shares are single
+    IEEE divisions; the cumulative runs over ≤ 64 buckets per source.
+
+    Scale: one scan → per-(source, bucket) counts (map-side partial
+    agg onto |sources|×64 groups); the share/cumulative windows
+    partition by source over those bounded groups — never the corpus.
+    """
+    nt = F.size(T.tokens("text")).cast("long")
+    bucketed = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "source", nt.alias("nt"),
+            F.when(nt == 0, F.lit(0))
+            .otherwise(F.length(F.bin(nt)).cast("int")).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    src_w = Window.partitionBy("source")
+    cum_w = src_w.orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bucketed
+        .withColumn("bucket_lo", F.expr(
+            "CAST(CASE WHEN bucket = 0 THEN 0 "
+            "ELSE shiftleft(1L, bucket - 1) END AS LONG)"))
+        .withColumn("bucket_hi", F.expr(
+            "CAST(CASE WHEN bucket = 0 THEN 0 "
+            "ELSE shiftleft(1L, bucket) - 1 END AS LONG)"))
+        .withColumn("doc_share",
+                    F.try_divide(F.col("n_docs").cast("double"),
+                                 F.sum("n_docs").over(src_w)))
+        .withColumn("cum_doc_share",
+                    F.try_divide(F.sum("n_docs").over(cum_w).cast("double"),
+                                 F.sum("n_docs").over(src_w)))
+        .select("source", "bucket", "bucket_lo", "bucket_hi", "n_docs",
+                "n_tokens", "doc_share", "cum_doc_share")
+        .orderBy("source", "bucket")
+    )
+
+
+def length_histogram_demo(t: Tables) -> DataFrame:
+    return length_histogram(t["documents"])
+
+
+def length_histogram_demo_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH d AS (
+        SELECT source, len({toks}) AS nt
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    b AS (
+        SELECT source,
+               CASE WHEN nt = 0 THEN 0
+                    ELSE len(bin(CAST(nt AS BIGINT))) END AS bucket,
+               nt
+        FROM d
+    ),
+    g AS (
+        SELECT source, bucket, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2
+    )
+    SELECT source, bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT)
+               AS bucket_lo,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT)
+               AS bucket_hi,
+           n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE)
+               / NULLIF(SUM(n_docs) OVER (PARTITION BY source), 0)
+               AS doc_share,
+           CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+               / NULLIF(SUM(n_docs) OVER (PARTITION BY source), 0)
+               AS cum_doc_share
+    FROM g
+    ORDER BY source, bucket
     """

@@ -210,3 +210,35 @@ def test_vocab_coverage_vocab_join_is_broadcast(tables):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- length_histogram ----------------------------------------------------------
+
+def test_length_histogram_buckets_and_cumshare(spark):
+    # token counts: 0, 1, 8 (power-of-two boundary), 9, 130
+    df = _docs(spark, [
+        (1, "", "en", "s"),
+        (2, "one", "en", "s"),
+        (3, " ".join(["w"] * 8), "en", "s"),
+        (4, " ".join(["w"] * 9), "en", "s"),
+        (5, " ".join(["w"] * 130), "en", "s"),
+    ])
+    rows = {r["bucket"]: r for r in health.length_histogram(df).collect()}
+    assert set(rows) == {0, 1, 4, 8}
+    assert (rows[0]["bucket_lo"], rows[0]["bucket_hi"],
+            rows[0]["n_docs"]) == (0, 0, 1)
+    assert (rows[1]["bucket_lo"], rows[1]["bucket_hi"]) == (1, 1)
+    # nt=8 and nt=9 share bucket 4 = [8, 15]
+    assert (rows[4]["bucket_lo"], rows[4]["bucket_hi"],
+            rows[4]["n_docs"], rows[4]["n_tokens"]) == (8, 15, 2, 17)
+    assert (rows[8]["bucket_lo"], rows[8]["bucket_hi"]) == (128, 255)
+    assert rows[8]["cum_doc_share"] == 1.0
+    assert rows[0]["doc_share"] == 0.2 and rows[4]["doc_share"] == 0.4
+    # cumulative is monotone in bucket order
+    cums = [rows[b]["cum_doc_share"] for b in sorted(rows)]
+    assert cums == sorted(cums)
+
+
+def test_length_histogram_demo_matches_oracle(tables):
+    compare(health.length_histogram_demo(tables),
+            health.length_histogram_demo_oracle(), SF_SMALL)
