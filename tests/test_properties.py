@@ -661,3 +661,83 @@ def test_mixture_plan_invariants(spark, rows, budget):
     assert shares == sorted(shares)
     for r in out:
         assert r["n_epochs"] == -(-r["planned_tokens"] // r["n_tokens"])
+
+
+# --- closing-r6 ops: RRF fusion / mixture executor / histogram ----------------
+
+doc_rows = st.lists(
+    st.tuples(st.integers(0, 40),
+              st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                        "epsilon", "zeta"]),
+                       min_size=0, max_size=12),
+              st.sampled_from(["s0", "s1", "s2"])),
+    min_size=1, max_size=20, unique_by=lambda r: r[0],
+)
+
+
+@given(doc_rows, st.integers(2, 6))
+@settings(max_examples=6, deadline=None)
+def test_length_histogram_buckets_partition_and_shares_sum(spark, rows, _v):
+    from resin_spark.operators import health
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), "en", src) for i, ws, src in rows],
+        "doc_id long, text string, lang string, source string")
+    out = health.length_histogram(df).collect()
+    # every doc's nt must land inside its bucket bounds
+    for r in out:
+        assert r["bucket_lo"] <= r["bucket_hi"]
+        if r["bucket"] > 0:
+            assert r["bucket_lo"] == 2 ** (r["bucket"] - 1)
+            assert r["bucket_hi"] == 2 ** r["bucket"] - 1
+    # per source: doc_share sums to 1, cumulative ends at 1
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in out:
+        per[r["source"]].append(r)
+    for src, rs in per.items():
+        assert abs(sum(r["doc_share"] for r in rs) - 1.0) < 1e-9
+        assert rs[-1]["cum_doc_share"] == max(r["cum_doc_share"] for r in rs)
+        n_total = sum(r["n_docs"] for r in rs)
+        assert n_total == sum(1 for i, ws, s in rows if s == src)
+
+
+@given(doc_rows, st.integers(1, 8))
+@settings(max_examples=6, deadline=None)
+def test_vocab_coverage_partitions_and_is_monotone_in_v(spark, rows, v):
+    from resin_spark.operators import health
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), "en", src) for i, ws, src in rows],
+        "doc_id long, text string, lang string, source string")
+    small = {r["source"]: r for r in health.vocab_coverage(df, v=v).collect()}
+    big = {r["source"]: r
+           for r in health.vocab_coverage(df, v=v + 2).collect()}
+    for src, r in small.items():
+        assert r["covered_tokens"] <= r["n_tokens"]
+        assert r["oov_terms"] <= r["distinct_terms"]
+        if r["coverage_share"] is not None:
+            assert 0.0 <= r["coverage_share"] <= 1.0
+            # a larger vocabulary never covers less
+            assert big[src]["covered_tokens"] >= r["covered_tokens"]
+
+
+@given(doc_rows, st.integers(50, 5000))
+@settings(max_examples=6, deadline=None)
+def test_apply_mixture_copy_bounds(spark, rows, budget):
+    import math
+
+    from resin_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), "en", src) for i, ws, src in rows],
+        "doc_id long, text string, lang string, source string")
+    plan = {r["source"]: r for r in pl.mixture_plan(df, budget).collect()}
+    out = pl.apply_mixture(df, budget).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        rate = plan[r["source"]]["sampling_rate"]
+        if rate is None:
+            assert r["n_copies"] == 0
+        else:
+            assert r["n_copies"] in (math.floor(rate), math.ceil(rate))
