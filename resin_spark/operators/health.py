@@ -669,7 +669,10 @@ def length_histogram(docs: DataFrame) -> DataFrame:
     agg onto |sources|×64 groups); the share/cumulative windows
     partition by source over those bounded groups — never the corpus.
     """
-    nt = F.size(T.tokens("text")).cast("long")
+    # null text tokenizes to NULL — land it in bucket 0 with the
+    # zero-token docs (NULL ordering differs between engines, so a
+    # NULL bucket would also break the cumulative window cross-engine)
+    nt = F.coalesce(F.size(T.tokens("text")).cast("long"), F.lit(0))
     bucketed = (
         docs.filter(F.col("doc_id").isNotNull())
         .select(
@@ -711,7 +714,7 @@ def length_histogram_demo_oracle() -> str:
     toks = T.tokens_sql("text")
     return f"""
     WITH d AS (
-        SELECT source, len({toks}) AS nt
+        SELECT source, COALESCE(len({toks}), 0) AS nt
         FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (

@@ -100,3 +100,77 @@ def test_edge_docs_parity(spark, edge_dir, name):
     oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
     sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
     assert sset == oset, f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:3]}"
+
+
+# --- closing-r6 staged ops: same edge corpus, demo/oracle pairs directly ------
+
+EDGE_EMB = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, None, 1),                 # null embedding: gated out
+    (4, [0.0, 0.0, 0.0], 2),      # zero norm: cosine gate decides
+    (5, [0.5, 0.5, 0.0], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir_emb(spark, edge_dir):
+    df = spark.createDataFrame(
+        EDGE_EMB, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{edge_dir}/embeddings.parquet")
+    return edge_dir
+
+
+def _staged_pairs():
+    from resin_spark.operators import dedup, health, pipeline, retrieval
+
+    return [
+        ("vocab_coverage", health.vocab_coverage_demo,
+         health.vocab_coverage_demo_oracle(), False),
+        ("length_histogram", health.length_histogram_demo,
+         health.length_histogram_demo_oracle(), False),
+        ("dedup_threshold_curve", dedup.dedup_threshold_curve_demo,
+         dedup.dedup_threshold_curve_oracle(), False),
+        ("apply_mixture", pipeline.apply_mixture_demo,
+         pipeline.apply_mixture_demo_oracle(), False),
+        ("hybrid_search_rrf", retrieval.hybrid_search_demo,
+         retrieval.hybrid_search_oracle(), True),
+    ]
+
+
+@pytest.mark.parametrize("name,fn,sql,needs_emb",
+                         _staged_pairs(),
+                         ids=[p[0] for p in _staged_pairs()])
+def test_edge_docs_staged_parity(spark, edge_dir_emb, name, fn, sql,
+                                 needs_emb):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{edge_dir_emb}/documents.parquet/*.parquet')")
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{edge_dir_emb}/embeddings.parquet/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    t = {"documents": spark.read.parquet(
+        f"{edge_dir_emb}/documents.parquet")}
+    if needs_emb:
+        t["embeddings"] = spark.read.parquet(
+            f"{edge_dir_emb}/embeddings.parquet")
+    df = fn(t)
+    srows = df.collect()
+    assert sorted(df.columns) == sorted(ocols)
+    assert len(srows) == len(orows), f"rowcount: {len(srows)} vs {len(orows)}"
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [df.columns.index(c) for c in sorted(df.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:3]}"
