@@ -1391,3 +1391,56 @@ def ivf_topk_indexed(entries: DataFrame, cent: np.ndarray,
                 F.round("score", 9).alias("score"))
         .orderBy(q_id, "rank")
     )
+
+
+def append_ivf_index(emb_new: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Merge a NEW batch of vectors into a stored IVF index — the
+    continuous-ingest maintenance shape (append_text_index /
+    append_dedup_index's sibling for the vector store): a crawl's
+    embeddings append without retraining or rewriting the corpus.
+
+    The stored centroids are the contract: new vectors are assigned
+    with the SAME _ivf_cell_udf kernel the writer used, so the
+    appended store is exactly ``entries(old) ∪ assign(new, stored
+    centroids)`` (pinned in tests) and validate_ivf_index's
+    re-assignment invariant keeps holding. Centroids deliberately do
+    NOT retrain — a retrain would silently re-file every old vector;
+    when drift warrants new cells (embedding_drift is the monitor for
+    that), rebuild with write_ivf_index.
+
+    Cost is one scan of the NEW batch (assign + partitioned append —
+    existing cell-directory files are never rewritten, only new files
+    land) plus an id-only column-pruned scan of the stored entries for
+    the duplicate-id guard (an id already in the index would serve
+    twice from its cell; overlap raises loudly, the append_text_index
+    convention).
+    """
+    spark = emb_new.sparkSession
+    entries, cent = read_ivf_index(spark, path)
+    if not len(cent):
+        raise ValueError(f"{path}: empty centroid relation — not an "
+                         "IVF store")
+    new = valid_vectors(emb_new, vec_col).select(
+        F.col(id_col), F.col(vec_col))
+    dup = (
+        new.select(F.col(id_col))
+        .join(entries.select(F.col(id_col)), id_col, "inner")
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_ivf_index: id {dup[0][0]} already stored in "
+            f"{path} — appending would double its entry")
+    assigned = new.select(
+        F.col(id_col), F.col(vec_col),
+        _ivf_cell_udf(cent)(F.col(vec_col)).cast("int").alias("cell"))
+    # eagerly materialise before writing into the directory tree the
+    # plan is still lazily reading from (the append_text_index lesson)
+    assigned = assigned.localCheckpoint()
+    (
+        assigned.repartition("cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/entries")
+    )

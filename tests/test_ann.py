@@ -286,3 +286,66 @@ def test_ivf_indexed_equals_in_memory_and_prunes(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan \
         or "cell#" in plan.split("PartitionFilters")[1][:120], plan[:3000]
+
+
+def test_append_ivf_index_equals_assign_union_and_validates(spark, tmp_path):
+    """append == entries(old) ∪ assign(new, stored centroids); probes
+    over the appended store equal ivf_topk_indexed over the combined
+    frame; the validator stays green; duplicate ids raise; existing
+    files are never rewritten."""
+    import os
+
+    emb = load_tables(spark, SF)["embeddings"]
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_app")
+    similarity.write_ivf_index(old, path, n_cells=16)
+
+    def files():
+        out = {}
+        for root, _, names in os.walk(f"{path}/entries"):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = files()
+    similarity.append_ivf_index(new, path)
+    after = files()
+    # append adds files; it never rewrites or resizes an existing one
+    assert set(before) <= set(after)
+    assert all(after[p] == sz for p, sz in before.items())
+
+    entries, cent = similarity.read_ivf_index(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in old.select(
+        "vec_id",
+        similarity._ivf_cell_udf(cent)("embedding").cast("int")
+        .alias("cell")).collect()} | {(r["vec_id"], r["cell"])
+                                      for r in new.select(
+        "vec_id",
+        similarity._ivf_cell_udf(cent)("embedding").cast("int")
+        .alias("cell")).collect()}
+    got = {(r["vec_id"], r["cell"]) for r in entries.collect()}
+    assert got == want
+
+    # probing the appended store == probing the union relation
+    qs = _queries(emb)
+    manual = old.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")).select(
+        "vec_id", "embedding",
+        similarity._ivf_cell_udf(cent)("embedding").cast("int")
+        .alias("cell"))
+    a = [tuple(r) for r in similarity.ivf_topk_indexed(
+        entries, cent, qs, n_probe=4).collect()]
+    b = [tuple(r) for r in similarity.ivf_topk_indexed(
+        manual, cent, qs, n_probe=4).collect()]
+    assert a == b
+
+    from resin_spark.operators import validate
+    rep = validate.validate_ivf_index(spark, path)
+    assert all(r["ok"] for r in rep.collect())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already stored"):
+        similarity.append_ivf_index(new.limit(1), path)
