@@ -236,17 +236,20 @@ def cmd_buildindex(flags: dict, spark: SparkSession, log=print) -> int:
 
 def cmd_appendindex(flags: dict, spark: SparkSession, log=print) -> int:
     """Merge a NEW batch into a stored incremental index: --kind
-    text|dedup, --source <parquet batch>, --path <store dir>. Fresh
-    doc_ids required — the underlying append op refuses overlap (see
-    append_text_index / append_dedup_index)."""
-    from resin_spark.operators import dedup, textindex
+    text|dedup|ivf, --source <parquet batch>, --path <store dir>.
+    Fresh ids required — the underlying append op refuses overlap
+    (see append_text_index / append_dedup_index / append_ivf_index;
+    ivf appends at the STORED centroids — rebuild when
+    embedding_drift says the cells went stale)."""
+    from resin_spark.operators import dedup, similarity, textindex
 
     kind, path = flags["kind"], flags["path"]
     appenders = {"text": textindex.append_text_index,
-                 "dedup": dedup.append_dedup_index}
+                 "dedup": dedup.append_dedup_index,
+                 "ivf": similarity.append_ivf_index}
     if kind not in appenders:
         log(f"unknown append kind: {kind} (one of {sorted(appenders)}; "
-            "ann/pq/ivf stores rebuild — their training state is "
+            "ann/pq stores rebuild — their training state is "
             "corpus-global)")
         return 0
     src = spark.read.parquet(flags["source"])

@@ -361,3 +361,31 @@ def test_cmd_hybrid_ranked_lines(spark):
     # leg ranks surface in the output
     assert any("lex #" in l for l in ranked)
     assert any("vec #" in l for l in ranked)
+
+
+def test_cmd_appendindex_ivf(spark, tmp_path):
+    """appendindex --kind ivf appends at the stored centroids; the
+    validateindex command stays green on the appended store."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import similarity
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "ivf_cli")
+    similarity.write_ivf_index(emb.filter("vec_id % 2 = 0"), path,
+                               n_cells=8)
+    batch = str(tmp_path / "new_half")
+    emb.filter("vec_id % 2 = 1").write.parquet(batch)
+
+    lines: list[str] = []
+    assert cli.main(["appendindex", "--kind", "ivf", "--source", batch,
+                     "--path", path], spark=spark, log=lines.append) == 0
+    assert any("appended" in l and "ivf" in l for l in lines)
+    # refusing the same batch again
+    lines.clear()
+    assert cli.main(["appendindex", "--kind", "ivf", "--source", batch,
+                     "--path", path], spark=spark, log=lines.append) == 0
+    assert any("append refused" in l for l in lines)
+    lines.clear()
+    assert cli.main(["validateindex", "--kind", "ivf", "--path", path],
+                    spark=spark, log=lines.append) == 0
+    assert not any("FAIL" in l for l in lines)
