@@ -1028,3 +1028,77 @@ def phrase_search_oracle(phrase: tuple[str, ...] = PHRASE_QUERY,
     ) WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+# --- search snippets: the result-presentation face of the search block --------
+
+# Lockstep knobs shared with search_snippets_oracle.
+SNIP_TOPK = 10
+SNIP_RADIUS = 3
+
+
+def search_snippets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
+                    k: int = SNIP_TOPK,
+                    radius: int = SNIP_RADIUS) -> DataFrame:
+    """Result snippets for the BM25 top-k: (rank, doc_id, pos, snippet)
+    where pos is the 1-based token position of the FIRST occurrence of
+    any query term (earliest across terms) and snippet is the ±radius
+    token window around it, joined with spaces — what a search UI
+    renders under each hit (the reference surfaces raw stored fields;
+    every production search face adds this).
+
+    Row-local after the top-k: positions and the window are array ops
+    over one tokenize of only the k hit docs (the corpus scan is
+    pruned by the broadcast top-k semi-join); a BM25 hit always
+    contains a query term, so pos is non-NULL by construction —
+    kept nullable for defensive parity.
+
+    Exactness: integer array positions + string concat, no floats.
+    """
+    top = bm25_search(t, query, k).select("rank", "doc_id")
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    from pyspark.sql.functions import broadcast
+    base = (
+        docs.join(broadcast(top), "doc_id")
+        .select("rank", "doc_id", T.tokens("text").alias("tk"))
+    )
+    pos = F.array_min(F.filter(
+        F.array(*[F.array_position("tk", F.lit(q)) for q in query]),
+        lambda x: x > 0))
+    start = F.greatest(F.lit(1), F.col("pos") - radius)
+    end = F.least(F.size("tk"), F.col("pos") + radius)
+    return (
+        base.withColumn("pos", pos)
+        .withColumn(
+            "snippet",
+            F.concat_ws(" ", F.slice("tk", start, end - start + 1)))
+        .select("rank", "doc_id", "pos", "snippet")
+        .orderBy("rank")
+    )
+
+
+def search_snippets_oracle(query: tuple[str, ...] = BM25_QUERY,
+                           k: int = SNIP_TOPK,
+                           radius: int = SNIP_RADIUS) -> str:
+    toks = T.tokens_sql("text")
+    bm25 = bm25_search_oracle(query, k=k)
+    poslist = ", ".join(
+        f"COALESCE(list_position(tk, '{q}'), 0)" for q in query)
+    return f"""
+    WITH top AS (SELECT rank, doc_id FROM ({bm25})),
+    d AS (
+        SELECT doc_id, {toks} AS tk
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    hit AS (
+        SELECT t.rank, t.doc_id, d.tk,
+               list_min(list_filter([{poslist}], x -> x > 0)) AS pos
+        FROM top t JOIN d ON t.doc_id = d.doc_id
+    )
+    SELECT rank, doc_id, pos,
+           array_to_string(list_transform(
+               range(greatest(1, pos - {radius}),
+                     least(len(tk), pos + {radius}) + 1),
+               i -> tk[i]), ' ') AS snippet
+    FROM hit ORDER BY rank
+    """

@@ -124,7 +124,8 @@ def edge_dir_emb(spark, edge_dir):
 
 
 def _staged_pairs():
-    from resin_spark.operators import dedup, health, pipeline, retrieval
+    from resin_spark.operators import (dedup, health, pipeline,
+                                        retrieval, textops)
 
     return [
         ("vocab_coverage", health.vocab_coverage_demo,
@@ -137,6 +138,8 @@ def _staged_pairs():
          pipeline.apply_mixture_demo_oracle(), False),
         ("hybrid_search_rrf", retrieval.hybrid_search_demo,
          retrieval.hybrid_search_oracle(), True),
+        ("search_snippets", textops.search_snippets,
+         textops.search_snippets_oracle(), False),
     ]
 
 

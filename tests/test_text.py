@@ -214,3 +214,42 @@ def test_phrase_search_counts_and_edges(spark):
     # single-term phrase degrades to term counting
     one = tx.phrase_search({"documents": docs}, phrase=("merge",)).collect()
     assert one[0]["doc_id"] == 1 or one[0]["n_occurrences"] >= 3
+
+
+def test_search_snippets_window_boundaries(spark):
+    from resin_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "merge a b c d e f", "en", "s"),        # hit at pos 1: left-clamped
+         (2, "a b c d e f merge", "en", "s"),        # hit at the end: right-clamped
+         (3, "a b c merge d e f", "en", "s"),        # centered window
+         (4, "nothing relevant here", "en", "s")],   # no hit: not in top-k
+        "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in textops.search_snippets(
+        {"documents": docs}, query=("merge",), k=10, radius=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["pos"], out[1]["snippet"]) == (1, "merge a b")
+    assert (out[2]["pos"], out[2]["snippet"]) == (7, "e f merge")
+    assert (out[3]["pos"], out[3]["snippet"]) == (4, "b c merge d e")
+
+
+def test_search_snippets_earliest_term_wins(spark):
+    from resin_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "x sort y y y merge z", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    r = textops.search_snippets(
+        {"documents": docs}, query=("merge", "sort"), k=5,
+        radius=1).collect()[0]
+    assert r["pos"] == 2 and r["snippet"] == "x sort y"
+
+
+def test_search_snippets_demo_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from resin_spark.operators import textops
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(textops.search_snippets(t), textops.search_snippets_oracle(),
+            "/root/testdata/sf0.001")
