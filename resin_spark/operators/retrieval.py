@@ -186,3 +186,77 @@ def hybrid_search_oracle(query: tuple[str, ...] = HYBRID_QUERY,
     ) WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+MMR_LAMBDA = 0.7
+MMR_MAX_K = 10_000
+
+
+def mmr_rerank(results: DataFrame, emb: DataFrame, k: int | None = None,
+               lam: float = MMR_LAMBDA,
+               id_col: str = "doc_id") -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein 1998) of a fused result page: greedily pick the doc
+    maximising lam·relevance − (1−lam)·max-cosine-to-already-picked,
+    so near-duplicate hits stop crowding the page. Input: a relation
+    with (id_col, rrf_score) — hybrid_search_rrf's output shape — plus
+    the embeddings table; output (mmr_rank, doc_id, rrf_score,
+    max_sim_selected).
+
+    Greedy MMR is inherently sequential in k, so this runs as a
+    driver-side numpy loop over the COLLECTED page — bounded by
+    construction (a result page is ≤ k_each·legs rows; MMR_MAX_K
+    guards against misuse on a corpus-sized relation, the union-find
+    gate convention). Relevance is min-max-normalised to [0, 1] so lam
+    weighs two commensurable terms. Docs without a stored embedding
+    keep relevance order and contribute zero similarity (they cannot
+    crowd anything).
+    """
+    rows = results.select(id_col, "rrf_score").collect()
+    if len(rows) > MMR_MAX_K:
+        raise ValueError(
+            f"{len(rows)} result rows exceed MMR_MAX_K={MMR_MAX_K}: "
+            "MMR is a page re-ranker, not a corpus operator")
+    k = len(rows) if k is None else min(k, len(rows))
+    spark = results.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "mmr_rank int, doc_id long, rrf_score double, "
+                "max_sim_selected double")
+    import numpy as np
+
+    ids = [r[id_col] for r in rows]
+    vec_rows = {
+        r[0]: np.asarray(r[1], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding").collect()
+        if r[1] is not None
+    }
+    dim = len(next(iter(vec_rows.values()))) if vec_rows else 1
+    m = np.zeros((len(ids), dim))
+    for i, d in enumerate(ids):
+        v = vec_rows.get(d)
+        if v is not None and np.linalg.norm(v) > 0:
+            m[i] = v / np.linalg.norm(v)
+    sims = m @ m.T
+    scores = np.array([r["rrf_score"] for r in rows], dtype=np.float64)
+    lo, hi = scores.min(), scores.max()
+    rel = np.ones_like(scores) if hi == lo else (scores - lo) / (hi - lo)
+    picked: list[int] = []
+    out = []
+    cand = set(range(len(ids)))
+    while cand and len(picked) < k:
+        if picked:
+            max_sim = {i: max(sims[i][j] for j in picked) for i in cand}
+        else:
+            max_sim = {i: 0.0 for i in cand}
+        # deterministic tie-break: score desc, then original order
+        best = max(cand, key=lambda i: (lam * rel[i]
+                                        - (1 - lam) * max_sim[i], -i))
+        picked.append(best)
+        cand.remove(best)
+        out.append((len(picked), ids[best], float(scores[best]),
+                    float(max_sim[best])))
+    return spark.createDataFrame(
+        out, "mmr_rank int, doc_id long, rrf_score double, "
+             "max_sim_selected double")

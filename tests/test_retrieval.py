@@ -130,3 +130,49 @@ def test_hybrid_indexed_lean_probe_runs_and_keeps_lex_leg(spark, tables,
     for r in rows:
         if r["lex_rank"] is not None and r["doc_id"] in direct_lex:
             assert r["lex_rank"] == direct_lex[r["doc_id"]]
+
+
+def test_mmr_rerank_demotes_crowding_duplicates(spark):
+    """Two near-identical top hits: MMR keeps the better one first and
+    pushes the clone below a diverse lower-scored hit."""
+    results = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 11, 0.85), (3, 12, 0.5)],
+        "rank int, doc_id long, rrf_score double")
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0], 0),
+         (11, [0.999, 0.01, 0.0], 0),    # clone of 10
+         (12, [0.0, 1.0, 0.0], 0)],      # orthogonal
+        "vec_id long, embedding array<float>, label int")
+    out = [r["doc_id"] for r in retrieval.mmr_rerank(
+        results, emb, lam=0.5).orderBy("mmr_rank").collect()]
+    assert out == [10, 12, 11]
+    # lam=1 ignores diversity: pure relevance order
+    pure = [r["doc_id"] for r in retrieval.mmr_rerank(
+        results, emb, lam=1.0).orderBy("mmr_rank").collect()]
+    assert pure == [10, 11, 12]
+
+
+def test_mmr_rerank_handles_missing_vectors_and_empty(spark):
+    results = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 99, 0.8)],    # 99 has no stored embedding
+        "rank int, doc_id long, rrf_score double")
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int")
+    out = retrieval.mmr_rerank(results, emb).collect()
+    assert [r["doc_id"] for r in out] == [10, 99]
+    assert out[1]["max_sim_selected"] == 0.0
+    empty = retrieval.mmr_rerank(results.limit(0), emb)
+    assert empty.count() == 0
+    assert empty.columns == ["mmr_rank", "doc_id", "rrf_score",
+                             "max_sim_selected"]
+
+
+def test_mmr_rerank_refuses_corpus_sized_input(spark):
+    import pytest as _pytest
+
+    big = spark.range(retrieval.MMR_MAX_K + 1).selectExpr(
+        "id AS doc_id", "CAST(id AS DOUBLE) AS rrf_score")
+    emb = spark.createDataFrame(
+        [(0, [1.0], 0)], "vec_id long, embedding array<float>, label int")
+    with _pytest.raises(ValueError, match="page re-ranker"):
+        retrieval.mmr_rerank(big, emb)
