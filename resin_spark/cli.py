@@ -236,7 +236,9 @@ def cmd_buildindex(flags: dict, spark: SparkSession, log=print) -> int:
 
 def cmd_appendindex(flags: dict, spark: SparkSession, log=print) -> int:
     """Merge a NEW batch into a stored incremental index: --kind
-    text|dedup|ivf, --source <parquet batch>, --path <store dir>.
+    text|dedup|ivf|ann|pq, --source <parquet batch>, --path <store
+    dir> (ann appends at the writer's default hyperplane params; ivf/pq
+    append at the stored centroids/codebooks).
     Fresh ids required — the underlying append op refuses overlap
     (see append_text_index / append_dedup_index / append_ivf_index;
     ivf appends at the STORED centroids — rebuild when
@@ -246,11 +248,11 @@ def cmd_appendindex(flags: dict, spark: SparkSession, log=print) -> int:
     kind, path = flags["kind"], flags["path"]
     appenders = {"text": textindex.append_text_index,
                  "dedup": dedup.append_dedup_index,
-                 "ivf": similarity.append_ivf_index}
+                 "ivf": similarity.append_ivf_index,
+                 "ann": similarity.append_ann_index,
+                 "pq": similarity.append_pq_index}
     if kind not in appenders:
-        log(f"unknown append kind: {kind} (one of {sorted(appenders)}; "
-            "ann/pq stores rebuild — their training state is "
-            "corpus-global)")
+        log(f"unknown append kind: {kind} (one of {sorted(appenders)})")
         return 0
     src = spark.read.parquet(flags["source"])
     try:

@@ -1444,3 +1444,74 @@ def append_ivf_index(emb_new: DataFrame, path: str,
         .write.mode("append").partitionBy("cell")
         .parquet(f"{path}/entries")
     )
+
+
+def append_pq_index(emb_new: DataFrame, path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Merge a NEW batch of vectors into a stored PQ index: encode the
+    batch with the STORED codebooks (the exact _pq_encode_udf kernel
+    the writer used) and append the code rows — append_ivf_index's
+    sibling for the compressed store. Codebooks deliberately do NOT
+    retrain (a retrain would re-code every stored vector); when
+    embedding_drift says the subspace quantisation went stale, rebuild
+    with write_pq_index. Duplicate ids raise (an id already coded
+    would serve twice). Cost: one Arrow encode pass over the batch +
+    an id-only scan of the stored codes for the guard.
+    """
+    spark = emb_new.sparkSession
+    codes, books = read_pq_index(spark, path)
+    new = valid_vectors(emb_new, vec_col).select(
+        F.col(id_col), F.col(vec_col))
+    dup = (
+        new.select(F.col(id_col))
+        .join(codes.select(F.col(id_col)), id_col, "inner")
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_pq_index: id {dup[0][0]} already coded in {path}")
+    (
+        new.select(F.col(id_col),
+                   _pq_encode_udf(books)(F.col(vec_col)).alias("codes"))
+        .write.mode("append").parquet(f"{path}/codes")
+    )
+
+
+def append_ann_index(emb_new: DataFrame, path: str,
+                     dims: int | None = None, n_planes: int = 8,
+                     n_tables: int = 4, seed0: int = 7,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Merge a NEW batch of vectors into a stored LSH index. The
+    hyperplanes are SEED-deterministic (no training state), so an
+    append with the writer's (dims, n_planes, n_tables, seed0) makes
+    the store relation-equal to a full write_ann_index over old ∪ new
+    — the strongest append contract of the four stores (pinned in
+    tests). The store is not self-describing (the reader passes the
+    same params — lsh_topk_indexed's existing contract), so the caller
+    MUST pass the write-time values; a mismatch would file the batch
+    under different hyperplanes. Duplicate ids raise. Existing tbl
+    partition files are never rewritten — only new files land.
+    """
+    spark = emb_new.sparkSession
+    index = read_ann_index(spark, path)
+    new = valid_vectors(emb_new, vec_col)
+    if dims is None:
+        dims = _probe_dims(new, vec_col)
+    dup = (
+        new.select(F.col(id_col))
+        .join(index.select(F.col(id_col)).distinct(), id_col, "inner")
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_ann_index: id {dup[0][0]} already indexed in {path}")
+    h = hyperplane_buckets_udf(dims, n_planes, n_tables, seed0)
+    (
+        new.select(F.col(id_col), F.col(vec_col),
+                   F.posexplode(h(F.col(vec_col))).alias("tbl", "bucket"))
+        .repartition("tbl")
+        .sortWithinPartitions("bucket")
+        .write.mode("append").partitionBy("tbl").parquet(path)
+    )

@@ -349,3 +349,68 @@ def test_append_ivf_index_equals_assign_union_and_validates(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already stored"):
         similarity.append_ivf_index(new.limit(1), path)
+
+
+def test_append_ann_index_equals_full_rebuild(spark, tmp_path):
+    """Hyperplanes are seed-deterministic, so append(old-store, new) is
+    relation-equal to write(old ∪ new) — and probes agree exactly."""
+    emb = load_tables(spark, SF)["embeddings"]
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    p_app = str(tmp_path / "ann_app")
+    p_full = str(tmp_path / "ann_full")
+    similarity.write_ann_index(old, p_app)
+    similarity.append_ann_index(new, p_app)
+    similarity.write_ann_index(emb, p_full)
+
+    a = {(r["vec_id"], r["tbl"], r["bucket"])
+         for r in similarity.read_ann_index(spark, p_app).collect()}
+    b = {(r["vec_id"], r["tbl"], r["bucket"])
+         for r in similarity.read_ann_index(spark, p_full).collect()}
+    assert a == b and a
+
+    qs = _queries(emb)
+    ra = [tuple(r) for r in similarity.lsh_topk_indexed(
+        similarity.read_ann_index(spark, p_app), qs).collect()]
+    rb = [tuple(r) for r in similarity.lsh_topk_indexed(
+        similarity.read_ann_index(spark, p_full), qs).collect()]
+    assert ra == rb
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already indexed"):
+        similarity.append_ann_index(new.limit(1), p_app)
+
+
+def test_append_pq_index_codes_match_frozen_codebooks(spark, tmp_path):
+    """Appended codes equal encoding the batch with the stored
+    codebooks; PQ queries over the appended store equal queries over
+    old-codes ∪ frozen-encode(new); duplicate ids raise."""
+    emb = load_tables(spark, SF)["embeddings"]
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "pq_app")
+    similarity.write_pq_index(old, path)
+    _, books = similarity.read_pq_index(spark, path)
+    similarity.append_pq_index(new, path)
+
+    codes, books2 = similarity.read_pq_index(spark, path)
+    assert (books == books2).all()
+    want_new = {r["vec_id"]: list(r["codes"]) for r in new.select(
+        "vec_id",
+        similarity._pq_encode_udf(books)("embedding").alias("codes"))
+        .collect()}
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, c in want_new.items():
+        assert got[vid] == c
+    assert len(got) == emb.filter(
+        "embedding IS NOT NULL").count()
+
+    qs = _queries(emb)
+    res = [tuple(r) for r in similarity.pq_topk_indexed(
+        codes, books, qs, emb, rerank=1_000_000).collect()]
+    brute = [tuple(r) for r in similarity.brute_topk(emb, qs).collect()]
+    assert res == brute  # full rerank degrades to exact — appended store included
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already coded"):
+        similarity.append_pq_index(new.limit(1), path)
