@@ -107,3 +107,31 @@ def test_continuous_ingest_cycle(spark, tmp_path):
         (F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
     v2 = dedup.incremental_dedup_indexed(recopy, idx_hashes2, idx_bands2)
     assert v2.filter("is_dup").count() == recopy.count()
+
+
+def test_vector_ingest_cycle_serves_hybrid(spark, tmp_path):
+    """The vector-side ingest loop: stores built on the standing half,
+    a crawl's embeddings appended at frozen training state, validators
+    green, and the SERVED fused page (hybrid_search_indexed over the
+    appended stores at complete probe) equals the direct computation
+    over the full corpus — append + serve compose end-to-end."""
+    from resin_spark.operators import retrieval, similarity
+
+    t = load_tables(spark, SF)
+    docs, emb = t["documents"], t["embeddings"]
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+
+    tpath = str(tmp_path / "text_store")
+    vpath = str(tmp_path / "ivf_store")
+    ti.write_text_index(docs, tpath)
+    similarity.write_ivf_index(old, vpath, n_cells=16)
+    similarity.append_ivf_index(new, vpath)
+
+    rep = validate.validate_ivf_index(spark, vpath)
+    assert all(r["ok"] for r in rep.collect())
+
+    served = [tuple(r) for r in retrieval.hybrid_search_indexed(
+        spark, tpath, vpath).collect()]
+    direct = [tuple(r) for r in retrieval.hybrid_search_demo(t).collect()]
+    assert served == direct and served
