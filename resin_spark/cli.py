@@ -421,8 +421,9 @@ def cmd_hybrid(flags: dict, spark: SparkSession, log=print) -> int:
     stores, fused by reciprocal-rank fusion: --docs <parquet>,
     --embeddings <parquet>, --query "free terms" (default the demo
     terms), --vec-id <stored query embedding id> (default 0),
-    --k (default 10). Prints one fused ranked line per hit with each
-    leg's rank."""
+    --k (default 10), --mmr [lambda] (re-rank the page for diversity;
+    bare flag uses MMR_LAMBDA). Prints one fused ranked line per hit
+    with each leg's rank."""
     from resin_spark.operators import retrieval
 
     t = {
@@ -433,13 +434,25 @@ def cmd_hybrid(flags: dict, spark: SparkSession, log=print) -> int:
                    or " ".join(retrieval.HYBRID_QUERY)).lower().split())
     qid = int(flags.get("vec-id") or retrieval.HYBRID_QUERY_VEC_ID)
     k = int(flags.get("k") or 10)
-    rows = retrieval.hybrid_search_rrf(
-        t, query=terms, query_vec_id=qid, k=k).collect()
-    for r in rows:
-        lex = f"lex #{r['lex_rank']}" if r["lex_rank"] is not None else "lex -"
-        vec = f"vec #{r['vec_rank']}" if r["vec_rank"] is not None else "vec -"
-        log(f"{r['rank']}. doc {r['doc_id']} — rrf {r['rrf_score']:.6f} "
-            f"({lex}, {vec})")
+    page = retrieval.hybrid_search_rrf(t, query=terms, query_vec_id=qid, k=k)
+    if flags.get("mmr") is not None:
+        lam = (retrieval.MMR_LAMBDA if flags["mmr"] in (None, "true")
+               else float(flags["mmr"]))
+        rows = retrieval.mmr_rerank(page, t["embeddings"],
+                                    lam=lam).collect()
+        for r in rows:
+            log(f"{r['mmr_rank']}. doc {r['doc_id']} — rrf "
+                f"{r['rrf_score']:.6f} (max sim to picked "
+                f"{r['max_sim_selected']:.3f})")
+    else:
+        rows = page.collect()
+        for r in rows:
+            lex = (f"lex #{r['lex_rank']}" if r["lex_rank"] is not None
+                   else "lex -")
+            vec = (f"vec #{r['vec_rank']}" if r["vec_rank"] is not None
+                   else "vec -")
+            log(f"{r['rank']}. doc {r['doc_id']} — rrf {r['rrf_score']:.6f} "
+                f"({lex}, {vec})")
     log(f"{len(rows)} hit(s)")
     return 0
 

@@ -389,3 +389,15 @@ def test_cmd_appendindex_ivf(spark, tmp_path):
     assert cli.main(["validateindex", "--kind", "ivf", "--path", path],
                     spark=spark, log=lines.append) == 0
     assert not any("FAIL" in l for l in lines)
+
+
+def test_cmd_hybrid_mmr_flag(spark):
+    lines: list[str] = []
+    assert cli.main(
+        ["hybrid",
+         "--docs", os.path.join(SF_DIR, "documents.parquet"),
+         "--embeddings", os.path.join(SF_DIR, "embeddings.parquet"),
+         "--k", "5", "--mmr", "0.5"],
+        spark=spark, log=lines.append) == 0
+    ranked = [l for l in lines if "max sim to picked" in l]
+    assert len(ranked) == 5 and "5 hit(s)" in lines
