@@ -1197,3 +1197,106 @@ def apply_mixture_demo_oracle(budget: int = MIX_BUDGET,
     FROM rolled r JOIN plan p ON r.source = p.source
     ORDER BY r.source
     """
+
+
+# --- C58: chunk_documents — within-doc sliding-window chunking ----------------
+
+# Lockstep knobs shared with chunk_documents_oracle.
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """Sliding-window chunking WITHIN each document: (doc_id, chunk_id,
+    start_pos, n_tokens, chunk_text) with chunks of ``chunk_tokens``
+    tokens stepping by ``chunk_tokens − overlap`` — the
+    retrieval/embedding-prep shape (every RAG and embedding pipeline
+    cuts long docs this way so context survives the cut), complementing
+    pack_sequences (C17), which cuts a tape ACROSS docs with no
+    overlap.
+
+    Chunk layout: starts at 1, 1+step, 1+2·step, …; a doc with
+    n ≤ chunk_tokens yields exactly one chunk; otherwise
+    1 + ceil((n − chunk_tokens)/step) chunks, the last possibly short
+    (never empty, never a chunk fully contained in the previous one).
+    Zero-token and NULL-text docs yield no chunks. All integer
+    arithmetic — exact cross-engine, no floats anywhere.
+
+    Scale: one scan; the explode fans each doc to its own chunks
+    (row-local — no shuffle at all); downstream groupings shuffle on
+    (doc_id, chunk_id) like any exploded relation.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than "
+            f"chunk_tokens={chunk_tokens} (the window must advance)")
+    step = chunk_tokens - overlap
+    base = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    n_chunks = F.when(
+        F.col("n") <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        (F.lit(1) + F.floor((F.col("n") - chunk_tokens + step - 1)
+                            / F.lit(step))).cast("int"))
+    start = F.lit(1) + F.col("chunk_id") * step
+    length = F.least(F.lit(chunk_tokens), F.col("n") - start + 1)
+    return (
+        base.withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.cast("int").alias("start_pos"),
+            length.cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("tk", start, length))
+            .alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents_demo(t: Tables) -> DataFrame:
+    return chunk_documents(t["documents"])
+
+
+def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,
+                           overlap: int = CHUNK_OVERLAP) -> str:
+    toks = T.tokens_sql("text")
+    step = chunk_tokens - overlap
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {toks} AS tk
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    sized AS (
+        SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) > 0
+    ),
+    fanned AS (
+        SELECT doc_id, tk, n,
+               unnest(range(0, CASE WHEN n <= {chunk_tokens} THEN 1
+                   ELSE 1 + CAST(floor((n - {chunk_tokens} + {step} - 1)
+                                       / {step}) AS BIGINT) END))
+                   AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(1 + chunk_id * {step} AS INTEGER) AS start_pos,
+           CAST(least({chunk_tokens},
+                      n - (1 + chunk_id * {step}) + 1) AS INTEGER)
+               AS n_tokens,
+           array_to_string(list_transform(
+               range(CAST(1 + chunk_id * {step} AS BIGINT),
+                     CAST(1 + chunk_id * {step}
+                          + least({chunk_tokens},
+                                  n - (1 + chunk_id * {step}) + 1)
+                          AS BIGINT)),
+               j -> tk[CAST(j AS INTEGER)]), ' ') AS chunk_text
+    FROM fanned
+    ORDER BY doc_id, chunk_id
+    """

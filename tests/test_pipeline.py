@@ -402,3 +402,56 @@ def test_apply_mixture_plan_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# --- chunk_documents -----------------------------------------------------------
+
+
+def test_chunk_documents_layout(spark):
+    def mk(n):
+        return " ".join(f"w{j}" for j in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, mk(10), "en", "s"), (2, mk(8), "en", "s"),
+         (3, mk(9), "en", "s"), (4, mk(20), "en", "s"),
+         (5, "", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    out = {}
+    for r in pipeline.chunk_documents(docs, chunk_tokens=8,
+                                      overlap=4).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    # n=8 == chunk: exactly one chunk
+    assert [(c["start_pos"], c["n_tokens"]) for c in out[2]] == [(1, 8)]
+    # n=9: two chunks, second starts at 5 (step=4), short tail
+    assert [(c["start_pos"], c["n_tokens"]) for c in out[3]] == [(1, 8), (5, 5)]
+    # n=10: chunks at 1 and 5
+    assert [(c["start_pos"], c["n_tokens"]) for c in out[1]] == [(1, 8), (5, 6)]
+    # n=20: 1 + ceil(12/4) = 4 chunks; overlap contract: each chunk
+    # repeats the previous one's last `overlap` tokens
+    assert [(c["start_pos"], c["n_tokens"]) for c in out[4]] == \
+        [(1, 8), (5, 8), (9, 8), (13, 8)]
+    toks4 = [c["chunk_text"].split() for c in out[4]]
+    for a, b in zip(toks4, toks4[1:]):
+        assert a[-4:] == b[:4]
+    # empty doc yields no chunks
+    assert 5 not in out
+    # every token of every doc is covered
+    covered = {t for c in out[4] for t in c["chunk_text"].split()}
+    assert covered == {f"w{j}" for j in range(20)}
+
+
+def test_chunk_documents_rejects_non_advancing_window(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="must advance"):
+        pipeline.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_demo_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.chunk_documents_demo(t),
+            pipeline.chunk_documents_oracle(), "/root/testdata/sf0.001")
