@@ -741,3 +741,34 @@ def test_apply_mixture_copy_bounds(spark, rows, budget):
             assert r["n_copies"] == 0
         else:
             assert r["n_copies"] in (math.floor(rate), math.ceil(rate))
+
+
+@given(st.integers(1, 60), st.integers(2, 12), st.integers(0, 6))
+@settings(max_examples=8, deadline=None)
+def test_chunk_documents_covers_and_reconstructs(spark, n, chunk, ov):
+    from resin_spark.operators import pipeline as pl
+
+    if ov >= chunk:
+        ov = chunk - 1
+    words = [f"w{j}" for j in range(n)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    chunks = sorted(
+        pl.chunk_documents(docs, chunk_tokens=chunk, overlap=ov).collect(),
+        key=lambda r: r["chunk_id"])
+    # every position covered, no gaps: chunk i starts inside (or right
+    # after) the previous chunk's span
+    assert chunks[0]["start_pos"] == 1
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["start_pos"] <= a["start_pos"] + a["n_tokens"]
+    last = chunks[-1]
+    assert last["start_pos"] + last["n_tokens"] - 1 == n
+    # dropping each chunk's first `overlap` tokens (except chunk 0)
+    # reconstructs the document exactly
+    rebuilt = chunks[0]["chunk_text"].split()
+    for c in chunks[1:]:
+        toks = c["chunk_text"].split()
+        already = len(rebuilt) - (c["start_pos"] - 1)
+        rebuilt += toks[already:]
+    assert rebuilt == words
