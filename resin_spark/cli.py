@@ -435,7 +435,7 @@ def cmd_hybrid(flags: dict, spark: SparkSession, log=print) -> int:
     qid = int(flags.get("vec-id") or retrieval.HYBRID_QUERY_VEC_ID)
     k = int(flags.get("k") or 10)
     page = retrieval.hybrid_search_rrf(t, query=terms, query_vec_id=qid, k=k)
-    if flags.get("mmr") is not None:
+    if "mmr" in flags:
         lam = (retrieval.MMR_LAMBDA if flags["mmr"] in (None, "true")
                else float(flags["mmr"]))
         rows = retrieval.mmr_rerank(page, t["embeddings"],

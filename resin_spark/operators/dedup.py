@@ -1402,10 +1402,7 @@ def minhash_banding_report(docs: DataFrame, tau: float = 0.5, n: int = 3,
     re-banded per config; per-config results are bounded scalar counts.
     """
     spark = docs.sparkSession
-    sh = shingles(docs, n).groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("hashes"))
-    sig = _minhash_udf(num_perm, seed)
-    sigs = sh.select("doc_id", sig("hashes").alias("sig")) \
+    sigs = minhash_signatures(docs, n, num_perm, seed) \
         .localCheckpoint(eager=False)
     exact = ngram_jaccard_pairs(docs, n, tau).select("doc_a", "doc_b") \
         .localCheckpoint(eager=False)

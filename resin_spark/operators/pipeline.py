@@ -1082,7 +1082,8 @@ def mixture_copy_count(rate_col, salt: str = MIX_SALT):
 
 
 def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
-                  salt: str = MIX_SALT) -> DataFrame:
+                  salt: str = MIX_SALT,
+                  plan: DataFrame | None = None) -> DataFrame:
     """Materialise mixture_plan deterministically: per document,
     (doc_id, source, n_copies) — how many epochs this doc appears in a
     training run that realises its source's sampling_rate. Every doc
@@ -1102,9 +1103,16 @@ def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
     coin and copy count map-side. No shuffle beyond mixture_plan's own
     token-count aggregate.
     """
-    plan = mixture_plan(docs, budget).select("source", "sampling_rate")
+    # plan over the SAME relation that executes: NULL-doc_id rows are
+    # excluded from both sides, or their token mass would deflate every
+    # source's sampling_rate relative to what materialises (review r6).
+    # ``plan`` lets a caller reuse one mixture_plan across plan+execute.
+    docs = docs.filter(F.col("doc_id").isNotNull())
+    if plan is None:
+        plan = mixture_plan(docs, budget)
+    plan = plan.select("source", "sampling_rate")
     return (
-        docs.filter(F.col("doc_id").isNotNull())
+        docs
         .join(F.broadcast(plan), "source", "left")
         .select(
             "doc_id", "source",
@@ -1120,10 +1128,13 @@ def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET) -> DataFrame:
     realization_ratio). The driver-checkable rollup — the per-doc
     relation is the library surface."""
     docs = t["documents"].filter(F.col("doc_id").isNotNull())
-    copies = apply_mixture(docs, budget)
+    # ONE mixture_plan serves both the executor and the accounting join
+    # (it was computed twice before — two identical corpus scans)
+    full_plan = mixture_plan(docs, budget)
+    copies = apply_mixture(docs, budget, plan=full_plan)
     toks = docs.select(
         "doc_id", F.size(T.tokens("text")).cast("long").alias("nt"))
-    plan = mixture_plan(docs, budget).select("source", "planned_tokens")
+    plan = full_plan.select("source", "planned_tokens")
     per = (
         copies.join(toks, "doc_id")
         .groupBy("source")

@@ -242,21 +242,21 @@ def mmr_rerank(results: DataFrame, emb: DataFrame, k: int | None = None,
     scores = np.array([r["rrf_score"] for r in rows], dtype=np.float64)
     lo, hi = scores.min(), scores.max()
     rel = np.ones_like(scores) if hi == lo else (scores - lo) / (hi - lo)
-    picked: list[int] = []
     out = []
-    cand = set(range(len(ids)))
-    while cand and len(picked) < k:
-        if picked:
-            max_sim = {i: max(sims[i][j] for j in picked) for i in cand}
-        else:
-            max_sim = {i: 0.0 for i in cand}
-        # deterministic tie-break: score desc, then original order
-        best = max(cand, key=lambda i: (lam * rel[i]
-                                        - (1 - lam) * max_sim[i], -i))
-        picked.append(best)
-        cand.remove(best)
-        out.append((len(picked), ids[best], float(scores[best]),
-                    float(max_sim[best])))
+    n = len(ids)
+    # running max-similarity-to-picked vector: O(n) update per pick
+    # instead of rebuilding an O(n·|picked|) dict every iteration
+    ms = np.zeros(n)
+    taken = np.zeros(n, dtype=bool)
+    for _ in range(k):
+        obj = lam * rel - (1 - lam) * ms
+        obj[taken] = -np.inf
+        # deterministic tie-break: objective desc, then original order
+        best = int(np.lexsort((np.arange(n), -obj))[0])
+        taken[best] = True
+        out.append((len(out) + 1, ids[best], float(scores[best]),
+                    float(ms[best])))
+        ms = np.maximum(ms, sims[:, best])
     return spark.createDataFrame(
         out, "mmr_rank int, doc_id long, rrf_score double, "
              "max_sim_selected double")

@@ -1496,9 +1496,19 @@ def append_ann_index(emb_new: DataFrame, path: str,
     """
     spark = emb_new.sparkSession
     index = read_ann_index(spark, path)
+    # the store is not self-describing for (planes, tables, seed), but
+    # its WIDTH is observable: refuse a batch whose vectors differ from
+    # the stored width — a mismatched batch would hash under a different
+    # hyperplane family and become silently unfindable (review r6)
+    stored_dims = _probe_dims(index, vec_col)
     new = valid_vectors(emb_new, vec_col)
+    batch_dims = _probe_dims(new, vec_col)
+    if batch_dims != stored_dims:
+        raise ValueError(
+            f"append_ann_index: batch vectors are {batch_dims}-wide but "
+            f"{path} stores {stored_dims}-wide vectors")
     if dims is None:
-        dims = _probe_dims(new, vec_col)
+        dims = stored_dims
     dup = (
         new.select(F.col(id_col))
         .join(index.select(F.col(id_col)).distinct(), id_col, "inner")

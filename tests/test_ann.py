@@ -414,3 +414,18 @@ def test_append_pq_index_codes_match_frozen_codebooks(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already coded"):
         similarity.append_pq_index(new.limit(1), path)
+
+
+def test_append_ann_index_refuses_width_mismatch(spark, tmp_path):
+    """A batch whose vector width differs from the store's must raise
+    instead of silently hashing under different hyperplanes."""
+    import pytest as _pytest
+
+    emb = load_tables(spark, SF)["embeddings"]
+    path = str(tmp_path / "ann_w")
+    similarity.write_ann_index(emb, path)
+    narrow = spark.createDataFrame(
+        [(999_999, [1.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    with _pytest.raises(ValueError, match="-wide"):
+        similarity.append_ann_index(narrow, path)

@@ -401,3 +401,16 @@ def test_cmd_hybrid_mmr_flag(spark):
         spark=spark, log=lines.append) == 0
     ranked = [l for l in lines if "max sim to picked" in l]
     assert len(ranked) == 5 and "5 hit(s)" in lines
+
+
+def test_cmd_hybrid_bare_trailing_mmr_flag(spark):
+    """A bare trailing --mmr (parsed as None) must still trigger the
+    MMR branch at the default lambda — the review-r6 regression."""
+    lines: list[str] = []
+    assert cli.main(
+        ["hybrid",
+         "--docs", os.path.join(SF_DIR, "documents.parquet"),
+         "--embeddings", os.path.join(SF_DIR, "embeddings.parquet"),
+         "--k", "3", "--mmr"],
+        spark=spark, log=lines.append) == 0
+    assert len([l for l in lines if "max sim to picked" in l]) == 3

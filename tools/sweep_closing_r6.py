@@ -52,12 +52,15 @@ def replicate(docs, m, salt):
     for i in range(1, m):
         p = docs.withColumn("doc_id", F.col("doc_id") + OFF * i)
         if salt:
-            # suffix EVERY token: replica i's shingle set is disjoint
-            # from every other replica's (one trailing token would
-            # leave all earlier shingles shared — measured: pairs then
-            # grow ~m² via cross-replica near-dups)
+            # suffix every TOKENIZER token ([a-z0-9]+ after lower —
+            # T.tokens' split), so replica i's shingle set is disjoint
+            # from every other replica's. A whitespace-run salt is not
+            # enough: 'a.b.c.d' keeps tokens a/b/c unchanged and a
+            # trailing-only salt was measured to grow pairs ~m² via
+            # cross-replica near-dups.
             p = p.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"$1r{i}"))
+                "text", F.regexp_replace(F.lower(F.col("text")),
+                                         r"([a-z0-9]+)", f"$1r{i}"))
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
