@@ -1,0 +1,114 @@
+"""Hypothesis-driven oracle fuzz for the staged closing-r6 ops.
+
+The driver gate and the edge battery compare Spark vs DuckDB on FIXED
+corpora; this fuzzes the comparison over generated corpora — random
+doc sets with punctuation, repeated texts, unicode, empty and null
+rows — so cross-engine semantics holes (NULL ordering, boundary ties,
+integer-division edges) surface on inputs nobody hand-picked. The
+length_histogram NULL-ordering bug this session was exactly this class
+of hole, found by the fixed edge corpus; the fuzz widens the net.
+
+Examples are few and small (Spark roundtrip per example costs
+seconds); the properties do the work, not the volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return repr(v)
+
+
+def _compare_on(spark, tmpdir, rows, fn, sql):
+    """Driver-mirror comparison of a demo fn vs its oracle on a
+    generated documents table (documents-only view set)."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    path = f"{tmpdir}/documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = fn({"documents": spark.read.parquet(path)})
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+_WORDS = ["alpha", "beta", "gamma", "the", "a", "x1", "７漢", "café",
+          "...", "a.b.c", ""]
+
+doc_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 50),
+        st.one_of(st.none(),
+                  st.lists(st.sampled_from(_WORDS), max_size=20)
+                  .map(" ".join)),
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=1, max_size=15, unique_by=lambda r: r[0],
+)
+
+
+@given(doc_corpus)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_length_histogram_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import health
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_hist"), rows,
+                health.length_histogram_demo,
+                health.length_histogram_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_vocab_coverage_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import health
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_cov"), rows,
+                health.vocab_coverage_demo,
+                health.vocab_coverage_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_chunk_documents_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import pipeline
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_chunk"), rows,
+                pipeline.chunk_documents_demo,
+                pipeline.chunk_documents_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_threshold_curve_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import dedup
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_curve"), rows,
+                dedup.dedup_threshold_curve_demo,
+                dedup.dedup_threshold_curve_oracle())
