@@ -112,3 +112,59 @@ def test_fuzz_threshold_curve_oracle(spark, tmp_path_factory, rows):
     _compare_on(spark, tmp_path_factory.mktemp("fz_curve"), rows,
                 dedup.dedup_threshold_curve_demo,
                 dedup.dedup_threshold_curve_oracle())
+
+
+_VECS = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from([0.0, 1.0, -1.0, 0.5, float("nan"), 2.5]),
+             min_size=3, max_size=3),
+)
+
+emb_corpus = st.lists(
+    st.tuples(st.integers(0, 50), _VECS, st.integers(0, 2)),
+    min_size=1, max_size=12, unique_by=lambda r: r[0],
+)
+
+
+@given(doc_corpus, emb_corpus)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_hybrid_search_oracle(spark, tmp_path_factory, rows, vecs):
+    """RRF fusion over random corpora AND random embeddings including
+    NaN / zero-norm / NULL vectors — the valid-vector gates and rank
+    tie-breaks must agree cross-engine on inputs nobody hand-picked."""
+    from resin_spark.operators import retrieval
+
+    tmpdir = tmp_path_factory.mktemp("fz_hyb")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    dpath, epath = f"{tmpdir}/documents.parquet", f"{tmpdir}/embeddings.parquet"
+    docs.coalesce(1).write.mode("overwrite").parquet(dpath)
+    emb.coalesce(1).write.mode("overwrite").parquet(epath)
+
+    sql = retrieval.hybrid_search_oracle()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{dpath}/*.parquet')")
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{epath}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = retrieval.hybrid_search_demo(
+        {"documents": spark.read.parquet(dpath),
+         "embeddings": spark.read.parquet(epath)})
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
