@@ -168,3 +168,76 @@ def test_fuzz_hybrid_search_oracle(spark, tmp_path_factory, rows, vecs):
     sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
     assert sset == oset, \
         f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+# --- fuzz the most intricate DRIVER entries (documents-only) ------------------
+# The edge battery runs these on one fixed adversarial corpus; the fuzz
+# runs them on generated ones. A hole found here (vs at the round gate)
+# is a re-window with time to spare.
+
+_DRIVER_FUZZ = ["pack_sequences", "epoch_shuffle",
+                "term_cooccurrence", "filter_funnel", "lang_stats"]
+
+
+@pytest.mark.parametrize("name", _DRIVER_FUZZ)
+@given(rows=doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_driver_entry_oracle(spark, tmp_path_factory, name, rows):
+    import __spark_entry__ as entry_mod
+
+    tmpdir = tmp_path_factory.mktemp(f"fz_{name}")
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars",
+                       F_length_or_zero(df))
+    path = f"{tmpdir}/documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    sql = entry_mod.oracle_sql()[name]
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = entry_mod.queries()[name](spark, str(tmpdir))
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"{name} first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+def F_length_or_zero(df):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.length("text"), F.lit(0)).cast("long")
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN r6 hole, fix scheduled r7 (its window check is due "
+    "then, so the edit costs zero slots): corpus_stats' "
+    "type_token_ratio divides vocab by n_tokens without try_divide "
+    "(traindata.py:1533), so a corpus whose every doc tokenizes to "
+    "nothing ABORTS under ANSI mode instead of reporting NULL. Found "
+    "by the driver-entry oracle fuzz; driver-gate data never triggers "
+    "it (every sf corpus has tokens). When fixed, this strict xfail "
+    "XPASSes and must be converted into the plain fuzz row.")
+def test_corpus_stats_zero_token_corpus_survives(spark, tmp_path_factory):
+    import __spark_entry__ as entry_mod
+
+    tmpdir = tmp_path_factory.mktemp("fz_cs0")
+    spark.createDataFrame(
+        [(0, None, "en", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmpdir}/documents.parquet")
+    entry_mod.queries()["corpus_stats"](spark, str(tmpdir)).collect()
