@@ -261,6 +261,45 @@ def test_truncate_removes_path_and_table(spark, tmp_path):
     truncate(spark, "region_trunc")
     assert not spark.catalog.tableExists("region_trunc")
 
+def test_write_bucketed_orphan_location_recovery(spark, tmp_path):
+    """A warehouse directory left stranded with NO catalog entry (fresh
+    metastore, files kept) must not wedge overwrite: saveAsTable's
+    LOCATION_ALREADY_EXISTS fires the cleanup-and-retry path — and only
+    that error does; a healthy overwrite never pre-deletes. Runs for an
+    unqualified and a db-qualified name, pinning part-wise identifier
+    quoting and the wh/db.db/tbl default-location derivation."""
+    import os
+    from resin_spark.io import _default_table_location, write_bucketed
+    t = load_tables(spark, SF)
+    spark.sql("CREATE DATABASE IF NOT EXISTS iodb")
+    try:
+        for name in ("orphan_b", "iodb.orphan_b"):
+            for flavor in ("junk_file", "parquet_dir"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                loc = _default_table_location(spark, name)
+                if flavor == "junk_file":
+                    # raises AnalysisException at saveAsTable
+                    os.makedirs(loc, exist_ok=True)
+                    with open(os.path.join(loc, "stranded.bin"), "w") as fh:
+                        fh.write("junk from a previous session")
+                else:
+                    # a REAL stranded table directory (catalog entry
+                    # gone, parquet files kept) raises
+                    # SparkRuntimeException instead — the flavor the
+                    # r5_semdedup_cell_index driver entry actually hits
+                    t["region"].write.mode("overwrite").parquet(
+                        loc.removeprefix("file:"))
+                write_bucketed(t["region"], name, ["r_regionkey"], 2)
+                assert spark.table(name).count() == t["region"].count()
+                # a second overwrite over the now-healthy table goes
+                # through the plain (no-cleanup) path and must also work
+                write_bucketed(t["region"], name, ["r_regionkey"], 2)
+                assert spark.table(name).count() == t["region"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orphan_b")
+        spark.sql("DROP TABLE IF EXISTS iodb.orphan_b")
+        spark.sql("DROP DATABASE IF EXISTS iodb")
+
 def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     """Streaming dedup must suppress copies that arrive in LATER
     micro-batches: batch 2 replays half of batch 1's documents plus
