@@ -14,6 +14,8 @@ import gzip
 import json
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from resin_spark.io import load_tables, read_cirrussearch, write_parquet
@@ -261,43 +263,60 @@ def test_truncate_removes_path_and_table(spark, tmp_path):
     truncate(spark, "region_trunc")
     assert not spark.catalog.tableExists("region_trunc")
 
-def test_write_bucketed_orphan_location_recovery(spark, tmp_path):
+def _default_table_location(spark, table):
+    """Default managed-table location: wh/tbl in the default database,
+    wh/db.db/tbl otherwise (the derivation commit 4662dff gives io.py)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
+    parts = [p.lower() for p in table.split(".")]
+    if len(parts) >= 2 and parts[-2] != "default":
+        return f"{wh}/{parts[-2]}.db/{parts[-1]}"
+    return f"{wh}/{parts[-1]}"
+
+@pytest.mark.parametrize("name", [
+    "orphan_b",
+    pytest.param("iodb.orphan_b", marks=pytest.mark.xfail(strict=True, reason=(
+        "ADVICE-r5 hole: write_bucketed quotes db.tbl as ONE identifier and "
+        "points its orphan cleanup at wh/db.tbl instead of wh/db.db/tbl, so a "
+        "qualified-name overwrite dies on LOCATION_ALREADY_EXISTS. The complete "
+        "fix (try-first + cleanup-and-retry on LOCATION_ALREADY_EXISTS only — "
+        "AnalysisException for junk files, SparkRuntimeException for real "
+        "stranded table dirs — with part-wise quoting) is commits "
+        "fa0eb1c+4662dff, REVERTED at HEAD under the SURVEY §6 window contract: "
+        "write_bucketed is reachable from the frozen tail entry "
+        "semantic_dedup_indexed via a function-local import the AST audit "
+        "cannot trace. r7: restore io.py from 4662dff, drop this xfail, "
+        "re-window semantic_dedup_indexed (due by rotation anyway)."))),
+])
+def test_write_bucketed_orphan_location_recovery(spark, tmp_path, name):
     """A warehouse directory left stranded with NO catalog entry (fresh
-    metastore, files kept) must not wedge overwrite: saveAsTable's
-    LOCATION_ALREADY_EXISTS fires the cleanup-and-retry path — and only
-    that error does; a healthy overwrite never pre-deletes. Runs for an
-    unqualified and a db-qualified name, pinning part-wise identifier
-    quoting and the wh/db.db/tbl default-location derivation."""
+    metastore, files kept) must not wedge overwrite, for both orphan
+    flavors: a junk non-table file and a REAL table directory (the
+    r5_semdedup_cell_index driver shape)."""
     import os
-    from resin_spark.io import _default_table_location, write_bucketed
+    import shutil
+    from resin_spark.io import write_bucketed
     t = load_tables(spark, SF)
     spark.sql("CREATE DATABASE IF NOT EXISTS iodb")
+    loc = _default_table_location(spark, name)
     try:
-        for name in ("orphan_b", "iodb.orphan_b"):
-            for flavor in ("junk_file", "parquet_dir"):
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-                loc = _default_table_location(spark, name)
-                if flavor == "junk_file":
-                    # raises AnalysisException at saveAsTable
-                    os.makedirs(loc, exist_ok=True)
-                    with open(os.path.join(loc, "stranded.bin"), "w") as fh:
-                        fh.write("junk from a previous session")
-                else:
-                    # a REAL stranded table directory (catalog entry
-                    # gone, parquet files kept) raises
-                    # SparkRuntimeException instead — the flavor the
-                    # r5_semdedup_cell_index driver entry actually hits
-                    t["region"].write.mode("overwrite").parquet(
-                        loc.removeprefix("file:"))
-                write_bucketed(t["region"], name, ["r_regionkey"], 2)
-                assert spark.table(name).count() == t["region"].count()
-                # a second overwrite over the now-healthy table goes
-                # through the plain (no-cleanup) path and must also work
-                write_bucketed(t["region"], name, ["r_regionkey"], 2)
-                assert spark.table(name).count() == t["region"].count()
+        for flavor in ("junk_file", "parquet_dir"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            if flavor == "junk_file":
+                os.makedirs(loc.removeprefix("file:"), exist_ok=True)
+                with open(os.path.join(loc.removeprefix("file:"),
+                                       "stranded.bin"), "w") as fh:
+                    fh.write("junk from a previous session")
+            else:
+                t["region"].write.mode("overwrite").parquet(
+                    loc.removeprefix("file:"))
+            write_bucketed(t["region"], name, ["r_regionkey"], 2)
+            assert spark.table(name).count() == t["region"].count()
+            # a second overwrite over the now-healthy table must also work
+            write_bucketed(t["region"], name, ["r_regionkey"], 2)
+            assert spark.table(name).count() == t["region"].count()
     finally:
-        spark.sql("DROP TABLE IF EXISTS orphan_b")
-        spark.sql("DROP TABLE IF EXISTS iodb.orphan_b")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc.removeprefix("file:"), ignore_errors=True)
         spark.sql("DROP DATABASE IF EXISTS iodb")
 
 def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
