@@ -23,10 +23,18 @@ Exit code 1 if any tail entry changed behaviorally since <base-ref>.
 from __future__ import annotations
 
 import ast
+import importlib
+import inspect
 import os
 import subprocess
 import sys
+import textwrap
 import types as _t
+import warnings
+
+# the module-attribute walk getattr-probes third-party modules (numpy
+# deprecation shims raise FutureWarning); only our WARNING lines matter
+warnings.simplefilter("ignore")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -145,6 +153,43 @@ def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
             if callable(v):
                 stack.append(v)
             gl.setdefault(fname, v)
+        # FUNCTION-LOCAL imports (`from resin_spark.io import x` inside
+        # a body) bind locals, not globals — co_names resolution against
+        # gl cannot see them, which let a write_bucketed edit ride a
+        # frozen tail entry with 0 warnings in r6 (write_cell_index).
+        # Walk the function's own AST and resolve its import statements:
+        # imported callables join the stack, imported values become
+        # constants, imported modules join the namespace the co_names
+        # attribute resolution walks.
+        try:
+            body_ast = ast.parse(textwrap.dedent(inspect.getsource(f)))
+        except (OSError, TypeError, SyntaxError, IndentationError):
+            body_ast = None
+        for node in ast.walk(body_ast) if body_ast is not None else ():
+            if isinstance(node, ast.ImportFrom) and node.level == 0 \
+                    and node.module:
+                try:
+                    m2 = importlib.import_module(node.module)
+                except Exception:
+                    continue
+                for alias in node.names:
+                    v = getattr(m2, alias.name, None)
+                    if isinstance(v, _t.ModuleType):
+                        gl.setdefault(alias.asname or alias.name, v)
+                    elif callable(v):
+                        stack.append(v)
+                    elif v is not None:
+                        mrel = relpath_of(m2)
+                        if mrel:
+                            consts.add((mrel, alias.name))
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    try:
+                        m2 = importlib.import_module(alias.name)
+                    except Exception:
+                        continue
+                    gl.setdefault(alias.asname or alias.name.split(".")[0],
+                                  m2)
         names = tuple(getattr(code, "co_names", ())) + freevars
         for name in names:
             v = gl.get(name)
