@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resin_spark.functions import text as T
-from resin_spark.operators.dedup import _shingles_sql, shingles
+from resin_spark.operators.dedup import (_shingles_sql, ngram_jaccard_pairs,
+                                         shingles)
 
 Tables = dict[str, DataFrame]
 
@@ -1310,4 +1311,190 @@ def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,
                j -> tk[CAST(j AS INTEGER)]), ' ') AS chunk_text
     FROM fanned
     ORDER BY doc_id, chunk_id
+    """
+
+
+# --- C59 + D15: deterministic dataset split + cross-split leakage ------------
+
+# Train/val/test assignment is the stratified_sample 16-bit md5 coin
+# against two integer hex boundaries — reproducible across engines,
+# runs, and partitionings, with zero RNG state to ship or seed.
+# SPLIT_SALT decorrelates the split coin from every other md5 coin in
+# the suite (sampling keep, mixture realisation, benchmark slice).
+SPLIT_SALT = "split-v1:"
+SPLIT_TEST_FRAC = 0.10
+SPLIT_VAL_FRAC = 0.10
+# the train fraction is DERIVED once in Python and inlined as the same
+# IEEE double literal on both engines — never re-computed in SQL
+SPLIT_TRAIN_FRAC = 1.0 - SPLIT_TEST_FRAC - SPLIT_VAL_FRAC
+
+# split_leakage pair source: the D2 exact PPJoin relation at its
+# driver operating point — LEAK_N / LEAK_TAU are lockstep knobs with
+# the oracle (change both sides together).
+LEAK_N = 3
+LEAK_TAU = 0.5
+
+
+def _split_bounds() -> tuple[str, str]:
+    return (_rate_threshold(SPLIT_TEST_FRAC),
+            _rate_threshold(SPLIT_TEST_FRAC + SPLIT_VAL_FRAC))
+
+
+def split_of(doc_id_col):
+    """train/val/test label as a PURE EXPRESSION of doc_id: the first 4
+    hex chars of md5(salt || id) against two integer 16-bit boundaries
+    (test below ~0.10, val below ~0.20, train above). Because the label
+    is derivable anywhere from the id alone, downstream ops never join
+    a split-assignment table — split_leakage labels its pair relation
+    map-side with zero extra shuffle."""
+    lo, hi = _split_bounds()
+    h = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), doc_id_col.cast("string"))), 1, 4)
+    return (F.when(h < lo, F.lit("test"))
+            .when(h < hi, F.lit("val"))
+            .otherwise(F.lit("train")))
+
+
+def _split_sql(id_expr: str) -> str:
+    lo, hi = _split_bounds()
+    coin = f"substr(md5('{SPLIT_SALT}' || CAST({id_expr} AS VARCHAR)), 1, 4)"
+    return (f"CASE WHEN {coin} < '{lo}' THEN 'test' "
+            f"WHEN {coin} < '{hi}' THEN 'val' ELSE 'train' END")
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Per-(source, split) accounting card for the deterministic
+    train/val/test assignment: (source, split, n_docs, n_chars,
+    doc_share, target_frac) — the sheet a pipeline signs off before
+    export, showing each source's realised split shares beside the
+    targets (the md5 coin is uniform, so shares converge at 1/65536
+    granularity; small sources visibly wobble, which is the point of
+    printing them).
+
+    Exactness: the gate is a plain string compare of hex coins against
+    Python-computed literals; shares are single IEEE divisions of
+    engine-identical integers. Scale: one scan, map-side partial agg
+    onto |sources|×3 groups; the share window partitions those bounded
+    groups only — never the corpus.
+    """
+    d = docs.filter(F.col("doc_id").isNotNull()).select(
+        "source",
+        split_of(F.col("doc_id")).alias("split"),
+        F.coalesce(F.col("n_chars").cast("long"), F.lit(0)).alias("nc"),
+    )
+    src_w = Window.partitionBy("source")
+    target = (F.when(F.col("split") == "test", F.lit(SPLIT_TEST_FRAC))
+              .when(F.col("split") == "val", F.lit(SPLIT_VAL_FRAC))
+              .otherwise(F.lit(SPLIT_TRAIN_FRAC)))
+    return (
+        d.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nc").alias("n_chars"))
+        .withColumn("doc_share",
+                    F.try_divide(F.col("n_docs").cast("double"),
+                                 F.sum("n_docs").over(src_w)))
+        .withColumn("target_frac", target)
+        .select("source", "split", "n_docs", "n_chars", "doc_share",
+                "target_frac")
+        .orderBy("source", "split")
+    )
+
+
+def dataset_split_demo(t: Tables) -> DataFrame:
+    return dataset_split(t["documents"])
+
+
+def dataset_split_demo_oracle() -> str:
+    split = _split_sql("doc_id")
+    return f"""
+    WITH d AS (
+        SELECT source, {split} AS split,
+               COALESCE(CAST(n_chars AS BIGINT), 0) AS nc
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    g AS (
+        SELECT source, split, COUNT(*) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chars
+        FROM d GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, n_chars,
+           CAST(n_docs AS DOUBLE)
+               / NULLIF(SUM(n_docs) OVER (PARTITION BY source), 0)
+               AS doc_share,
+           CASE split WHEN 'test' THEN CAST({SPLIT_TEST_FRAC!r} AS DOUBLE)
+                      WHEN 'val' THEN CAST({SPLIT_VAL_FRAC!r} AS DOUBLE)
+                      ELSE CAST({SPLIT_TRAIN_FRAC!r} AS DOUBLE) END
+               AS target_frac
+    FROM g
+    ORDER BY source, split
+    """
+
+
+def split_leakage(docs: DataFrame, n: int = LEAK_N,
+                  tau: float = LEAK_TAU) -> DataFrame:
+    """Cross-split near-duplicate leakage card: the D2 exact-Jaccard
+    pair relation labelled by each side's train/val/test assignment —
+    (split_lo, split_hi, n_pairs, pair_share). The (train, test) and
+    (train, val) rows are the eval-contamination mechanism random
+    document-level splitting cannot avoid (near-dup copies of a test
+    doc land in train; Lee et al. 2022 measure the effect): run this
+    BEFORE trusting a held-out loss, and if the cross rows are
+    non-trivial, split by dedup cluster instead of by doc.
+
+    Exactness: the pair relation is the oracle-green D2 computation;
+    labels are pure doc_id expressions; counting and one IEEE division
+    land identically on both engines. Scale: PPJoin pair stage is the
+    proven exact-at-scale design; labelling is MAP-SIDE (no
+    assignment-table join — split_of derives from the id), and the
+    final aggregate sees ≤ 6 (split, split) groups.
+    """
+    pairs = ngram_jaccard_pairs(docs, n, tau)
+    sa, sb = split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+    tot_w = Window.partitionBy()
+    return (
+        pairs.select(F.least(sa, sb).alias("split_lo"),
+                     F.greatest(sa, sb).alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("pair_share",
+                    F.try_divide(F.col("n_pairs").cast("double"),
+                                 F.sum("n_pairs").over(tot_w)))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def split_leakage_demo(t: Tables) -> DataFrame:
+    return split_leakage(t["documents"])
+
+
+def split_leakage_demo_oracle(n: int = LEAK_N, tau: float = LEAK_TAU) -> str:
+    sa, sb = _split_sql("doc_a"), _split_sql("doc_b")
+    return f"""
+    WITH sh AS ({_shingles_sql(n)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {tau}
+    ),
+    lab AS (
+        SELECT least({sa}, {sb}) AS split_lo,
+               greatest({sa}, {sb}) AS split_hi
+        FROM pairs
+    ),
+    g AS (
+        SELECT split_lo, split_hi, COUNT(*) AS n_pairs
+        FROM lab GROUP BY 1, 2
+    )
+    SELECT split_lo, split_hi, n_pairs,
+           CAST(n_pairs AS DOUBLE) / NULLIF(SUM(n_pairs) OVER (), 0)
+               AS pair_share
+    FROM g
+    ORDER BY split_lo, split_hi
     """
