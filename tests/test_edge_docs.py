@@ -142,6 +142,10 @@ def _staged_pairs():
          textops.search_snippets_oracle(), False),
         ("chunk_documents", pipeline.chunk_documents_demo,
          pipeline.chunk_documents_oracle(), False),
+        ("dataset_split", pipeline.dataset_split_demo,
+         pipeline.dataset_split_demo_oracle(), False),
+        ("split_leakage", pipeline.split_leakage_demo,
+         pipeline.split_leakage_demo_oracle(), False),
     ]
 
 

@@ -455,3 +455,74 @@ def test_chunk_documents_demo_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(pipeline.chunk_documents_demo(t),
             pipeline.chunk_documents_oracle(), "/root/testdata/sf0.001")
+
+
+# --- dataset_split / split_leakage ---------------------------------------------
+
+
+def _expected_split(doc_id: int) -> str:
+    """First-principles recomputation of the split coin (hashlib, no
+    Spark) — the cross-engine contract the oracle also relies on."""
+    import hashlib
+    h = hashlib.md5(f"{pipeline.SPLIT_SALT}{doc_id}".encode()).hexdigest()[:4]
+    lo, hi = pipeline._split_bounds()
+    return "test" if h < lo else ("val" if h < hi else "train")
+
+
+def test_dataset_split_matches_hand_md5(spark):
+    from collections import Counter
+
+    texts = [f"doc number {i} body text" for i in range(64)]
+    t = _docs(spark, texts)
+    rows = pipeline.dataset_split(t["documents"]).collect()
+    exp, chars = Counter(), Counter()
+    for i, txt in enumerate(texts):
+        key = (f"src{i % 2}", _expected_split(i))
+        exp[key] += 1
+        chars[key] += len(txt)
+    got = {(r["source"], r["split"]): r for r in rows}
+    assert set(got) == set(exp)
+    for k, r in got.items():
+        assert r["n_docs"] == exp[k]
+        assert r["n_chars"] == chars[k]
+        per_src = sum(v for (s, _), v in exp.items() if s == k[0])
+        assert r["doc_share"] == exp[k] / per_src
+        assert r["target_frac"] == {
+            "test": pipeline.SPLIT_TEST_FRAC,
+            "val": pipeline.SPLIT_VAL_FRAC,
+        }.get(k[1], pipeline.SPLIT_TRAIN_FRAC)
+
+
+def test_split_leakage_labels_cross_pairs(spark):
+    # hunt ids landing in each split so the crafted near-dup pair is a
+    # KNOWN train/test crossing
+    ids, i = {}, 0
+    while len(ids) < 3:
+        ids.setdefault(_expected_split(i), i)
+        i += 1
+    dup = "alpha beta gamma delta epsilon"
+    other = "zeta eta theta iota kappa"
+    rows = [
+        (ids["train"], dup, "en", "s", len(dup)),
+        (ids["test"], dup, "en", "s", len(dup)),
+        (ids["val"], other, "en", "s", len(other)),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = pipeline.split_leakage(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["split_lo"], r["split_hi"]) == ("test", "train")
+    assert r["n_pairs"] == 1 and r["pair_share"] == 1.0
+
+
+def test_dataset_split_and_leakage_demos_match_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.dataset_split_demo(t),
+            pipeline.dataset_split_demo_oracle(), "/root/testdata/sf0.001")
+    compare(pipeline.split_leakage_demo(t),
+            pipeline.split_leakage_demo_oracle(), "/root/testdata/sf0.001")

@@ -510,3 +510,29 @@ def test_mixture_plan_one_broadcast_total(spark):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_dataset_split_single_scan_no_join(spark):
+    """The split card is ONE documents scan folded map-side onto
+    |sources|x3 groups — the label is an expression of doc_id, so no
+    assignment table may appear as a join."""
+    from resin_spark.operators import pipeline
+
+    plan = plan_of(pipeline.dataset_split(load_tables(spark, SF)["documents"]))
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_split_leakage_labels_without_extra_joins(spark):
+    """Leakage labelling must be MAP-SIDE: the plan may contain exactly
+    the joins of the underlying D2 pair relation (prefix-candidate +
+    two verification-set joins), never an extra split-assignment join,
+    and no nested-loop anywhere."""
+    from resin_spark.operators import pipeline
+
+    docs = load_tables(spark, SF)["documents"]
+    base = plan_of(dedup.ngram_jaccard_pairs(docs))
+    leak = plan_of(pipeline.split_leakage(docs))
+    assert "BroadcastNestedLoopJoin" not in leak
+    assert leak.count("Join") == base.count("Join"), (
+        leak.count("Join"), base.count("Join"))
