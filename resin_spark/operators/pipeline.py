@@ -1498,3 +1498,168 @@ def split_leakage_demo_oracle(n: int = LEAK_N, tau: float = LEAK_TAU) -> str:
     FROM g
     ORDER BY split_lo, split_hi
     """
+
+
+# --- C60: leakage-FREE cluster-aware split ------------------------------------
+
+def cluster_components(docs: DataFrame, n: int = LEAK_N,
+                       tau: float = LEAK_TAU,
+                       max_iters: int = 25) -> DataFrame:
+    """(doc_id, component) connected-component labels over the SAME
+    exact-Jaccard pair graph split_leakage scores — component = min
+    doc_id reachable (the D6 label contract); docs with no near-dup
+    edge are their own component.
+
+    Scale: the pair stage is the proven exact PPJoin (D2). The label
+    loop carries only PAIRED docs (the near-dup share of the corpus,
+    a small fraction at tau 0.5) and converges in O(log diameter)
+    rounds via min-label propagation + pointer jumping — each round
+    two equi-joins + a groupBy, lineage cut per round (the D6 loop
+    shape; D6's statistics-gated driver union-find could gate in
+    unchanged, but the leakage graph is far sparser than the Hamming
+    graph so the always-correct distributed loop is kept).
+    """
+    pairs = ngram_jaccard_pairs(docs, n, tau)
+    sym = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+           .union(pairs.select(F.col("doc_b").alias("a"),
+                               F.col("doc_a").alias("b")))
+           .localCheckpoint(eager=False))
+    labels = (sym.select(F.col("a").alias("doc_id")).distinct()
+              .withColumn("component", F.col("doc_id"))
+              .localCheckpoint(eager=False))
+
+    # monotone convergence probe (the D6 recipe): every update is
+    # least(old, …), so the label sum strictly decreases iff any moved
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum("component")).collect()[0][0] or 0
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        nbr_min = (sym.join(labels, sym.b == labels.doc_id)
+                   .groupBy(F.col("a").alias("doc_id"))
+                   .agg(F.min("component").alias("nbr_component")))
+        prop = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    ).alias("component"))
+        parent = prop.select(F.col("doc_id").alias("p_doc"),
+                             F.col("component").alias("p_comp"))
+        new_labels = (prop.join(parent, prop.component == parent.p_doc,
+                                "left")
+                      .select("doc_id",
+                              F.coalesce("p_comp", "component")
+                              .alias("component"))
+                      .localCheckpoint(eager=False))
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return (docs.filter(F.col("doc_id").isNotNull()).select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
+
+
+def cluster_split(docs: DataFrame) -> DataFrame:
+    """Leakage-FREE train/val/test split card: every document takes the
+    split of its near-dup component's canonical id (min doc_id), so
+    every pair split_leakage would score is intra-component and hence
+    intra-split — cross-split near-dup leakage is ZERO by construction
+    at the defining (LEAK_N, LEAK_TAU) point. This is the "split by
+    dedup cluster instead of by doc" fix the D15 card motivates
+    (Lee et al. 2022 measure the doc-level-split contamination it
+    removes).
+
+    Output: (source, split, n_docs, n_moved, doc_share, target_frac) —
+    n_moved counts docs whose cluster split differs from their
+    doc-level C59 split (the docs the cluster rule re-routed; 0 on a
+    fully-deduped corpus, so the column doubles as a residual-dup
+    meter). Exactness: component labels are min-id integers over the
+    oracle-green D2 pair relation; split coins are plain hex-string
+    compares of the salted md5; shares one IEEE division of identical
+    longs. Scale: the component loop is the only iterative stage; the
+    card itself is one map-side partial agg onto |sources|×3 groups
+    with the share window over those bounded groups only.
+    """
+    comp = cluster_components(docs)
+    cs = split_of(F.col("component"))
+    own = split_of(F.col("doc_id"))
+    d = (docs.filter(F.col("doc_id").isNotNull())
+         .select("doc_id", "source")
+         .join(comp, "doc_id")
+         .select("source", cs.alias("split"),
+                 (cs != own).cast("long").alias("moved")))
+    src_w = Window.partitionBy("source")
+    target = (F.when(F.col("split") == "test", F.lit(SPLIT_TEST_FRAC))
+              .when(F.col("split") == "val", F.lit(SPLIT_VAL_FRAC))
+              .otherwise(F.lit(SPLIT_TRAIN_FRAC)))
+    return (
+        d.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("moved").alias("n_moved"))
+        .withColumn("doc_share",
+                    F.try_divide(F.col("n_docs").cast("double"),
+                                 F.sum("n_docs").over(src_w)))
+        .withColumn("target_frac", target)
+        .select("source", "split", "n_docs", "n_moved", "doc_share",
+                "target_frac")
+        .orderBy("source", "split")
+    )
+
+
+def cluster_split_demo(t: Tables) -> DataFrame:
+    return cluster_split(t["documents"])
+
+
+def cluster_split_demo_oracle(n: int = LEAK_N, tau: float = LEAK_TAU) -> str:
+    split_c = _split_sql("component")
+    split_d = _split_sql("d.doc_id")
+    return f"""
+    WITH RECURSIVE sh AS ({_shingles_sql(n)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {tau}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, reach) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
+        UNION
+        SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    ),
+    comp AS (SELECT doc AS doc_id, MIN(reach) AS component
+             FROM walk GROUP BY doc),
+    lab AS (
+        SELECT d.source, {split_c} AS split,
+               CASE WHEN {split_c} <> {split_d} THEN 1 ELSE 0 END AS moved
+        FROM documents d JOIN comp USING (doc_id)
+    ),
+    g AS (
+        SELECT source, split, COUNT(*) AS n_docs,
+               CAST(SUM(moved) AS BIGINT) AS n_moved
+        FROM lab GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, n_moved,
+           CAST(n_docs AS DOUBLE)
+               / NULLIF(SUM(n_docs) OVER (PARTITION BY source), 0)
+               AS doc_share,
+           CASE split WHEN 'test' THEN CAST({SPLIT_TEST_FRAC!r} AS DOUBLE)
+                      WHEN 'val' THEN CAST({SPLIT_VAL_FRAC!r} AS DOUBLE)
+                      ELSE CAST({SPLIT_TRAIN_FRAC!r} AS DOUBLE) END
+               AS target_frac
+    FROM g
+    ORDER BY source, split
+    """

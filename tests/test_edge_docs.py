@@ -146,6 +146,8 @@ def _staged_pairs():
          pipeline.dataset_split_demo_oracle(), False),
         ("split_leakage", pipeline.split_leakage_demo,
          pipeline.split_leakage_demo_oracle(), False),
+        ("cluster_split", pipeline.cluster_split_demo,
+         pipeline.cluster_split_demo_oracle(), False),
     ]
 
 

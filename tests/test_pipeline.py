@@ -526,3 +526,49 @@ def test_dataset_split_and_leakage_demos_match_oracle(spark):
             pipeline.dataset_split_demo_oracle(), "/root/testdata/sf0.001")
     compare(pipeline.split_leakage_demo(t),
             pipeline.split_leakage_demo_oracle(), "/root/testdata/sf0.001")
+
+
+def test_cluster_split_is_leakage_free_and_counts_moves(spark):
+    # the split_leakage crafted corpus: a KNOWN train/test near-dup pair
+    # plus an unrelated val singleton
+    ids, i = {}, 0
+    while len(ids) < 3:
+        ids.setdefault(_expected_split(i), i)
+        i += 1
+    dup = "alpha beta gamma delta epsilon"
+    other = "zeta eta theta iota kappa"
+    rows = [
+        (ids["train"], dup, "en", "s", len(dup)),
+        (ids["test"], dup, "en", "s", len(dup)),
+        (ids["val"], other, "en", "s", len(other)),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    comp = {r["doc_id"]: r["component"]
+            for r in pipeline.cluster_components(docs).collect()}
+    canon = min(ids["train"], ids["test"])
+    assert comp[ids["train"]] == comp[ids["test"]] == canon
+    assert comp[ids["val"]] == ids["val"]
+
+    card = pipeline.cluster_split(docs).collect()
+    # both dup docs land in the CANONICAL id's split: the crafted
+    # cross-split pair is rerouted, so exactly one doc moved and the
+    # near-dup pair is intra-split — leakage zero by construction
+    canon_split = _expected_split(canon)
+    by_split = {r["split"]: r for r in card}
+    assert by_split[canon_split]["n_docs"] == 2
+    assert by_split[canon_split]["n_moved"] == 1
+    assert sum(r["n_moved"] for r in card) == 1
+    split_of_doc = {d: _expected_split(c) for d, c in comp.items()}
+    assert split_of_doc[ids["train"]] == split_of_doc[ids["test"]]
+
+
+def test_cluster_split_demo_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.cluster_split_demo(t),
+            pipeline.cluster_split_demo_oracle(), "/root/testdata/sf0.001")

@@ -536,3 +536,20 @@ def test_split_leakage_labels_without_extra_joins(spark):
     assert "BroadcastNestedLoopJoin" not in leak
     assert leak.count("Join") == base.count("Join"), (
         leak.count("Join"), base.count("Join"))
+
+
+def test_cluster_split_one_routing_join_no_nested_loop(spark):
+    """The cluster-split card adds exactly ONE join over the component
+    relation (doc -> source routing); both split labels are expressions
+    of (component, doc_id) — no assignment table, no nested loop. The
+    propagation loop's joins sit behind per-round checkpoints and never
+    appear in the card's plan."""
+    from resin_spark.operators import pipeline
+
+    docs = load_tables(spark, SF)["documents"]
+    base = plan_of(pipeline.cluster_components(docs))
+    full = plan_of(pipeline.cluster_split(docs))
+    assert "BroadcastNestedLoopJoin" not in full
+    assert "CartesianProduct" not in full
+    assert full.count("Join") == base.count("Join") + 1, (
+        full.count("Join"), base.count("Join"))
