@@ -2053,3 +2053,92 @@ def cdc_chunk_stats_oracle(k: int = CDC_K, mask: int = CDC_MASK,
                AS dup_chunk_share
     FROM chunks GROUP BY doc_id, n_tokens ORDER BY doc_id
     """
+
+
+# --- C61: perplexity-threshold retention curve ---------------------------------
+
+# CCNet keeps the LOW-perplexity side of the corpus; this grid sweeps
+# the cut. Lockstep knob with the oracle (change both sides together).
+# Points straddle the synthetic corpus's tight bits/token band
+# (~4.88-5.36 at sf0.01) so every grid row shows real variation.
+PPL_CURVE_THRESHOLDS: tuple[float, ...] = (4.88, 4.90, 4.91, 4.93, 5.0, 5.4)
+
+
+def perplexity_threshold_curve(
+        t: Tables,
+        thresholds: tuple[float, ...] = PPL_CURVE_THRESHOLDS) -> DataFrame:
+    """Retention curve for the CCNet-style perplexity filter: for each
+    candidate cut, how many docs and tokens survive ``bits_per_token <=
+    threshold`` — (threshold, n_docs_kept, n_tokens_kept, doc_share,
+    token_share). The eyes-open sheet behind choosing THE perplexity
+    cut (D13's sibling for the quality side): C24 scores at one corpus,
+    this shows what every candidate cut would keep, from ONE scoring
+    pass. Shares are over the scored universe (tokenizable docs — the
+    filter's actual input; zero-token docs vanish at the explode in
+    both engines).
+
+    Exactness: bits_per_token is C24's oracle-green rounded-6 double,
+    so both engines compare IDENTICAL doubles against identical parsed
+    grid literals — boundary docs land the same. Totals are counts and
+    long sums of identical rows; shares one IEEE division each.
+
+    Scale: one C24 scoring pass, checkpointed because BOTH the grid
+    join and the one-row total read it (|docs|x3 cols — per-executor
+    footprint is trivial; without the pin the whole tokenise+LM DAG
+    runs twice); the grid rollup is a broadcast cross with
+    |thresholds| rows, one bounded aggregate, and a one-row total.
+    At 100 TB nothing here exceeds the C24 pass itself.
+    """
+    spark = t["documents"].sparkSession
+    scored = quality_perplexity(t).localCheckpoint(eager=False)
+    th = spark.createDataFrame([(float(x),) for x in thresholds],
+                               "threshold double")
+    kept = scored.join(F.broadcast(th),
+                       F.col("bits_per_token") <= F.col("threshold"))
+    per = kept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"))
+    tot = scored.agg(F.count(F.lit(1)).alias("td"),
+                     F.sum("n_tokens").alias("tt")).first()
+    zero = F.lit(0).cast("long")
+    return (
+        th.join(per, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_docs_kept", zero).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", zero).alias("n_tokens_kept"),
+            F.try_divide(F.coalesce("n_docs_kept", zero).cast("double"),
+                         F.lit(tot["td"]).cast("long")).alias("doc_share"),
+            F.try_divide(F.coalesce("n_tokens_kept", zero).cast("double"),
+                         F.lit(tot["tt"]).cast("long")).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def perplexity_threshold_curve_oracle(
+        thresholds: tuple[float, ...] = PPL_CURVE_THRESHOLDS) -> str:
+    """Nests the C24 oracle as the scored CTE — any quality_perplexity
+    change re-windows this op too."""
+    grid = ", ".join(repr(float(x)) for x in thresholds)
+    return f"""
+    WITH scored AS ({quality_perplexity_oracle()}),
+    th AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS threshold),
+    kept AS (
+        SELECT threshold, COUNT(*) AS n_docs_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+        FROM scored, th
+        WHERE bits_per_token <= threshold
+        GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS td, SUM(n_tokens) AS tt FROM scored)
+    SELECT th.threshold,
+           COALESCE(n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+           CAST(COALESCE(n_docs_kept, 0) AS DOUBLE) / NULLIF(td, 0)
+               AS doc_share,
+           CAST(COALESCE(n_tokens_kept, 0) AS DOUBLE) / NULLIF(tt, 0)
+               AS token_share
+    FROM th LEFT JOIN kept USING (threshold) CROSS JOIN total
+    ORDER BY threshold
+    """

@@ -125,9 +125,11 @@ def edge_dir_emb(spark, edge_dir):
 
 def _staged_pairs():
     from resin_spark.operators import (dedup, health, pipeline,
-                                        retrieval, textops)
+                                        retrieval, textops, traindata)
 
     return [
+        ("perplexity_threshold_curve", traindata.perplexity_threshold_curve,
+         traindata.perplexity_threshold_curve_oracle(), False),
         ("vocab_coverage", health.vocab_coverage_demo,
          health.vocab_coverage_demo_oracle(), False),
         ("length_histogram", health.length_histogram_demo,

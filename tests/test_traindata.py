@@ -532,3 +532,62 @@ def test_cdc_chunk_stats_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(td.cdc_chunk_stats(t), td.cdc_chunk_stats_oracle(),
             "/root/testdata/sf0.001")
+
+
+# --- perplexity_threshold_curve -------------------------------------------------
+
+
+def test_perplexity_threshold_curve_hand_computed(spark):
+    # unigram LM over "a a a a" + "b c d e": tf(a)=4, tf(b..e)=1,
+    # total=8 -> bits(a) = -log2(4/8) = 1.0 exactly, bits(b..e) = 3.0
+    # exactly; doc 0 scores 1.0 bits/token, doc 1 scores 3.0 - every
+    # value an exact IEEE double, so the cuts are unambiguous
+    df = spark.createDataFrame(
+        [(0, "a a a a", "en", "s"), (1, "b c d e", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    rows = {r["threshold"]: r for r in td.perplexity_threshold_curve(
+        {"documents": df}, thresholds=(0.5, 1.0, 3.0)).collect()}
+    assert rows[0.5]["n_docs_kept"] == 0 and rows[0.5]["n_tokens_kept"] == 0
+    assert rows[0.5]["doc_share"] == 0.0 and rows[0.5]["token_share"] == 0.0
+    assert rows[1.0]["n_docs_kept"] == 1 and rows[1.0]["n_tokens_kept"] == 4
+    assert rows[1.0]["doc_share"] == 0.5 and rows[1.0]["token_share"] == 0.5
+    assert rows[3.0]["n_docs_kept"] == 2 and rows[3.0]["n_tokens_kept"] == 8
+    assert rows[3.0]["doc_share"] == 1.0 and rows[3.0]["token_share"] == 1.0
+
+
+def test_perplexity_threshold_curve_empty_and_monotone(spark):
+    # zero-token corpus: every doc vanishes at the explode; counts are
+    # 0 and shares NULL (0/0) on a grid that must still emit all rows
+    empty = spark.createDataFrame(
+        [(0, "", "en", "s"), (1, "!!!", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    rows = td.perplexity_threshold_curve({"documents": empty},
+                                         thresholds=(1.0, 2.0)).collect()
+    assert [r["threshold"] for r in rows] == [1.0, 2.0]
+    assert all(r["n_docs_kept"] == 0 and r["n_tokens_kept"] == 0 for r in rows)
+    assert all(r["doc_share"] is None and r["token_share"] is None
+               for r in rows)
+    # monotonicity on real data: kept mass never decreases with the cut
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    card = td.perplexity_threshold_curve(t).collect()
+    docs = [r["n_docs_kept"] for r in card]
+    toks = [r["n_tokens_kept"] for r in card]
+    assert docs == sorted(docs) and toks == sorted(toks)
+    assert card[-1]["doc_share"] == 1.0
+
+
+def test_perplexity_threshold_curve_matches_oracle(spark):
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(td.perplexity_threshold_curve(t),
+            td.perplexity_threshold_curve_oracle(), "/root/testdata/sf0.001")
+
+
+def test_perplexity_threshold_curve_grid_is_broadcast(spark):
+    """The only nested-loop join allowed is scored x the |grid|-row
+    broadcast threshold dim; the scored relation reads from the
+    checkpoint, so the corpus is tokenised once, not per grid row."""
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plan = td.perplexity_threshold_curve(t) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0, plan[:3000]
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
