@@ -13,8 +13,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resin_spark.functions import text as T
-from resin_spark.operators.dedup import (_shingles_sql, ngram_jaccard_pairs,
-                                         shingles)
+from resin_spark.operators.dedup import (_shingles_sql, embedding_dedup_oracle,
+                                         embedding_dedup_pairs,
+                                         ngram_jaccard_pairs, shingles)
 
 Tables = dict[str, DataFrame]
 
@@ -1662,4 +1663,71 @@ def cluster_split_demo_oracle(n: int = LEAK_N, tau: float = LEAK_TAU) -> str:
                AS target_frac
     FROM g
     ORDER BY source, split
+    """
+
+
+# --- D16: SEMANTIC cross-split leakage ------------------------------------------
+
+# The D5 driver operating point — lockstep with the oracle.
+SEM_LEAK_TAU = 0.4
+
+
+def semantic_split_leakage(emb: DataFrame,
+                           tau: float = SEM_LEAK_TAU) -> DataFrame:
+    """Cross-split SEMANTIC leakage card: the D5 exact embedding-cosine
+    pair relation labelled by each side's split — (split_lo, split_hi,
+    n_pairs, pair_share). D15 catches verbatim/near-verbatim copies;
+    this catches the harder class n-gram overlap misses entirely —
+    PARAPHRASES of test documents sitting in train (same meaning, new
+    words), which still inflate a held-out loss. Because the split is
+    a pure expression of the id and vec_id carries the document id,
+    the SAME coin labels both tables — documents and their embeddings
+    always agree on the split with no mapping join.
+
+    Exactness: the pair relation is the oracle-exact D5 computation
+    (margin-gated candidates, strict JVM re-verify); labels are pure
+    id expressions; counting and one IEEE division land identically.
+    Scale: candidate stage is the size-gated matmul/LSH route (never
+    all-pairs past the gate); labelling is MAP-SIDE; the final
+    aggregate sees ≤ 6 groups.
+    """
+    pairs = embedding_dedup_pairs(emb, tau)
+    sa, sb = split_of(F.col("vec_a")), split_of(F.col("vec_b"))
+    tot_w = Window.partitionBy()
+    return (
+        pairs.select(F.least(sa, sb).alias("split_lo"),
+                     F.greatest(sa, sb).alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("pair_share",
+                    F.try_divide(F.col("n_pairs").cast("double"),
+                                 F.sum("n_pairs").over(tot_w)))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def semantic_split_leakage_demo(t: Tables) -> DataFrame:
+    return semantic_split_leakage(t["embeddings"])
+
+
+def semantic_split_leakage_oracle(tau: float = SEM_LEAK_TAU) -> str:
+    """Nests the D5 oracle as the pair CTE — any embedding_dedup change
+    re-windows this op too."""
+    sa, sb = _split_sql("vec_a"), _split_sql("vec_b")
+    return f"""
+    WITH pairs AS ({embedding_dedup_oracle(tau)}),
+    lab AS (
+        SELECT least({sa}, {sb}) AS split_lo,
+               greatest({sa}, {sb}) AS split_hi
+        FROM pairs
+    ),
+    g AS (
+        SELECT split_lo, split_hi, COUNT(*) AS n_pairs
+        FROM lab GROUP BY 1, 2
+    )
+    SELECT split_lo, split_hi, n_pairs,
+           CAST(n_pairs AS DOUBLE) / NULLIF(SUM(n_pairs) OVER (), 0)
+               AS pair_share
+    FROM g
+    ORDER BY split_lo, split_hi
     """

@@ -150,6 +150,8 @@ def _staged_pairs():
          pipeline.split_leakage_demo_oracle(), False),
         ("cluster_split", pipeline.cluster_split_demo,
          pipeline.cluster_split_demo_oracle(), False),
+        ("semantic_split_leakage", pipeline.semantic_split_leakage_demo,
+         pipeline.semantic_split_leakage_oracle(), True),
     ]
 
 

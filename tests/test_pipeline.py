@@ -572,3 +572,35 @@ def test_cluster_split_demo_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(pipeline.cluster_split_demo(t),
             pipeline.cluster_split_demo_oracle(), "/root/testdata/sf0.001")
+
+
+def test_semantic_split_leakage_labels_crafted_pair(spark):
+    # same split-hunting trick as the D15 pin, but the leak is a
+    # PARAPHRASE: identical embeddings across a train/test id pair,
+    # orthogonal val vector stays out
+    ids, i = {}, 0
+    while len(ids) < 3:
+        ids.setdefault(_expected_split(i), i)
+        i += 1
+    rows = [
+        (ids["train"], [1.0, 0.0, 0.0], 0),
+        (ids["test"], [1.0, 0.0, 0.0], 0),
+        (ids["val"], [0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = pipeline.semantic_split_leakage(emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["split_lo"], r["split_hi"]) == ("test", "train")
+    assert r["n_pairs"] == 1 and r["pair_share"] == 1.0
+
+
+def test_semantic_split_leakage_demo_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.semantic_split_leakage_demo(t),
+            pipeline.semantic_split_leakage_oracle(),
+            "/root/testdata/sf0.001")

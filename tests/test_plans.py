@@ -538,6 +538,20 @@ def test_split_leakage_labels_without_extra_joins(spark):
         leak.count("Join"), base.count("Join"))
 
 
+def test_semantic_split_leakage_labels_without_extra_joins(spark):
+    """Same contract as the D15 pin: labelling must be MAP-SIDE — the
+    plan may contain exactly the joins of the underlying D5 pair
+    relation, never an extra split-assignment join."""
+    from resin_spark.operators import pipeline
+
+    emb = load_tables(spark, SF)["embeddings"]
+    base = plan_of(dedup.embedding_dedup_pairs(emb))
+    leak = plan_of(pipeline.semantic_split_leakage(emb))
+    assert "BroadcastNestedLoopJoin" not in leak
+    assert leak.count("Join") == base.count("Join"), (
+        leak.count("Join"), base.count("Join"))
+
+
 def test_cluster_split_one_routing_join_no_nested_loop(spark):
     """The cluster-split card adds exactly ONE join over the component
     relation (doc -> source routing); both split labels are expressions
