@@ -666,3 +666,32 @@ def stream_apply_mixture(spark: SparkSession, docs_parquet_dir: str,
         .select("doc_id", "source",
                 mixture_copy_count(F.col("sampling_rate")).alias("n_copies"))
     )
+
+
+def stream_split_assign(spark: SparkSession,
+                        docs_parquet_dir: str) -> DataFrame:
+    """Streaming train/val/test assignment: each arriving doc emits
+    (doc_id, source, split) via pipeline.split_of — the ingestion-time
+    face of pipeline.dataset_split (the batch card audits realised
+    shares; the stream routes each doc to its split the moment a crawl
+    shard lands, the shape an export loader tags output paths with).
+
+    The label is a pure row-local expression of doc_id (salted md5
+    coin vs Python-inlined hex boundaries): zero state, zero
+    watermark, zero shuffle — and the assignment agrees bit-for-bit
+    with the batch label at ANY arrival order or shard split, because
+    nothing but the id feeds the coin (pinned in tests).
+    """
+    from resin_spark.operators.pipeline import split_of
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        stream.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source",
+                split_of(F.col("doc_id")).alias("split"))
+    )

@@ -1135,3 +1135,36 @@ def test_stream_apply_mixture_matches_batch(spark, tmp_path):
     assert got == batch and got
     assert any(c == 0 for _, c in got.values()) or \
         all(c >= 1 for _, c in got.values())
+
+
+def test_stream_split_assign_matches_batch(spark, tmp_path):
+    """Streaming split labels must equal the batch split_of expression
+    doc-for-doc regardless of shard layout (2 files, 1 per trigger)."""
+    from resin_spark.operators import pipeline as pl
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, SF)["documents"].filter("doc_id IS NOT NULL")
+    src_dir = tmp_path / "split_in"
+    src_dir.mkdir()
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["doc_id"]: (r["source"], r["split"])
+             for r in docs.select(
+                 "doc_id", "source",
+                 pl.split_of(F.col("doc_id")).alias("split")).collect()}
+
+    sq = (
+        q.stream_split_assign(spark, str(src_dir / "p"))
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_split"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["source"], r["split"])
+           for r in spark.sql("SELECT * FROM split_stream").collect()}
+    assert got == batch and got
+    # and the realised split set is non-degenerate on real data
+    assert {s for _, s in got.values()} == {"train", "val", "test"}
