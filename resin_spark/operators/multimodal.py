@@ -275,3 +275,38 @@ def frame_sample_oracle() -> str:
     WHERE i < n_frames
     ORDER BY doc_id, frame_idx
     """
+
+
+def payload_meta_frame(docs: DataFrame) -> DataFrame:
+    """F1 core without the presentation orderBy — the streaming twin's
+    entry point (streams cannot globally sort; row CONTENT is the
+    contract). NULL text coalesces to b'' (n_bytes 0, md5 of the empty
+    payload) — the adjudicated NULL-payload semantics from the r6
+    degenerate-dataset scan; the batch fix is deferred to r7 under the
+    window contract, so the fake-decode generator is duplicated here
+    VERBATIM rather than refactoring binary_meta (whose AST is frozen
+    with the r6 tail), and the streaming pin test keeps the two
+    bit-equal. r7: fold binary_meta onto this frame when the mm_*
+    entries re-window for exactly that NULL fix.
+    """
+    schema = ("doc_id long, n_bytes long, format string, "
+              "width long, height long, checksum string")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [hashlib.md5(b).hexdigest() for b in pdf["payload"]]
+            n_bytes = [len(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "format": [FORMATS[n % len(FORMATS)] for n in n_bytes],
+                "width": [16 + int(s[:6], 16) % 1024 for s in sums],
+                "height": [16 + int(s[6:12], 16) % 768 for s in sums],
+                "checksum": sums,
+            })
+
+    payload = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        .alias("payload"))
+    return payload.mapInPandas(gen, schema)

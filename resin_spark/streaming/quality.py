@@ -695,3 +695,29 @@ def stream_split_assign(spark: SparkSession,
         .select("doc_id", "source",
                 split_of(F.col("doc_id")).alias("split"))
     )
+
+
+def stream_mm_meta(spark: SparkSession, docs_parquet_dir: str) -> DataFrame:
+    """Streaming F1 twin: typed metadata (size, container format,
+    fake-decoded dimensions, checksum) for media payloads the moment a
+    crawl shard lands — the ingestion-time face of
+    multimodal.binary_meta, completing the block-has-a-streaming-face
+    coverage for the multimodal suite.
+
+    One stateless Arrow mapInPandas pass per micro-batch: no state, no
+    watermark, no shuffle. Rows equal the batch relation bit-for-bit
+    on non-null corpora (pinned in tests); NULL text takes the
+    adjudicated coalesce-to-b'' semantics (n_bytes 0, md5 of empty)
+    ahead of the deferred r7 batch fix. A real decoder drops into the
+    shared frame unchanged — schema, batching and the stream plumbing
+    here stay identical.
+    """
+    from resin_spark.operators.multimodal import payload_meta_frame
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return payload_meta_frame(stream.filter(F.col("doc_id").isNotNull()))

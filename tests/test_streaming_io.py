@@ -1168,3 +1168,47 @@ def test_stream_split_assign_matches_batch(spark, tmp_path):
     assert got == batch and got
     # and the realised split set is non-degenerate on real data
     assert {s for _, s in got.values()} == {"train", "val", "test"}
+
+
+def test_stream_mm_meta_matches_batch(spark, tmp_path):
+    """Streaming payload metadata must equal batch mm_binary_meta
+    row-for-row on a non-null corpus, at any shard layout."""
+    import hashlib
+
+    from resin_spark.operators import multimodal as mm
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, SF)["documents"].filter(
+        "doc_id IS NOT NULL AND text IS NOT NULL")
+    src_dir = tmp_path / "mm_in"
+    src_dir.mkdir()
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["doc_id"]: (r["n_bytes"], r["format"], r["width"],
+                           r["height"], r["checksum"])
+             for r in mm.binary_meta({"documents": docs}).collect()}
+
+    sq = (
+        q.stream_mm_meta(spark, str(src_dir / "p"))
+        .writeStream.format("memory")
+        .queryName("mm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mm"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_bytes"], r["format"], r["width"],
+                         r["height"], r["checksum"])
+           for r in spark.sql("SELECT * FROM mm_stream").collect()}
+    assert got == batch and got
+
+    # NULL-text payload: the twin applies the adjudicated coalesce
+    # semantics (empty payload) instead of the batch path's deferred
+    # r7 hole
+    null_doc = spark.createDataFrame(
+        [(99, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    row = mm.payload_meta_frame(null_doc).collect()[0]
+    assert row["n_bytes"] == 0
+    assert row["checksum"] == hashlib.md5(b"").hexdigest()
