@@ -279,3 +279,148 @@ def test_degenerate_dataset_survives(spark, degen_dir, name, reason):
     import __spark_entry__ as entry_mod
 
     entry_mod.queries()[name](spark, degen_dir).collect()
+
+
+# --- overtime-r6 staged ops: split governance + quality curve ------------------
+
+
+def _compare_on_chars(spark, tmpdir, rows, fn, sql):
+    """_compare_on with the n_chars column the split cards read."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F_length_or_zero(df))
+    path = f"{tmpdir}/documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = fn({"documents": spark.read.parquet(path)})
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_dataset_split_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import pipeline
+
+    _compare_on_chars(spark, tmp_path_factory.mktemp("fz_split"), rows,
+                      pipeline.dataset_split_demo,
+                      pipeline.dataset_split_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_split_leakage_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import pipeline
+
+    _compare_on_chars(spark, tmp_path_factory.mktemp("fz_leak"), rows,
+                      pipeline.split_leakage_demo,
+                      pipeline.split_leakage_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_cluster_split_oracle(spark, tmp_path_factory, rows):
+    """Random corpora with repeated texts exercise the component loop
+    AND the recursive-CTE closure on graphs nobody hand-picked."""
+    from resin_spark.operators import pipeline
+
+    _compare_on_chars(spark, tmp_path_factory.mktemp("fz_csplit"), rows,
+                      pipeline.cluster_split_demo,
+                      pipeline.cluster_split_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_perplexity_curve_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import traindata
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_ppl"), rows,
+                traindata.perplexity_threshold_curve,
+                traindata.perplexity_threshold_curve_oracle())
+
+
+def _some_valid(vecs):
+    return any(v is not None and not any(math.isnan(x) for x in v)
+               for _, v, _ in vecs)
+
+
+@given(emb_corpus.filter(_some_valid))
+@settings(max_examples=5, deadline=None)
+def test_fuzz_semantic_split_leakage_oracle(spark, tmp_path_factory, vecs):
+    """NaN / zero-norm / NULL vectors against the D5 valid-vector and
+    zero-norm gates, then split labelling — both engines must agree on
+    which pairs exist AND how they label. Corpora where EVERY vector is
+    invalid are excluded here: that class crashes in the frozen
+    broadcast_unit_matrix (strict-xfail-pinned below, r7 fix) — widen
+    the strategy back when the pin XPASSes."""
+    from resin_spark.operators import pipeline
+
+    tmpdir = tmp_path_factory.mktemp("fz_semleak")
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    epath = f"{tmpdir}/embeddings.parquet"
+    emb.coalesce(1).write.mode("overwrite").parquet(epath)
+
+    sql = pipeline.semantic_split_leakage_oracle()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{epath}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = pipeline.semantic_split_leakage_demo(
+        {"embeddings": spark.read.parquet(epath)})
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN hole found by the overtime-r6 semantic-leakage fuzz, "
+    "fix scheduled r7 (the D5/D9 vector cohort's window check is due "
+    "then, so the edit costs zero slots): broadcast_unit_matrix "
+    "(similarity.py:74-78) collects ZERO rows when every embedding is "
+    "NULL/NaN — np.array([]) is 1-dim, so (mat*mat).sum(axis=1) raises "
+    "AxisError instead of yielding an empty pair relation. Driver data "
+    "never triggers it (embeddings are valid). r7 fix: guard len(ids)==0 "
+    "with unit=np.zeros((0,0)) there, and 'if bunit.shape[0]==0: "
+    "continue' in the cosine_threshold/topk candidate gens; then this "
+    "XPASSes - convert it to a plain fuzz row and widen "
+    "test_fuzz_semantic_split_leakage_oracle's strategy back to "
+    "all-invalid corpora.")
+def test_all_invalid_embeddings_survive(spark):
+    from resin_spark.operators import dedup, pipeline
+
+    emb = spark.createDataFrame(
+        [(0, None, 0), (1, [float("nan"), 0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    assert dedup.embedding_dedup_pairs(emb).collect() == []
+    assert pipeline.semantic_split_leakage(emb).collect() == []
