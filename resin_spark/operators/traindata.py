@@ -2142,3 +2142,66 @@ def perplexity_threshold_curve_oracle(
     FROM th LEFT JOIN kept USING (threshold) CROSS JOIN total
     ORDER BY threshold
     """
+
+
+# --- H13: release-manifest signature per shard ----------------------------------
+
+def shard_manifest(t: Tables, n_shards: int = N_SHARDS) -> DataFrame:
+    """Per-shard release manifest: (shard, n_docs, n_chars, content_sig)
+    — the sign-off sheet an export pipeline publishes next to its
+    shards so a replica (or a re-run months later) can prove
+    shard-level equality WITHOUT diffing bytes: same doc set + same
+    text per doc ⟺ same signature per shard.
+
+    content_sig is a bit_xor fold of the 60-bit md5 of
+    ``doc_id:md5(text)`` — order-INDEPENDENT by construction, so it is
+    a pure map-side partial aggregate with O(n_shards) state at ANY
+    corpus size (a concat-in-order signature would buffer
+    corpus/n_shards rows per group; the XOR fold buffers 8 bytes).
+    Row order inside a shard needs no signing: write_shards pins it
+    deterministically by (h, doc_id), which the doc SET already
+    determines. XOR cancellation needs two identical (doc_id, text)
+    rows — impossible while doc_id is unique, which dedup_exact
+    upstream guarantees; NULL text signs as the empty string (the
+    adjudicated NULL-payload convention).
+
+    Exactness: both engines fold identical 60-bit integers with an
+    associative-commutative XOR — no ordering, no floats. Shares the
+    C25 shard expression (_token_hash60 % n_shards), so the manifest
+    describes exactly the layout write_shards materialises.
+    """
+    h = _token_hash60(F.col("doc_id").cast("string"))
+    sig = _token_hash60(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")))))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id").isNotNull())
+        .select((h % n_shards).alias("shard"),
+                F.coalesce(F.col("n_chars").cast("long"), F.lit(0))
+                .alias("nc"),
+                sig.alias("sig"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nc").alias("n_chars"),
+             F.bit_xor("sig").alias("content_sig"))
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_oracle(n_shards: int = N_SHARDS) -> str:
+    h = _token_hash60_sql("CAST(doc_id AS VARCHAR)")
+    sig = _token_hash60_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(text, ''))")
+    return f"""
+    WITH rows_in AS (
+        SELECT {h} % {n_shards} AS shard,
+               COALESCE(CAST(n_chars AS BIGINT), 0) AS nc,
+               {sig} AS sig
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           bit_xor(sig) AS content_sig
+    FROM rows_in GROUP BY shard ORDER BY shard
+    """

@@ -130,6 +130,8 @@ def _staged_pairs():
     return [
         ("perplexity_threshold_curve", traindata.perplexity_threshold_curve,
          traindata.perplexity_threshold_curve_oracle(), False),
+        ("shard_manifest", traindata.shard_manifest,
+         traindata.shard_manifest_oracle(), False),
         ("vocab_coverage", health.vocab_coverage_demo,
          health.vocab_coverage_demo_oracle(), False),
         ("length_histogram", health.length_histogram_demo,

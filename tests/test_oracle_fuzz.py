@@ -348,6 +348,16 @@ def test_fuzz_cluster_split_oracle(spark, tmp_path_factory, rows):
 
 @given(doc_corpus)
 @settings(max_examples=4, deadline=None)
+def test_fuzz_shard_manifest_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import traindata
+
+    _compare_on_chars(spark, tmp_path_factory.mktemp("fz_manifest"), rows,
+                      traindata.shard_manifest,
+                      traindata.shard_manifest_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
 def test_fuzz_perplexity_curve_oracle(spark, tmp_path_factory, rows):
     from resin_spark.operators import traindata
 

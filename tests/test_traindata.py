@@ -591,3 +591,61 @@ def test_perplexity_threshold_curve_grid_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("CartesianProduct") == 0, plan[:3000]
     assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+# --- shard_manifest --------------------------------------------------------------
+
+
+def test_shard_manifest_detects_exactly_the_changed_shard(spark):
+    def mk(rows):
+        return {"documents": spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long")}
+
+    rows = [(i, f"doc body {i}", "en", "s", 10) for i in range(40)]
+    base = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+            for r in td.shard_manifest(mk(rows)).collect()}
+
+    # identical corpus -> identical manifest (the replica-equality contract)
+    again = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+             for r in td.shard_manifest(mk(list(rows))).collect()}
+    assert again == base
+
+    # flip ONE doc's text: only that doc's shard may change, and only
+    # its signature (counts and chars unchanged)
+    mutated = list(rows)
+    mutated[7] = (7, "tampered body", "en", "s", 10)
+    changed = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+               for r in td.shard_manifest(mk(mutated)).collect()}
+    diff = {s for s in base if base[s] != changed[s]}
+    assert len(diff) == 1
+    s = diff.pop()
+    assert base[s][0] == changed[s][0] and base[s][1] == changed[s][1]
+    assert base[s][2] != changed[s][2]
+
+    # drop one doc: its shard loses a row and re-signs; others untouched
+    dropped = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+               for r in td.shard_manifest(mk(rows[:-1])).collect()}
+    gone = [s for s in base if s not in dropped or base[s] != dropped[s]]
+    assert len(gone) == 1
+
+
+def test_shard_manifest_matches_oracle(spark):
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(td.shard_manifest(t), td.shard_manifest_oracle(),
+            "/root/testdata/sf0.001")
+
+
+def test_shard_manifest_is_one_exchange_no_window(spark):
+    """The manifest must stay a pure map-side partial aggregate: one
+    shuffle onto n_shards groups, no window, no sort before the agg —
+    the O(n_shards)-state claim that makes it honest at 100 TB."""
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plan = td.shard_manifest(t) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    # exactly one HASH shuffle (the n_shards groupBy); the only other
+    # exchange is the bounded presentation sort's range partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial_bit_xor" in plan or "partial" in plan.lower(), \
+        plan[:2000]
