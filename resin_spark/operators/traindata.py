@@ -2170,22 +2170,30 @@ def shard_manifest(t: Tables, n_shards: int = N_SHARDS) -> DataFrame:
     C25 shard expression (_token_hash60 % n_shards), so the manifest
     describes exactly the layout write_shards materialises.
     """
-    h = _token_hash60(F.col("doc_id").cast("string"))
-    sig = _token_hash60(F.concat(
-        F.col("doc_id").cast("string"), F.lit(":"),
-        F.md5(F.coalesce(F.col("text"), F.lit("")))))
     return (
-        t["documents"]
-        .filter(F.col("doc_id").isNotNull())
-        .select((h % n_shards).alias("shard"),
-                F.coalesce(F.col("n_chars").cast("long"), F.lit(0))
-                .alias("nc"),
-                sig.alias("sig"))
+        manifest_rows(t["documents"], n_shards)
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("nc").alias("n_chars"),
              F.bit_xor("sig").alias("content_sig"))
         .orderBy("shard")
+    )
+
+
+def manifest_rows(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """The manifest's pre-aggregate frame (shard, nc, sig) — shared
+    verbatim by the batch card and its streaming twin so their folds
+    are equal by construction, not by test alone."""
+    h = _token_hash60(F.col("doc_id").cast("string"))
+    sig = _token_hash60(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")))))
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select((h % n_shards).alias("shard"),
+                F.coalesce(F.col("n_chars").cast("long"), F.lit(0))
+                .alias("nc"),
+                sig.alias("sig"))
     )
 
 

@@ -721,3 +721,37 @@ def stream_mm_meta(spark: SparkSession, docs_parquet_dir: str) -> DataFrame:
         .parquet(docs_parquet_dir)
     )
     return payload_meta_frame(stream.filter(F.col("doc_id").isNotNull()))
+
+
+def stream_shard_manifest(spark: SparkSession, docs_parquet_dir: str,
+                          n_shards: int | None = None) -> DataFrame:
+    """Manifest-as-streaming-state: per-shard running (n_docs, n_chars,
+    content_sig) over arriving docs — the release signature accumulates
+    AS the export lands instead of in a post-hoc pass.
+
+    The same algebra that makes the batch manifest one map-side
+    partial aggregate (bit_xor is associative + commutative with 8
+    bytes of state) makes it a bounded-state streaming aggregate: this
+    is the HLL/CMS sketch-as-streaming-state family with XOR as the
+    merge. The pre-aggregate frame is traindata.manifest_rows — shared
+    VERBATIM with the batch card, so once the directory drains, the
+    complete-mode table equals batch shard_manifest row-for-row at any
+    shard/file arrival order (pinned in tests). State: n_shards rows
+    of three 8-byte counters, forever.
+    """
+    from resin_spark.operators.traindata import N_SHARDS, manifest_rows
+
+    n = N_SHARDS if n_shards is None else n_shards
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    return (
+        manifest_rows(stream, n)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nc").alias("n_chars"),
+             F.bit_xor("sig").alias("content_sig"))
+    )

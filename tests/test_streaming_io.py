@@ -1212,3 +1212,34 @@ def test_stream_mm_meta_matches_batch(spark, tmp_path):
     row = mm.payload_meta_frame(null_doc).collect()[0]
     assert row["n_bytes"] == 0
     assert row["checksum"] == hashlib.md5(b"").hexdigest()
+
+
+def test_stream_shard_manifest_matches_batch(spark, tmp_path):
+    """The complete-mode manifest state after draining the directory
+    must equal the batch manifest row-for-row — XOR/sum/count merges
+    are arrival-order-free by algebra, pinned here across a 3-file
+    split (one file per trigger)."""
+    from resin_spark.operators import traindata as td
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, SF)["documents"].filter("doc_id IS NOT NULL")
+    src_dir = tmp_path / "manifest_in"
+    src_dir.mkdir()
+    docs.coalesce(3).write.mode("overwrite").parquet(str(src_dir / "p"))
+
+    batch = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+             for r in td.shard_manifest({"documents": docs}).collect()}
+
+    sq = (
+        q.stream_shard_manifest(spark, str(src_dir / "p"))
+        .writeStream.format("memory")
+        .queryName("manifest_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_manifest"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
+           for r in spark.sql("SELECT * FROM manifest_stream").collect()}
+    assert got == batch and got
