@@ -228,3 +228,99 @@ def agg_rollup_oracle() -> str:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
     """
+
+# --- A6/A7 (overtime r6): the two join shapes A1-A5 didn't cover ---------------
+
+
+def q4_order_priority(t: Tables) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join, then a tiny rollup.
+
+    The semi join is the shape's whole point: lineitem is probed for
+    MATCH EXISTENCE only — no lineitem column survives, no row
+    multiplies (an inner join + distinct would shuffle the multiplied
+    pairs first). Catalyst plans orders⋈lineitem as a semi hash join
+    on orderkey; the aggregate then sees |orders-in-window| rows onto
+    |priorities| groups. Adapted to the synthetic schema: the
+    existence predicate is a returned item (l_returnflag = 'R') —
+    commit/receipt dates aren't generated.
+
+    Exactness: pure counts, no floats anywhere.
+    """
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q4_oracle() -> str:
+    return """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def q22_idle_customers(t: Tables) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery + NOT EXISTS →
+    LEFT ANTI join.
+
+    Two shapes A1-A5 lack: (1) the corpus-wide scalar (mean positive
+    account balance) joins back as a BROADCAST single row — the
+    corpus never reshuffles to meet its own aggregate; (2) customers
+    with no orders are found by an ANTI hash join on custkey — the
+    only shuffle columns are the two keys, and no pair row ever
+    materialises. Group is c_nationkey (the synthetic schema has no
+    phone country code).
+
+    Exactness: the threshold mean is a decimal-exact sum over an
+    exact count, landing the same IEEE double both engines compare
+    raw balances against — boundary customers decide identically;
+    the final sum is the same decimal recipe.
+    """
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    pos_avg = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("ab"))
+    )
+    return (
+        cust.join(broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(t["orders"].select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q22_oracle() -> str:
+    return """
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(c_acctbal) AS ab
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """

@@ -42,6 +42,25 @@ def test_q5_broadcasts_tiny_dims_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q4_plans_a_semi_join(spark):
+    """The EXISTS must stay a LEFT SEMI hash join: lineitem probed for
+    existence only — no pair row ever materialises, no distinct."""
+    plan = plan_of(tpch.q4_order_priority(load_tables(spark, SF)))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_plans_anti_join_and_broadcast_scalar(spark):
+    """NOT EXISTS must stay a LEFT ANTI hash join, and the scalar mean
+    joins back as a broadcast single row — the corpus never reshuffles
+    to meet its own aggregate."""
+    plan = plan_of(tpch.q22_idle_customers(load_tables(spark, SF)))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("build", [
     lambda t: similarity.knn_classify(t["embeddings"]),
     lambda t: dedup.embedding_dedup_pairs(t["embeddings"]),
@@ -567,3 +586,11 @@ def test_cluster_split_one_routing_join_no_nested_loop(spark):
     assert "CartesianProduct" not in full
     assert full.count("Join") == base.count("Join") + 1, (
         full.count("Join"), base.count("Join"))
+
+
+def test_q4_q22_match_oracle(spark):
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, SF)
+    compare(tpch.q4_order_priority(t), tpch.q4_oracle(), SF)
+    compare(tpch.q22_idle_customers(t), tpch.q22_oracle(), SF)
