@@ -1102,3 +1102,72 @@ def search_snippets_oracle(query: tuple[str, ...] = BM25_QUERY,
                i -> tk[i]), ' ') AS snippet
     FROM hit ORDER BY rank
     """
+
+
+# --- C62: facet counts over the result page -------------------------------------
+
+def search_facets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
+                  k: int = BM25_TOPK) -> DataFrame:
+    """Facet counts for the BM25 top-k result page: (facet, value,
+    n_hits, hit_share) over the source and lang dimensions — the
+    search-UI sidebar ("web (12) · wiki (8)") every production search
+    face renders beside C56's snippets; the reference stores these
+    fields per hit (cirrussearch source/lang), this rolls the PAGE up.
+
+    Plan/scale: the k-row page broadcast-semi-joins the corpus (scan
+    pruned to the hits), the two facet dimensions unpivot via a
+    row-local 2-element explode, and the aggregate sees ≤ 2·|values|
+    groups with the share window over those bounded groups only —
+    nothing here scales with the corpus, only with k.
+
+    Exactness: counts plus one IEEE division of identical longs per
+    row; grouping keys are raw strings (NULL groups land together on
+    both engines).
+    """
+    from pyspark.sql.functions import broadcast
+    top = bm25_search(t, query, k).select("doc_id")
+    page = (
+        t["documents"].filter(F.col("doc_id").isNotNull())
+        .join(broadcast(top), "doc_id")
+        .select("source", "lang")
+    )
+    un = page.select(F.explode(F.array(
+        F.struct(F.lit("source").alias("facet"),
+                 F.col("source").alias("value")),
+        F.struct(F.lit("lang").alias("facet"),
+                 F.col("lang").alias("value")),
+    )).alias("fv")).select("fv.facet", "fv.value")
+    w = Window.partitionBy("facet")
+    return (
+        un.groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("hit_share",
+                    F.try_divide(F.col("n_hits").cast("double"),
+                                 F.sum("n_hits").over(w)))
+        .orderBy("facet", F.col("n_hits").desc(), "value")
+    )
+
+
+def search_facets_oracle(query: tuple[str, ...] = BM25_QUERY,
+                         k: int = BM25_TOPK) -> str:
+    """Nests the C38 oracle as the page CTE — any bm25 change
+    re-windows this op too."""
+    return f"""
+    WITH top AS ({bm25_search_oracle(query, k=k)}),
+    page AS (
+        SELECT d.source, d.lang
+        FROM documents d JOIN top USING (doc_id)
+    ),
+    un AS (
+        SELECT 'source' AS facet, source AS value FROM page
+        UNION ALL
+        SELECT 'lang' AS facet, lang AS value FROM page
+    ),
+    g AS (SELECT facet, value, COUNT(*) AS n_hits FROM un GROUP BY 1, 2)
+    SELECT facet, value, n_hits,
+           CAST(n_hits AS DOUBLE)
+               / NULLIF(SUM(n_hits) OVER (PARTITION BY facet), 0)
+               AS hit_share
+    FROM g
+    ORDER BY facet, n_hits DESC, value
+    """

@@ -144,6 +144,8 @@ def _staged_pairs():
          retrieval.hybrid_search_oracle(), True),
         ("search_snippets", textops.search_snippets,
          textops.search_snippets_oracle(), False),
+        ("search_facets", textops.search_facets,
+         textops.search_facets_oracle(), False),
         ("chunk_documents", pipeline.chunk_documents_demo,
          pipeline.chunk_documents_oracle(), False),
         ("dataset_split", pipeline.dataset_split_demo,

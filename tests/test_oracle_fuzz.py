@@ -348,6 +348,16 @@ def test_fuzz_cluster_split_oracle(spark, tmp_path_factory, rows):
 
 @given(doc_corpus)
 @settings(max_examples=4, deadline=None)
+def test_fuzz_search_facets_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import textops
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_facets"), rows,
+                textops.search_facets,
+                textops.search_facets_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
 def test_fuzz_shard_manifest_oracle(spark, tmp_path_factory, rows):
     from resin_spark.operators import traindata
 

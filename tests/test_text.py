@@ -253,3 +253,38 @@ def test_search_snippets_demo_matches_oracle(spark):
     t = load_tables(spark, "/root/testdata/sf0.001")
     compare(textops.search_snippets(t), textops.search_snippets_oracle(),
             "/root/testdata/sf0.001")
+
+
+def test_search_facets_counts_the_page_only(spark):
+    from resin_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort window", "en", "web"),
+         (2, "merge merge", "en", "wiki"),
+         (3, "sort", "de", "wiki"),
+         (4, "nothing relevant at all", "fr", "books")],  # never hits
+        "doc_id long, text string, lang string, source string")
+    out = {(r["facet"], r["value"]): (r["n_hits"], r["hit_share"])
+           for r in textops.search_facets(
+               {"documents": docs}, query=("merge", "sort"), k=10).collect()}
+    # the page is docs 1-3; doc 4 scores no query term and must not count
+    assert out[("source", "wiki")] == (2, 2 / 3)
+    assert out[("source", "web")] == (1, 1 / 3)
+    assert ("source", "books") not in out
+    assert out[("lang", "en")] == (2, 2 / 3)
+    assert out[("lang", "de")] == (1, 1 / 3)
+    # k truncation flows through: page of 1 -> single full-share facets
+    one = {(r["facet"], r["value"]): r["hit_share"]
+           for r in textops.search_facets(
+               {"documents": docs}, query=("merge", "sort"), k=1).collect()}
+    assert all(v == 1.0 for v in one.values()) and len(one) == 2
+
+
+def test_search_facets_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from resin_spark.operators import textops
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(textops.search_facets(t), textops.search_facets_oracle(),
+            "/root/testdata/sf0.001")
