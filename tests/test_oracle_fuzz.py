@@ -444,3 +444,66 @@ def test_all_invalid_embeddings_survive(spark):
         "vec_id long, embedding array<float>, label int")
     assert dedup.embedding_dedup_pairs(emb).collect() == []
     assert pipeline.semantic_split_leakage(emb).collect() == []
+
+
+# --- overtime-r6 relational shapes: q4 semi / q22 anti + scalar boundary --------
+
+_BALS = [0.0, -1.5, 10.25, 10.26, 100.0, 3333.33, None]
+
+rel_corpus = st.tuples(
+    st.lists(st.tuples(st.integers(0, 30),          # c_custkey (unique)
+                       st.integers(0, 4),           # c_nationkey
+                       st.sampled_from(_BALS)),     # c_acctbal
+             min_size=1, max_size=12, unique_by=lambda r: r[0]),
+    st.lists(st.integers(0, 30), min_size=0, max_size=10),  # o_custkey refs
+)
+
+
+@given(rel_corpus)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_q22_scalar_boundary_oracle(spark, tmp_path_factory, data):
+    """The Q22 threshold is a float comparison against a computed mean —
+    the exactness claim is that the decimal-exact-sum/count mean lands
+    the SAME IEEE double on both engines, so boundary customers (balances
+    engineered near plausible means) decide identically."""
+    from resin_spark.plans import tpch
+
+    cust_rows, order_refs = data
+    tmpdir = tmp_path_factory.mktemp("fz_q22")
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", n, b, "SEG") for k, n, b in cust_rows],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(i, k, "O", 1.0, None, "1-URGENT") for i, k in enumerate(order_refs)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    cpath, opath = f"{tmpdir}/customer.parquet", f"{tmpdir}/orders.parquet"
+    cust.coalesce(1).write.mode("overwrite").parquet(cpath)
+    orders.coalesce(1).write.mode("overwrite").parquet(opath)
+
+    sql = tpch.q22_oracle()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                    f"read_parquet('{cpath}/*.parquet')")
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"read_parquet('{opath}/*.parquet')")
+        cur = con.execute(sql)
+        ocols = [c[0] for c in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+
+    out = tpch.q22_idle_customers(
+        {"customer": spark.read.parquet(cpath),
+         "orders": spark.read.parquet(opath)})
+    srows = out.collect()
+    assert sorted(out.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    o_idx = [ocols.index(c) for c in sorted(ocols)]
+    s_idx = [out.columns.index(c) for c in sorted(out.columns)]
+    oset = sorted(tuple(_norm(r[i]) for i in o_idx) for r in orows)
+    sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
+    assert sset == oset, \
+        f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
