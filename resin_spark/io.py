@@ -331,3 +331,100 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
             (F.col("n_rows") / F.lit(float(uniform))).alias("x_uniform"),
         )
     )
+
+
+# --- H14: WARC source (Common Crawl ingest) -------------------------------------
+
+def _iter_warc_records(data: bytes):
+    """Yield (headers-dict, payload-bytes) per WARC/1.0 record.
+
+    Framing: header block terminated by CRLFCRLF, then exactly
+    Content-Length payload bytes, then a CRLFCRLF record separator.
+    A header that doesn't start with ``WARC/`` means framing is lost —
+    raise rather than silently resynchronise (corrupt crawl segments
+    must be quarantined, not half-read)."""
+    i, n = 0, len(data)
+    while i < n:
+        while i < n and data[i:i + 2] == b"\r\n":
+            i += 2
+        if i >= n:
+            return
+        end = data.find(b"\r\n\r\n", i)
+        if end < 0:
+            raise ValueError(f"truncated WARC header at byte {i}")
+        lines = data[i:end].decode("latin-1").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"not a WARC record at byte {i}: {lines[0][:40]!r}")
+        h = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            h[k.strip().lower()] = v.strip()
+        clen = int(h.get("content-length", "0"))
+        payload = data[end + 4:end + 4 + clen]
+        if len(payload) < clen:
+            raise ValueError(f"truncated WARC payload at byte {end + 4}")
+        yield h, payload
+        i = end + 4 + clen
+
+
+def read_warc(spark: SparkSession, path: str,
+              warc_types: tuple[str, ...] | None = ("response",)
+              ) -> DataFrame:
+    """WARC/1.0 source — the Common Crawl ingest face: one row per
+    record, (warc_type, target_uri, warc_date, content_type, n_bytes,
+    payload binary, source_file). ``warc_types`` keeps only the named
+    record types (crawls interleave warcinfo/request/response/metadata;
+    a text pipeline wants ``response``) — pass None for all.
+
+    Files may be plain ``.warc`` or gzip ``.warc.gz`` — including the
+    Common Crawl member-per-record layout (Python's gzip.decompress
+    consumes concatenated members). The payload stays opaque bytes:
+    HTTP-header stripping / HTML extraction are downstream ops over
+    the binary column (the multimodal block's convention).
+
+    Scale: parallelism is per FILE (binaryFile source) — exactly the
+    Common Crawl layout (hundreds of thousands of ~1 GB segments);
+    record-per-member gzip cannot split intra-file anyway, so one
+    task per segment is the correct unit. Each task holds one
+    decompressed segment plus one record at a time; project payload
+    away before wide shuffles.
+    """
+    import gzip
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    keep = tuple(warc_types) if warc_types is not None else None
+    schema = ("warc_type string, target_uri string, warc_date string, "
+              "content_type string, n_bytes long, payload binary, "
+              "source_file string")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "warc_type", "target_uri", "warc_date", "content_type",
+                "n_bytes", "payload", "source_file")}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if fpath.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for h, payload in _iter_warc_records(data):
+                    wtype = h.get("warc-type", "")
+                    if keep is not None and wtype not in keep:
+                        continue
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(h.get("warc-target-uri"))
+                    rows["warc_date"].append(h.get("warc-date"))
+                    rows["content_type"].append(h.get("content-type"))
+                    rows["n_bytes"].append(len(payload))
+                    rows["payload"].append(payload)
+                    rows["source_file"].append(fpath)
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema)
+    )

@@ -1243,3 +1243,67 @@ def test_stream_shard_manifest_matches_batch(spark, tmp_path):
     got = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
            for r in spark.sql("SELECT * FROM manifest_stream").collect()}
     assert got == batch and got
+
+
+# --- WARC source ------------------------------------------------------------------
+
+
+def _warc_record(wtype, uri, payload, extra=()):
+    h = [b"WARC/1.0",
+         b"WARC-Type: " + wtype.encode(),
+         b"WARC-Date: 2026-01-01T00:00:00Z",
+         b"Content-Length: " + str(len(payload)).encode()]
+    if uri is not None:
+        h.append(b"WARC-Target-URI: " + uri.encode())
+    h.extend(extra)
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_read_warc_plain_and_member_gzip(spark, tmp_path):
+    import gzip
+
+    from resin_spark.io import read_warc
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n<html>hello</html>"
+    recs = [
+        _warc_record("warcinfo", None, b"robots: classic\r\n"),
+        _warc_record("response", "https://example.com/a", body,
+                     extra=[b"Content-Type: application/http;msgtype=response"]),
+        _warc_record("request", "https://example.com/a", b"GET /a HTTP/1.1"),
+        _warc_record("response", "https://example.com/b", b"payload-b"),
+    ]
+    raw = b"".join(recs)
+    (tmp_path / "plain").mkdir()
+    (tmp_path / "plain" / "seg.warc").write_bytes(raw)
+    # Common Crawl member-per-record gzip: one gzip member per record
+    (tmp_path / "gz").mkdir()
+    (tmp_path / "gz" / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+
+    for sub in ("plain", "gz"):
+        out = {r["target_uri"]: r for r in read_warc(
+            spark, str(tmp_path / sub)).collect()}
+        assert set(out) == {"https://example.com/a", "https://example.com/b"}
+        a = out["https://example.com/a"]
+        assert bytes(a["payload"]) == body and a["n_bytes"] == len(body)
+        assert a["warc_type"] == "response"
+        assert a["content_type"] == "application/http;msgtype=response"
+        assert a["warc_date"] == "2026-01-01T00:00:00Z"
+
+    # warc_types=None keeps every record, including the uri-less warcinfo
+    allrecs = read_warc(spark, str(tmp_path / "plain"), warc_types=None) \
+        .collect()
+    assert len(allrecs) == 4
+    assert sum(1 for r in allrecs if r["target_uri"] is None) == 1
+
+
+def test_read_warc_rejects_corrupt_framing(spark, tmp_path):
+    import pytest as _pytest
+
+    from resin_spark.io import read_warc
+
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "seg.warc").write_bytes(
+        b"GARBAGE/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+    with _pytest.raises(Exception, match="not a WARC record"):
+        read_warc(spark, str(tmp_path / "bad")).collect()
