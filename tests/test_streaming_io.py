@@ -1307,3 +1307,61 @@ def test_read_warc_rejects_corrupt_framing(spark, tmp_path):
         b"GARBAGE/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
     with _pytest.raises(Exception, match="not a WARC record"):
         read_warc(spark, str(tmp_path / "bad")).collect()
+
+
+def test_warc_extract_text_end_to_end(spark, tmp_path):
+    """Common Crawl shape end-to-end: WARC bytes -> extracted documents
+    frame -> an existing pipeline op runs on it unchanged."""
+    import gzip
+
+    from resin_spark.io import read_warc
+    from resin_spark.operators import extract
+
+    html = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+            b"<html><head><title>T</title><style>p{color:red}</style>"
+            b"<script>var x = 'ignored';</script></head>"
+            b"<body><h1>Caf\xc3\xa9 &amp; bar</h1>"
+            b"<p>hello <b>world</b></p><noscript>no</noscript></body></html>")
+    recs = [
+        _warc_record("response", "https://example.com/page", html,
+                     extra=[b"Content-Type: application/http;msgtype=response"]),
+        _warc_record("response", "https://example.com/bare",
+                     b"just plain bytes, no http envelope"),
+    ]
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+
+    docs = extract.warc_extract_text(read_warc(spark, str(tmp_path / "w")))
+    rows = {r["url"]: r for r in docs.collect()}
+    page = rows["https://example.com/page"]
+    # tags stripped, script/style/noscript suppressed, entities decoded,
+    # charset honoured, whitespace normalised
+    assert page["text"] == "T Café & bar hello world"
+    assert page["n_chars"] == len("T Café & bar hello world")
+    assert rows["https://example.com/bare"]["text"] == \
+        "just plain bytes, no http envelope"
+    assert page["source"] == "warc" and page["doc_id"] is not None
+
+    # deterministic ids: the same input re-extracts to the same ids
+    again = {r["url"]: r["doc_id"] for r in extract.warc_extract_text(
+        read_warc(spark, str(tmp_path / "w"))).collect()}
+    assert again == {u: r["doc_id"] for u, r in rows.items()}
+
+    # and the frame feeds an existing operator untouched
+    from resin_spark.operators.textops import quality_score
+    q = quality_score({"documents": docs}).collect()
+    assert {r["doc_id"] for r in q} == {r["doc_id"] for r in rows.values()}
+
+
+def test_html_to_text_scalar_cases():
+    from resin_spark.operators.extract import html_to_text
+
+    assert html_to_text("<p>a</p><p>b</p>") == "a b"
+    assert html_to_text("x &lt;tag&gt; &#233;") == "x <tag> é"
+    assert html_to_text("<script>a</script>visible<style>b</style>") == \
+        "visible"
+    assert html_to_text("<script><script>nested</script>out?</script>") \
+        .strip() in ("", "out?")  # parser-defined nesting; never leaks 'nested'
+    assert html_to_text("") == ""
