@@ -390,16 +390,28 @@ def read_warc(spark: SparkSession, path: str,
     decompressed segment plus one record at a time; project payload
     away before wide shuffles.
     """
+    keep = tuple(warc_types) if warc_types is not None else None
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(warc_record_batches(keep), WARC_SCHEMA)
+    )
+
+
+WARC_SCHEMA = ("warc_type string, target_uri string, warc_date string, "
+               "content_type string, n_bytes long, payload binary, "
+               "source_file string")
+
+
+def warc_record_batches(keep: tuple[str, ...] | None):
+    """The mapInPandas generator behind read_warc — module-level so the
+    streaming ingest twin applies the IDENTICAL parse to arriving
+    segments (stream_warc_ingest)."""
     import gzip
 
     from collections.abc import Iterator
 
     import pandas as pd
-
-    keep = tuple(warc_types) if warc_types is not None else None
-    schema = ("warc_type string, target_uri string, warc_date string, "
-              "content_type string, n_bytes long, payload binary, "
-              "source_file string")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -423,8 +435,4 @@ def read_warc(spark: SparkSession, path: str,
                     rows["source_file"].append(fpath)
             yield pd.DataFrame(rows)
 
-    return (
-        spark.read.format("binaryFile").load(path)
-        .select("path", "content")
-        .mapInPandas(gen, schema)
-    )
+    return gen

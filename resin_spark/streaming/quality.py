@@ -755,3 +755,34 @@ def stream_shard_manifest(spark: SparkSession, docs_parquet_dir: str,
              F.sum("nc").alias("n_chars"),
              F.bit_xor("sig").alias("content_sig"))
     )
+
+
+def stream_warc_ingest(spark: SparkSession, warc_dir: str,
+                       warc_types: tuple[str, ...] | None = ("response",)
+                       ) -> DataFrame:
+    """Crawl shards land → extracted documents stream: readStream over
+    WARC segments (binaryFile source, one segment per trigger), the
+    H14 record parser applied VERBATIM (io.warc_record_batches), then
+    H15 extraction — the production ingest head that feeds every other
+    streaming twin (split routing, quality scoring, manifest
+    accumulation, encoding flags) a documents-shaped stream.
+
+    All stages are row-local (parse, HTTP split, HTMLParser text,
+    deterministic ids): zero state, zero watermark, zero stream-side
+    shuffle. Rows equal the batch read_warc → warc_extract_text
+    composition file-for-file (pinned in tests).
+    """
+    from resin_spark.io import WARC_SCHEMA, warc_record_batches
+    from resin_spark.operators.extract import warc_extract_text
+
+    keep = tuple(warc_types) if warc_types is not None else None
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+        .mapInPandas(warc_record_batches(keep), WARC_SCHEMA)
+    )
+    return warc_extract_text(stream)

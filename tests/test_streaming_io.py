@@ -1365,3 +1365,44 @@ def test_html_to_text_scalar_cases():
     assert html_to_text("<script><script>nested</script>out?</script>") \
         .strip() in ("", "out?")  # parser-defined nesting; never leaks 'nested'
     assert html_to_text("") == ""
+
+
+def test_stream_warc_ingest_matches_batch(spark, tmp_path):
+    """The streaming ingest head must produce exactly the batch
+    read_warc -> warc_extract_text rows, across a 2-segment arrival."""
+    import gzip
+
+    from resin_spark.io import read_warc
+    from resin_spark.operators import extract
+    from resin_spark.streaming import quality as q
+
+    seg1 = gzip.compress(_warc_record(
+        "response", "https://example.com/a",
+        b"HTTP/1.1 200 OK\r\n\r\n<p>alpha beta</p>"))
+    seg2 = (gzip.compress(_warc_record(
+                "request", "https://example.com/a", b"GET /a"))
+            + gzip.compress(_warc_record(
+                "response", "https://example.com/b",
+                b"HTTP/1.1 200 OK\r\n\r\n<p>gamma</p>")))
+    (tmp_path / "wi").mkdir()
+    (tmp_path / "wi" / "seg1.warc.gz").write_bytes(seg1)
+    (tmp_path / "wi" / "seg2.warc.gz").write_bytes(seg2)
+
+    batch = {r["url"]: (r["doc_id"], r["text"], r["n_chars"], r["source"])
+             for r in extract.warc_extract_text(
+                 read_warc(spark, str(tmp_path / "wi"))).collect()}
+
+    sq = (
+        q.stream_warc_ingest(spark, str(tmp_path / "wi"))
+        .writeStream.format("memory")
+        .queryName("warc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {r["url"]: (r["doc_id"], r["text"], r["n_chars"], r["source"])
+           for r in spark.sql("SELECT * FROM warc_stream").collect()}
+    assert got == batch
+    assert set(got) == {"https://example.com/a", "https://example.com/b"}
