@@ -135,3 +135,75 @@ def test_vector_ingest_cycle_serves_hybrid(spark, tmp_path):
         spark, tpath, vpath).collect()]
     direct = [tuple(r) for r in retrieval.hybrid_search_demo(t).collect()]
     assert served == direct and served
+
+
+def _warc_seg(recs):
+    import gzip
+    return b"".join(gzip.compress(r) for r in recs)
+
+
+def _rec(uri, html, date=b"2026-01-01T00:00:00Z"):
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" \
+              b"\r\n\r\n" + html
+    h = [b"WARC/1.0",
+         b"WARC-Type: response",
+         b"WARC-Date: " + date,
+         b"WARC-Target-URI: " + uri.encode(),
+         b"Content-Length: " + str(len(payload)).encode()]
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_crawl_to_curated_cycle(spark, tmp_path):
+    """The documents-side production loop, composed from the library
+    APIs exactly as a user would: WARC segments → extracted documents
+    frame → exact dedup → quality gate → deterministic split card.
+    Each stage is pinned elsewhere; this pins that they COMPOSE on
+    real crawl bytes (ids, schemas, NULL conventions line up)."""
+    from resin_spark.io import read_warc
+    from resin_spark.operators import dedup as dd
+    from resin_spark.operators.extract import warc_extract_text
+    from resin_spark.operators.textops import quality_score
+
+    long_body = ("the quick brown fox jumps over a lazy dog and then "
+                 "some more plain words follow here to pass the gate "
+                 "with a few stopwords in the mix for the ratio").encode()
+    seg = _warc_seg([
+        _rec("https://a.example/1", b"<p>" + long_body + b"</p>"),
+        # byte-identical re-crawl of the same page at a later date:
+        # new doc_id (date is in the id), caught by exact dedup
+        _rec("https://a.example/1", b"<p>" + long_body + b"</p>",
+             date=b"2026-02-01T00:00:00Z"),
+        _rec("https://a.example/2", b"<script>x</script><p>!!!</p>"),
+        _rec("https://a.example/3", b"<p>short</p>"),
+    ])
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "seg.warc.gz").write_bytes(seg)
+
+    docs = warc_extract_text(read_warc(spark, str(tmp_path / "crawl"))) \
+        .localCheckpoint()
+    assert docs.count() == 4
+
+    # exact dedup flags the re-crawl pair; keeper is min doc_id
+    kept = dd.exact_dedup(docs).collect()
+    assert len(kept) == 3
+    assert sum(r["n_copies"] for r in kept) == 4  # the re-crawl collapsed
+    survivors = {r["keep_id"] for r in kept}
+    docs = docs.join(
+        spark.createDataFrame([(d,) for d in survivors], "doc_id long"),
+        "doc_id")
+
+    # quality gate: the long doc passes, punctuation-only and too-short fail
+    q = {r["doc_id"]: r["quality_ok"]
+         for r in quality_score({"documents": docs}).collect()}
+    assert sum(q.values()) == 1
+
+    curated = docs.join(
+        spark.createDataFrame([(d,) for d, ok in q.items() if ok],
+                              "doc_id long"), "doc_id")
+
+    # the split card runs on the curated frame unchanged — shares sum
+    # to 1 per source and every curated doc is counted exactly once
+    from resin_spark.operators.pipeline import dataset_split
+    card = dataset_split(curated).collect()
+    assert sum(r["n_docs"] for r in card) == curated.count() == 1
+    assert abs(sum(r["doc_share"] for r in card) - 1.0) < 1e-12
