@@ -119,3 +119,60 @@ def warc_extract_text(warc: DataFrame) -> DataFrame:
             F.lit("warc").alias("source"),
         )
     )
+
+
+# --- URL-level dedup (crawl step 0) ---------------------------------------------
+
+def url_normalize(url_col):
+    """Canonical URL as a pure column expression (JVM-side, zero
+    Python): lowercase scheme://authority (the path stays
+    case-significant), strip the fragment, drop tracking params
+    (utm_*, fbclid, gclid), tidy the separators their removal leaves
+    behind, then drop a bare trailing '?'/'&' and a trailing '/'.
+    Remaining params keep their ORDER — full param sorting is
+    deliberately not done (?a=1&b=2 vs ?b=2&a=1 are distinct resources
+    often enough that merging them over-collapses).
+
+    Crawl step 0 runs BEFORE fetch at 100 TB: the frontier dedups on
+    this key, so everything here is cheap, row-local codegen — no
+    UDF, no shuffle. Non-absolute strings (no scheme://) pass through
+    trimmed but otherwise untouched.
+    """
+    c = F.trim(url_col)
+    head = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substr(c, F.length(head) + F.lit(1), F.length(c))
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(
+        rest, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", r"$1")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&{2,}", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(head == "", c).otherwise(
+        F.concat(F.lower(head), rest))
+
+
+def url_dedup_card(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL-duplication card: (host, n_urls, n_canonical,
+    dup_share) where n_canonical counts DISTINCT normalised urls — the
+    frontier-dedup sheet showing which hosts hand the crawler the same
+    resource under many spellings (tracking params, fragments, case).
+
+    One scan; the aggregate shuffles (host, canonical-url) pairs onto
+    \|hosts\| groups — at 100 TB this is the standard two-level
+    distinct-count shape and the card is host-bounded.
+    """
+    canon = url_normalize(F.col(url_col))
+    host = F.regexp_extract(canon, r"^[a-z0-9+.-]*://([^/?#]*)", 1)
+    return (
+        docs.select(host.alias("host"), canon.alias("canon"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.countDistinct("canon").alias("n_canonical"))
+        .withColumn(
+            "dup_share",
+            F.try_divide(
+                (F.col("n_urls") - F.col("n_canonical")).cast("double"),
+                F.col("n_urls")))
+        .orderBy("host")
+    )

@@ -1406,3 +1406,40 @@ def test_stream_warc_ingest_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM warc_stream").collect()}
     assert got == batch
     assert set(got) == {"https://example.com/a", "https://example.com/b"}
+
+
+def test_url_normalize_and_dedup_card(spark):
+    from resin_spark.operators.extract import url_dedup_card, url_normalize
+
+    cases = [
+        # lowercased authority, fragment gone, utm stripped, path case kept
+        ("HTTPS://Example.COM/Path?utm_source=x&a=1#frag",
+         "https://example.com/Path?a=1"),
+        # tracking param in the middle: separators tidied
+        ("http://a.com/p?a=1&fbclid=q&b=2", "http://a.com/p?a=1&b=2"),
+        # only tracking params: query and trailing slash collapse away
+        ("http://a.com/?utm_campaign=z", "http://a.com"),
+        # plain trailing slash
+        ("http://a.com/dir/", "http://a.com/dir"),
+        # param order preserved (deliberately NOT sorted)
+        ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"),
+        # gclid first in query
+        ("http://a.com/p?gclid=g&x=1", "http://a.com/p?x=1"),
+        # non-absolute strings pass through trimmed
+        ("  not a url  ", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in
+           df.select(url_normalize(F.col("url")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+    # the card: one host serving one resource under 4 spellings
+    urls = ["https://B.com/x?utm_source=1", "https://b.com/x",
+            "https://b.com/x#top", "https://b.com/x?utm_medium=m",
+            "https://c.com/only"]
+    card = {r["host"]: r for r in url_dedup_card(
+        spark.createDataFrame([(u,) for u in urls], "url string")).collect()}
+    assert card["b.com"]["n_urls"] == 4
+    assert card["b.com"]["n_canonical"] == 1
+    assert card["b.com"]["dup_share"] == 0.75
+    assert card["c.com"]["n_canonical"] == 1 and card["c.com"]["dup_share"] == 0.0
