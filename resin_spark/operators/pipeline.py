@@ -972,12 +972,17 @@ def mixture_plan_demo_oracle(budget: int = MIX_BUDGET) -> str:
     SELECT source, n_docs, n_tokens,
            n_tokens / total_tokens AS token_share,
            CAST(w AS DOUBLE) / total_w AS temp_share,
-           CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
-                AS BIGINT) AS planned_tokens,
-           CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
-                AS BIGINT) / n_tokens AS sampling_rate,
-           CAST(floor((CAST(floor({float(budget)}
-                    * (CAST(w AS DOUBLE) / total_w)) AS BIGINT)
+           -- COALESCE mirrors the engine's planned = coalesce(floor, 0):
+           -- a source whose every text is NULL has NULL n_tokens/w and
+           -- PLANS 0 TOKENS (found by tools/deep_fuzz_staged seed 2007)
+           COALESCE(CAST(floor({float(budget)}
+                    * (CAST(w AS DOUBLE) / total_w)) AS BIGINT), 0)
+               AS planned_tokens,
+           COALESCE(CAST(floor({float(budget)}
+                    * (CAST(w AS DOUBLE) / total_w)) AS BIGINT), 0)
+               / n_tokens AS sampling_rate,
+           CAST(floor((COALESCE(CAST(floor({float(budget)}
+                    * (CAST(w AS DOUBLE) / total_w)) AS BIGINT), 0)
                     + n_tokens - 1) / n_tokens) AS BIGINT) AS n_epochs
     FROM per, tot ORDER BY source
     """
@@ -1173,11 +1178,15 @@ def apply_mixture_demo_oracle(budget: int = MIX_BUDGET,
         SELECT CAST(SUM(w) AS DOUBLE) AS total_w FROM per
     ),
     plan AS (
+        -- COALESCE mirrors mixture_plan's planned = coalesce(floor, 0)
+        -- for an all-NULL-text source (deep-fuzz seed 2007)
         SELECT source,
-               CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
-                    AS BIGINT) AS planned_tokens,
-               CAST(floor({float(budget)} * (CAST(w AS DOUBLE) / total_w))
-                    AS BIGINT) / n_tokens AS sampling_rate
+               COALESCE(CAST(floor({float(budget)}
+                        * (CAST(w AS DOUBLE) / total_w)) AS BIGINT), 0)
+                   AS planned_tokens,
+               COALESCE(CAST(floor({float(budget)}
+                        * (CAST(w AS DOUBLE) / total_w)) AS BIGINT), 0)
+                   / n_tokens AS sampling_rate
         FROM per, tot
     ),
     coins AS (

@@ -138,6 +138,8 @@ def _staged_pairs():
          health.length_histogram_demo_oracle(), False),
         ("dedup_threshold_curve", dedup.dedup_threshold_curve_demo,
          dedup.dedup_threshold_curve_oracle(), False),
+        ("mixture_plan", pipeline.mixture_plan_demo,
+         pipeline.mixture_plan_demo_oracle(), False),
         ("apply_mixture", pipeline.apply_mixture_demo,
          pipeline.apply_mixture_demo_oracle(), False),
         ("hybrid_search_rrf", retrieval.hybrid_search_demo,

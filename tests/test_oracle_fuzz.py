@@ -348,6 +348,52 @@ def test_fuzz_cluster_split_oracle(spark, tmp_path_factory, rows):
 
 @given(doc_corpus)
 @settings(max_examples=4, deadline=None)
+def test_fuzz_mixture_plan_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import pipeline
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_mixplan"), rows,
+                pipeline.mixture_plan_demo,
+                pipeline.mixture_plan_demo_oracle())
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
+def test_fuzz_apply_mixture_oracle(spark, tmp_path_factory, rows):
+    from resin_spark.operators import pipeline
+
+    _compare_on(spark, tmp_path_factory.mktemp("fz_mixapply"), rows,
+                pipeline.apply_mixture_demo,
+                pipeline.apply_mixture_demo_oracle())
+
+
+def test_mixture_all_null_text_source_plans_zero(spark, tmp_path_factory):
+    """Deep-fuzz seed 2007 regression: a source whose EVERY text is
+    NULL has NULL token sums — the plan must say planned_tokens=0 (the
+    engine's documented coalesce) on BOTH engines, not NULL on one."""
+    from resin_spark.operators import pipeline
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s0"),
+        (2, None, "en", "s1"),          # the all-NULL source
+        (3, "the quick brown fox", "de", "s2"),
+        (4, None, "de", "s1"),
+    ]
+    _compare_on(spark, tmp_path_factory.mktemp("fz_mixnull"), rows,
+                pipeline.mixture_plan_demo,
+                pipeline.mixture_plan_demo_oracle())
+    _compare_on(spark, tmp_path_factory.mktemp("fz_mixnull2"), rows,
+                pipeline.apply_mixture_demo,
+                pipeline.apply_mixture_demo_oracle())
+    t = {"documents": spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")}
+    plan = {r["source"]: r for r in pipeline.mixture_plan_demo(t).collect()}
+    assert plan["s1"]["planned_tokens"] == 0
+    assert plan["s1"]["sampling_rate"] is None
+    assert plan["s1"]["n_epochs"] is None
+
+
+@given(doc_corpus)
+@settings(max_examples=4, deadline=None)
 def test_fuzz_search_facets_oracle(spark, tmp_path_factory, rows):
     from resin_spark.operators import textops
 
