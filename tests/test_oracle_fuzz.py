@@ -553,3 +553,54 @@ def test_fuzz_q22_scalar_boundary_oracle(spark, tmp_path_factory, data):
     sset = sorted(tuple(_norm(r[i]) for i in s_idx) for r in srows)
     assert sset == oset, \
         f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN hole found by tools/deep_fuzz_driver seed 7106, fix "
+    "scheduled r7 with the davg cohort's due re-window: F.round(davg, s) "
+    "diverges cross-engine on EXACT DECIMAL TIES. Doc '\\t \\t ７漢 x1 ZZZ' "
+    "tokenizes to x1+zzz with corpus bits 3.965784 + 4.158429 = 8.124213 "
+    "(odd at 1e-6), so the 2-token mean is exactly 4.0621065: Java's "
+    "round() rounds the SHORTEST-DECIMAL rep half-up (4.062107) while "
+    "DuckDB rounds the binary double, which sits below the tie "
+    "(4.06210649999…) → 4.062106. Driver data never lands on a tie (6 "
+    "rounds green); random 2-token docs do. Affected call sites: "
+    "traindata.py:100 (quality_perplexity), :1153 (importance_weights), "
+    ":1381 (cosine avg) — q1/q22 use davg UNROUNDED (identical doubles, "
+    "immune). r7 fix: round in DECIMAL on both sides — engine "
+    "(sum.cast(decimal(p,s+6))/count).cast(decimal(p,s)).cast(double), "
+    "oracle CAST(CAST(SUM(dec)/COUNT AS DECIMAL(p,s)) AS DOUBLE) — then "
+    "this XPASSes; convert to a plain fuzz row and re-verify tie "
+    "behaviour with THIS corpus before re-windowing the three entries.")
+def test_quality_perplexity_decimal_tie_crossengine(spark, tmp_path_factory):
+    import os
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from deep_fuzz_driver import _corpus
+
+    import __spark_entry__ as entry_mod
+
+    rows = _corpus(random.Random(7106))
+    tmpdir = tmp_path_factory.mktemp("fz_tie")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long").coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/documents.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmpdir}/documents.parquet/*.parquet')")
+        orows = con.execute(
+            entry_mod.oracle_sql()["quality_perplexity"]).fetchall()
+    finally:
+        con.close()
+    srows = entry_mod.queries()["quality_perplexity"](
+        spark, str(tmpdir)).collect()
+    oset = sorted(tuple(_norm(v) for v in r) for r in orows)
+    sset = sorted(tuple(_norm(v) for v in r) for r in srows)
+    assert sset == oset, \
+        [p for p in zip(sset, oset) if p[0] != p[1]][:3]
