@@ -72,6 +72,12 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # KNOWN-PINNED hole classes (strict xfails in test_oracle_fuzz.py)
+    # excluded so fresh runs surface only NEW classes; un-skip each
+    # when its r7 fix lands and the pin XPASSes:
+    # - round(davg) decimal ties (seed 7106/7204): quality_perplexity,
+    #   importance_weights, centroid/cosine averages.
+    skip = {"quality_perplexity", "importance_weights"}
     spark = get_spark("deep-fuzz-driver")
     failures = []
     for c in range(n_corpora):
@@ -85,6 +91,8 @@ def main() -> None:
         docs.coalesce(1).write.mode("overwrite").parquet(
             f"{d}/documents.parquet")
         for name in DOC_QUERIES:
+            if name in skip:
+                continue
             try:
                 con = duckdb.connect()
                 try:
