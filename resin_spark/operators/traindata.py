@@ -2213,3 +2213,33 @@ def shard_manifest_oracle(n_shards: int = N_SHARDS) -> str:
            bit_xor(sig) AS content_sig
     FROM rows_in GROUP BY shard ORDER BY shard
     """
+
+
+def merge_manifests(*manifests: DataFrame) -> DataFrame:
+    """Merge per-shard release manifests (H13) without touching the
+    corpora that produced them: counts and char totals ADD, the XOR
+    content signature FOLDS — so the standing manifest of a growing
+    export updates at the cost of the NEW batch's manifest alone (the
+    H8-H12 append-family contract applied to release signing).
+
+    Correct for DISJOINT doc sets (the append case: a crawl batch of
+    new doc_ids joins a standing export). A doc present in two inputs
+    XORs itself out of the signature — which is exactly the loud
+    outcome a release pipeline wants when it double-counts a batch:
+    the merged signature STOPS matching a fresh full manifest (pinned
+    in tests).
+
+    Scale: |shards|-row inputs, one bounded aggregate; never reads
+    documents.
+    """
+    assert manifests, "merge_manifests needs at least one manifest"
+    u = manifests[0]
+    for m in manifests[1:]:
+        u = u.unionByName(m)
+    return (
+        u.groupBy("shard")
+        .agg(F.sum("n_docs").alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"),
+             F.bit_xor("content_sig").alias("content_sig"))
+        .orderBy("shard")
+    )

@@ -649,3 +649,29 @@ def test_shard_manifest_is_one_exchange_no_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "partial_bit_xor" in plan or "partial" in plan.lower(), \
         plan[:2000]
+
+
+def test_merge_manifests_equals_full_rebuild_and_flags_double_count(spark):
+    def mk(rows):
+        return {"documents": spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long")}
+
+    a = [(i, f"standing doc {i}", "en", "s", 12) for i in range(0, 30)]
+    b = [(i, f"batch doc {i}", "en", "s", 9) for i in range(30, 45)]
+
+    merged = {r["shard"]: tuple(r)
+              for r in td.merge_manifests(
+                  td.shard_manifest(mk(a)), td.shard_manifest(mk(b))
+              ).collect()}
+    full = {r["shard"]: tuple(r)
+            for r in td.shard_manifest(mk(a + b)).collect()}
+    assert merged == full  # the append-family contract
+
+    # double-counting a batch makes the signature LOUDLY diverge from
+    # a fresh full manifest (XOR cancels the duplicated docs out)
+    twice = {r["shard"]: r["content_sig"]
+             for r in td.merge_manifests(
+                 td.shard_manifest(mk(a)), td.shard_manifest(mk(b)),
+                 td.shard_manifest(mk(b))).collect()}
+    assert any(twice[s] != full[s][3] for s in twice)
