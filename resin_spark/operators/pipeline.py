@@ -1740,3 +1740,58 @@ def semantic_split_leakage_oracle(tau: float = SEM_LEAK_TAU) -> str:
     FROM g
     ORDER BY split_lo, split_hi
     """
+
+
+# --- dataset_card: the one-page release data sheet ------------------------------
+
+def _melt(df: DataFrame, section: str, key_cols: list[str]) -> DataFrame:
+    """(section, metric, value) rows from a small card relation:
+    metric = '<non-key col>' prefixed by the row's key values, value =
+    the cell as a string. Runs on CARD relations only (|rows| bounded
+    by sources/langs/stages/buckets) — the melt explode is trivial."""
+    value_cols = [c for c in df.columns if c not in key_cols]
+    prefix = (F.concat_ws("/", *[
+        F.concat_ws("=", F.lit(k), F.col(k).cast("string"))
+        for k in key_cols
+    ]) if key_cols else F.lit(None))
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("m"), F.col(c).cast("string").alias("v"))
+        for c in value_cols
+    ])
+    metric = (F.concat_ws("/", prefix, F.col("kv.m")) if key_cols
+              else F.col("kv.m"))
+    return df.select(F.explode(pairs).alias("kv"), *key_cols).select(
+        F.lit(section).alias("section"),
+        metric.alias("metric"),
+        F.col("kv.v").alias("value"),
+    )
+
+
+def dataset_card(t: Tables) -> DataFrame:
+    """The one-page data sheet a release ships next to its shards —
+    (section, metric, value) strings melting the audited cards into a
+    single relation: corpus totals (C35), per-language composition
+    (C36), the filter-funnel attrition table (C33), duplication-mass
+    histogram (D12), and realised split shares (C59). Every number is
+    BY CONSTRUCTION the corresponding checked entry's number (the
+    sections call those operators verbatim — pinned in tests), so the
+    published card can't drift from what the gates verified.
+
+    Scale: every source relation is already a bounded card; the melt
+    adds a trivial row-local explode and a union of five small frames.
+    """
+    from resin_spark.operators.dedup import dup_cluster_histogram
+    from resin_spark.operators.traindata import corpus_stats, lang_stats
+
+    docs = t["documents"]
+    parts = [
+        _melt(corpus_stats(t), "corpus", []),
+        _melt(lang_stats(t), "languages", ["lang"]),
+        _melt(filter_funnel(t), "funnel", ["stage", "stage_name"]),
+        _melt(dup_cluster_histogram(docs), "duplication", ["cluster_size"]),
+        _melt(dataset_split(docs), "splits", ["source", "split"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric")

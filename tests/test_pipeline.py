@@ -604,3 +604,39 @@ def test_semantic_split_leakage_demo_matches_oracle(spark):
     compare(pipeline.semantic_split_leakage_demo(t),
             pipeline.semantic_split_leakage_oracle(),
             "/root/testdata/sf0.001")
+
+
+def test_dataset_card_sections_equal_their_source_ops(spark):
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup, traindata
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    card = {(r["section"], r["metric"]): r["value"]
+            for r in pipeline.dataset_card(t).collect()}
+
+    cs = traindata.corpus_stats(t).collect()[0]
+    assert card[("corpus", "n_docs")] == str(cs["n_docs"])
+    assert card[("corpus", "type_token_ratio")] == str(cs["type_token_ratio"])
+
+    ls = traindata.lang_stats(t).collect()[0]
+    assert card[("languages", f"lang={ls['lang']}/n_tokens")] \
+        == str(ls["n_tokens"])
+
+    fn = pipeline.filter_funnel(t).collect()[0]
+    key = f"stage={fn['stage']}/stage_name={fn['stage_name']}/docs_out"
+    assert card[("funnel", key)] == str(fn["docs_out"])
+
+    dh = dedup.dup_cluster_histogram(t["documents"]).collect()[0]
+    assert card[("duplication",
+                 f"cluster_size={dh['cluster_size']}/n_docs")] \
+        == str(dh["n_docs"])
+
+    sp = pipeline.dataset_split(t["documents"]).collect()[0]
+    assert card[("splits",
+                 f"source={sp['source']}/split={sp['split']}/n_docs")] \
+        == str(sp["n_docs"])
+
+    # flat strings only — the driver-safe shape
+    out = pipeline.dataset_card(t)
+    assert [f.dataType.simpleString() for f in out.schema.fields] \
+        == ["string", "string", "string"]
