@@ -74,10 +74,23 @@ def test_oracle_callables_resolves_call_and_literal():
 def test_staleness_flags_unchecked_tail_entry():
     """r6 rotation guarantee: a tail entry absent from the latest
     CORRECTNESS artifact (so >1 round stale after the coming round)
-    must warn; tail entries present there must not."""
+    must warn; tail entries present there must not.
+
+    `fresh` is derived from the NEWEST artifact at runtime — hardcoding
+    a specific entry breaks the moment a driver round rotates it out
+    (the r6 'corpus_stats' incident)."""
+    import glob
+    import json
+    import re
+
     from tools import audit_window as aw
 
-    fresh = "corpus_stats"  # green in the r5 artifact
+    arts = sorted(
+        glob.glob(os.path.join(aw.REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)",
+                                    os.path.basename(p)).group(1)))
+    with open(arts[-1]) as fh:
+        fresh = sorted(json.load(fh))[0]  # any entry green in the latest
     pad = {f"w{i}": None for i in range(aw.WINDOW)}
     assert aw._staleness_warnings({**pad, fresh: None}) == 0
     assert aw._staleness_warnings(

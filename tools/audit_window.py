@@ -309,7 +309,9 @@ def _staleness_warnings(q) -> int:
     import json
     import re
 
-    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    arts = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
     if not arts:
         return 0
     latest = arts[-1]
