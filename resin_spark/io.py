@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException, SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,21 +202,47 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     the fact tables on their join keys once and every downstream
     query saves its largest exchange.
     """
-    if mode == "overwrite":
-        # overwrite must also survive a METASTORE-orphaned location: a
-        # previous session's warehouse directory with no catalog entry
-        # (fresh derby metastore, files kept) makes saveAsTable throw
-        # LOCATION_ALREADY_EXISTS even in overwrite mode. Drop the
-        # table if known, then remove any leftover default location.
-        spark = df.sparkSession
-        quoted = table.replace("`", "``")
-        spark.sql(f"DROP TABLE IF EXISTS `{quoted}`")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        truncate(spark, wh.rstrip("/") + "/" + table.lower())
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    # a junk non-table file at the location raises AnalysisException,
+    # a real orphaned table directory raises SparkRuntimeException —
+    # both carry the LOCATION_ALREADY_EXISTS error class
+    except (AnalysisException, SparkRuntimeException) as e:
+        # overwrite must also survive a METASTORE-orphaned location: a
+        # previous session's warehouse directory with no catalog entry
+        # (fresh derby metastore, files kept) makes saveAsTable throw
+        # LOCATION_ALREADY_EXISTS even in overwrite mode. Only THEN is
+        # it safe to clear the catalog entry and the stranded default
+        # location and retry — a healthy overwrite never pre-deletes,
+        # so a failed write can't widen into data loss.
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_table(table)}")
+        truncate(spark, _default_table_location(spark, table))
+        writer.saveAsTable(table)
+
+
+def _quote_table(table: str) -> str:
+    """Backtick-quote a possibly db-qualified table name part by part,
+    so ``db.tbl`` addresses table ``tbl`` in database ``db`` instead of
+    one identifier literally named ``db.tbl``."""
+    return ".".join("`%s`" % p.replace("`", "``") for p in table.split("."))
+
+
+def _default_table_location(spark: SparkSession, table: str) -> str:
+    """Default managed-table location for a possibly qualified name:
+    ``wh/tbl`` in the default database, ``wh/db.db/tbl`` otherwise.
+    Used only on the orphaned-location recovery path, where the table
+    has no catalog entry to read the real location from."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
+    parts = [p.lower() for p in table.split(".")]
+    if len(parts) >= 2 and parts[-2] != "default":
+        return f"{wh}/{parts[-2]}.db/{parts[-1]}"
+    return f"{wh}/{parts[-1]}"
 
 
 def truncate(spark: SparkSession, path_or_table: str) -> None:
@@ -235,8 +262,7 @@ def truncate(spark: SparkSession, path_or_table: str) -> None:
     """
     no_sep = "/" not in path_or_table and "\\" not in path_or_table
     if no_sep and spark.catalog.tableExists(path_or_table):
-        quoted = path_or_table.replace("`", "``")
-        spark.sql(f"DROP TABLE IF EXISTS `{quoted}`")
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_table(path_or_table)}")
         return
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc

@@ -888,10 +888,31 @@ def write_dedup_index(docs: DataFrame, path: str, n: int = 3,
     grouped.write.mode("overwrite").parquet(f"{path}/hashes")
     bands_df.repartition("band").write.mode("overwrite") \
         .partitionBy("band").parquet(f"{path}/bands")
+    # self-describing stats row: zero shingle-able docs → partitionBy
+    # writes no part files at all, so the read side needs a typed-empty
+    # escape hatch instead of schema inference (the r6 text-index fix)
+    grouped.agg(F.count(F.lit(1)).alias("n_docs")) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+DEDUP_HASHES_SCHEMA = "doc_id bigint, hashes array<bigint>"
+DEDUP_BANDS_SCHEMA = "doc_id bigint, band int, band_hash bigint"
 
 
 def read_dedup_index(spark, path: str):
-    """(hashes_frame, bands_frame) from a write_dedup_index directory."""
+    """(hashes_frame, bands_frame) from a write_dedup_index directory.
+
+    Stats is read FIRST (when present — pre-r7 stores carry none): an
+    index over zero shingle-able docs wrote no part files, so reading
+    it before checking n_docs would die in schema inference; such a
+    store round-trips as typed empty frames instead."""
+    try:
+        stats = spark.read.parquet(f"{path}/stats").first()
+    except Exception:
+        stats = None  # pre-r7 store: no stats file, assume non-empty
+    if stats is not None and not stats["n_docs"]:
+        return (spark.createDataFrame([], DEDUP_HASHES_SCHEMA),
+                spark.createDataFrame([], DEDUP_BANDS_SCHEMA))
     return (spark.read.parquet(f"{path}/hashes"),
             spark.read.parquet(f"{path}/bands"))
 

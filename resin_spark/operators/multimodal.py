@@ -10,7 +10,7 @@ the payload bytes and frame "contents" are byte slices. A real decoder
 schema, batching, and partitioning stay identical.
 
 The correctness oracle exploits that the test corpus is ASCII, so
-DuckDB's ``md5(substring(text, …))`` hashes the same bytes the Spark
+DuckDB's ``md5(substring(coalesce(text, ''), …))`` hashes the same bytes the Spark
 side slices from the binary payload. The Spark path itself is
 byte-correct for arbitrary binary input.
 """
@@ -51,8 +51,16 @@ def _decode_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """documents → (doc_id, payload: binary). Stand-in media column."""
-    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    """documents → (doc_id, payload: binary). Stand-in media column.
+
+    NULL text coalesces to b'' (n_bytes 0, md5 of the empty payload) —
+    the adjudicated NULL-payload semantics from the r6 degenerate-
+    dataset scan; a NULL would otherwise reach the Arrow UDFs as None
+    and md5(None) throws. Oracles mirror with coalesce(text, '')."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        .alias("payload"))
 
 
 def binary_meta(t: Tables) -> DataFrame:
@@ -62,25 +70,11 @@ def binary_meta(t: Tables) -> DataFrame:
     width, height, checksum). The fake decode derives width/height from
     the payload's md5 so it is content-determined, byte-exact, and
     engine-checkable. Per-row work is independent → scales linearly;
-    no shuffle at all until the final presentation orderBy.
+    no shuffle at all until the final presentation orderBy. The batch
+    face is :func:`payload_meta_frame` (shared verbatim with the
+    streaming twin) plus the presentation sort.
     """
-    schema = ("doc_id long, n_bytes long, format string, "
-              "width long, height long, checksum string")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sums = [hashlib.md5(b).hexdigest() for b in pdf["payload"]]
-            n_bytes = [len(b) for b in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "format": [FORMATS[n % len(FORMATS)] for n in n_bytes],
-                "width": [16 + int(s[:6], 16) % 1024 for s in sums],
-                "height": [16 + int(s[6:12], 16) % 768 for s in sums],
-                "checksum": sums,
-            })
-
-    return with_payload(t["documents"]).mapInPandas(gen, schema).orderBy("doc_id")
+    return payload_meta_frame(with_payload(t["documents"])).orderBy("doc_id")
 
 
 def _hex_to_int_sql(expr: str) -> str:
@@ -93,11 +87,11 @@ def _hex_to_int_sql(expr: str) -> str:
 def binary_meta_oracle() -> str:
     fmts = ", ".join(f"'{f}'" for f in FORMATS)
     return f"""
-    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-           [{fmts}][(octet_length(encode(text)) % {len(FORMATS)}) + 1] AS format,
-           16 + {_hex_to_int_sql("substr(md5(text), 1, 6)")} % 1024 AS width,
-           16 + {_hex_to_int_sql("substr(md5(text), 7, 6)")} % 768 AS height,
-           md5(text) AS checksum
+    SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
+           [{fmts}][(octet_length(encode(coalesce(text, ''))) % {len(FORMATS)}) + 1] AS format,
+           16 + {_hex_to_int_sql("substr(md5(coalesce(text, '')), 1, 6)")} % 1024 AS width,
+           16 + {_hex_to_int_sql("substr(md5(coalesce(text, '')), 7, 6)")} % 768 AS height,
+           md5(coalesce(text, '')) AS checksum
     FROM documents ORDER BY doc_id
     """
 
@@ -137,8 +131,8 @@ def resize_plan(t: Tables) -> DataFrame:
 
 
 def resize_plan_oracle() -> str:
-    w = f"16 + {_hex_to_int_sql('substr(md5(text), 1, 6)')} % 1024"
-    h = f"16 + {_hex_to_int_sql('substr(md5(text), 7, 6)')} % 768"
+    w = f"""16 + {_hex_to_int_sql("substr(md5(coalesce(text, '')), 1, 6)")} % 1024"""
+    h = f"""16 + {_hex_to_int_sql("substr(md5(coalesce(text, '')), 7, 6)")} % 768"""
     return f"""
     SELECT doc_id, width, height,
            CAST(floor(width * s) AS BIGINT) AS out_w,
@@ -184,7 +178,8 @@ def feature_extract(t: Tables) -> DataFrame:
 
 def feature_extract_oracle() -> str:
     feats = ", ".join(
-        f"{_hex_to_int_sql(f'substr(md5(text), {i * 4 + 1}, 4)')} / 65536.0"
+        _hex_to_int_sql(f"substr(md5(coalesce(text, '')), {i * 4 + 1}, 4)")
+        + " / 65536.0"
         for i in range(N_FEATURES)
     )
     return f"""
@@ -212,7 +207,7 @@ def feature_extract_flat(t: Tables) -> DataFrame:
 
 
 def feature_extract_flat_oracle() -> str:
-    feat = _hex_to_int_sql("substr(md5(text), CAST(i * 4 + 1 AS INT), 4)")
+    feat = _hex_to_int_sql("substr(md5(coalesce(text, '')), CAST(i * 4 + 1 AS INT), 4)")
     return f"""
     SELECT doc_id, i AS feat_idx, {feat} / 65536.0 AS feature
     FROM documents, range(0, {N_FEATURES}) AS r(i)
@@ -265,12 +260,12 @@ def frame_sample(t: Tables) -> DataFrame:
 def frame_sample_oracle() -> str:
     return f"""
     WITH sized AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n,
-               LEAST({MAX_FRAMES}, 1 + octet_length(encode(text)) // {FRAME_SPACING}) AS n_frames
+        SELECT doc_id, text, octet_length(encode(coalesce(text, ''))) AS n,
+               LEAST({MAX_FRAMES}, 1 + octet_length(encode(coalesce(text, ''))) // {FRAME_SPACING}) AS n_frames
         FROM documents
     )
     SELECT doc_id, i AS frame_idx, i * (n // n_frames) AS frame_off,
-           md5(substring(text, i * (n // n_frames) + 1, {FRAME_LEN})) AS frame_hash
+           md5(substring(coalesce(text, ''), i * (n // n_frames) + 1, {FRAME_LEN})) AS frame_hash
     FROM sized, range({MAX_FRAMES}) t(i)
     WHERE i < n_frames
     ORDER BY doc_id, frame_idx
@@ -278,16 +273,11 @@ def frame_sample_oracle() -> str:
 
 
 def payload_meta_frame(docs: DataFrame) -> DataFrame:
-    """F1 core without the presentation orderBy — the streaming twin's
-    entry point (streams cannot globally sort; row CONTENT is the
-    contract). NULL text coalesces to b'' (n_bytes 0, md5 of the empty
-    payload) — the adjudicated NULL-payload semantics from the r6
-    degenerate-dataset scan; the batch fix is deferred to r7 under the
-    window contract, so the fake-decode generator is duplicated here
-    VERBATIM rather than refactoring binary_meta (whose AST is frozen
-    with the r6 tail), and the streaming pin test keeps the two
-    bit-equal. r7: fold binary_meta onto this frame when the mm_*
-    entries re-window for exactly that NULL fix.
+    """F1 core without the presentation orderBy — shared verbatim by
+    batch :func:`binary_meta` and the streaming twin (streams cannot
+    globally sort; row CONTENT is the contract). Accepts either a raw
+    documents frame (text is coalesced through :func:`with_payload`)
+    or a frame already carrying a binary ``payload`` column.
     """
     schema = ("doc_id long, n_bytes long, format string, "
               "width long, height long, checksum string")
@@ -305,8 +295,5 @@ def payload_meta_frame(docs: DataFrame) -> DataFrame:
                 "checksum": sums,
             })
 
-    payload = docs.select(
-        "doc_id",
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
-        .alias("payload"))
+    payload = docs if "payload" in docs.columns else with_payload(docs)
     return payload.mapInPandas(gen, schema)

@@ -434,7 +434,10 @@ def domain_mix(t: Tables) -> DataFrame:
         per.join(F.broadcast(total))
         .select(
             "lang", "source", "n_docs", "n_tokens",
-            (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+            # try_divide: a zero-token corpus reports NULL shares
+            # instead of aborting under ANSI (r6 fuzz find)
+            F.try_divide(F.col("n_tokens"), F.col("total_tokens"))
+            .alias("token_share"),
             F.sqrt("n_tokens").alias("temp_weight"),
         )
         .orderBy("lang", "source")
@@ -450,7 +453,8 @@ def domain_mix_oracle() -> str:
         FROM documents GROUP BY lang, source
     )
     SELECT lang, source, n_docs, n_tokens,
-           n_tokens / (SELECT SUM(n_tokens) FROM per) AS token_share,
+           n_tokens / NULLIF((SELECT SUM(n_tokens) FROM per), 0)
+               AS token_share,
            sqrt(n_tokens) AS temp_weight
     FROM per ORDER BY lang, source
     """

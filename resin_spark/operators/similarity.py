@@ -72,6 +72,12 @@ def broadcast_unit_matrix(emb: DataFrame, id_col: str = "vec_id",
     """
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        # zero valid vectors: np.array([]) would be 1-dim and the norm
+        # reduction below raises AxisError — ship an explicit empty
+        # matrix so candidate gens yield an empty pair relation instead
+        return emb.sparkSession.sparkContext.broadcast(
+            (ids, np.zeros((0, 0))))
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
@@ -274,7 +280,7 @@ def cosine_topk_candidates(emb: DataFrame, bc, k: int,
     def gen(batches):
         bids, bunit = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or bunit.shape[0] == 0:
                 continue
             q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             qn = np.sqrt((q * q).sum(axis=1))
@@ -309,7 +315,7 @@ def cosine_threshold_candidates(emb: DataFrame, bc, tau: float,
     def gen(batches):
         bids, bunit = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or bunit.shape[0] == 0:
                 continue
             q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             qn = np.sqrt((q * q).sum(axis=1))

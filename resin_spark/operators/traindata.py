@@ -97,7 +97,7 @@ def quality_perplexity(t: Tables) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(exact.davg("bits", scale=6, precision=18), 6)
+            exact.dravg("bits", scale=6, precision=18)
             .alias("bits_per_token"),
         )
         .orderBy("doc_id")
@@ -120,7 +120,7 @@ def quality_perplexity_oracle() -> str:
         FROM lm, tot
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           round({exact.davg_sql("bits", scale=6, precision=18)}, 6)
+           {exact.dravg_sql("bits", scale=6, precision=18)}
                AS bits_per_token
     FROM tok JOIN bits USING (tok)
     GROUP BY doc_id ORDER BY doc_id
@@ -1150,7 +1150,7 @@ def importance_weights(t: Tables, target_lang: str = "en",
             F.count(F.lit(1)).alias("n_feats"),
             F.round(exact.dsum("logw", scale=6, precision=18), 6)
             .alias("log_weight"),
-            F.round(exact.davg("logw", scale=6, precision=18), 6)
+            exact.dravg("logw", scale=6, precision=18)
             .alias("log_weight_per_feat"),
         )
         .select("doc_id", "lang", "n_feats", "log_weight",
@@ -1198,7 +1198,7 @@ def importance_weights_oracle(target_lang: str = "en",
     SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
            round({exact.dsum_sql("logw", scale=6, precision=18)}, 6)
                AS log_weight,
-           round({exact.davg_sql("logw", scale=6, precision=18)}, 6)
+           {exact.dravg_sql("logw", scale=6, precision=18)}
                AS log_weight_per_feat
     FROM feats f JOIN ratios r USING (b)
     GROUP BY f.doc_id, f.lang
@@ -1378,7 +1378,7 @@ def kmeans_refine(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         scored.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(exact.davg("cos", scale=9, precision=20), 9)
+            exact.dravg("cos", scale=9, precision=20)
             .alias("mean_cos"),
         )
         .orderBy("cell")
@@ -1445,7 +1445,7 @@ def kmeans_refine_oracle(iters: int = KMEANS_ITERS) -> str:
     return f"""
     WITH {", ".join(parts)}
     SELECT a.cell, COUNT(*) AS n_members,
-           round({exact.davg_sql("round(" + "cosx" + ", 9)", scale=9, precision=20)}, 9)
+           {exact.dravg_sql("round(" + "cosx" + ", 9)", scale=9, precision=20)}
                AS mean_cos
     FROM (
         SELECT a.vec_id, a.cell, {cos_final} AS cosx
@@ -1530,14 +1530,18 @@ def corpus_stats(t: Tables) -> DataFrame:
         .join(broadcast(lang_agg))
         .select(
             "n_docs", "n_tokens", "vocab",
-            (F.col("vocab").cast("double")
-             / F.col("n_tokens").cast("double")).alias("type_token_ratio"),
-            (F.col("sum_tok").cast("double")
-             / F.col("n_docs").cast("double")).alias("mean_doc_tokens"),
+            # try_divide: a zero-token / zero-doc corpus reports NULL
+            # instead of aborting under ANSI (r6 fuzz find)
+            F.try_divide(F.col("vocab").cast("double"),
+                         F.col("n_tokens").cast("double"))
+            .alias("type_token_ratio"),
+            F.try_divide(F.col("sum_tok").cast("double"),
+                         F.col("n_docs").cast("double"))
+            .alias("mean_doc_tokens"),
             "p50_doc_tokens", "p95_doc_tokens",
             "n_langs", "top_lang",
-            (F.col("top_lang_docs").cast("double")
-             / F.col("lang_docs_total").cast("double"))
+            F.try_divide(F.col("top_lang_docs").cast("double"),
+                         F.col("lang_docs_total").cast("double"))
             .alias("top_lang_share"),
         )
     )
@@ -1588,14 +1592,15 @@ def corpus_stats_oracle() -> str:
     SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
            CAST(t.vocab AS BIGINT) AS vocab,
-           CAST(t.vocab AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+           CAST(t.vocab AS DOUBLE) / NULLIF(CAST(t.n_tokens AS DOUBLE), 0)
                AS type_token_ratio,
-           CAST(d.sum_tok AS DOUBLE) / CAST(d.n_docs AS DOUBLE)
+           CAST(d.sum_tok AS DOUBLE) / NULLIF(CAST(d.n_docs AS DOUBLE), 0)
                AS mean_doc_tokens,
            q.p50_doc_tokens, q.p95_doc_tokens,
            CAST(l.n_langs AS BIGINT) AS n_langs, l.top_lang,
            CAST(l.top_lang_docs AS DOUBLE)
-               / CAST(l.lang_docs_total AS DOUBLE) AS top_lang_share
+               / NULLIF(CAST(l.lang_docs_total AS DOUBLE), 0)
+               AS top_lang_share
     FROM doc_agg d, tok_agg t, quants q, lang_agg l
     """
 

@@ -222,17 +222,10 @@ def F_length_or_zero(df):
     return F.coalesce(F.length("text"), F.lit(0)).cast("long")
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN r6 hole, fix scheduled r7 (its window check is due "
-    "then, so the edit costs zero slots): corpus_stats' "
-    "type_token_ratio divides vocab by n_tokens without try_divide "
-    "(traindata.py:1533), so a corpus whose every doc tokenizes to "
-    "nothing ABORTS under ANSI mode instead of reporting NULL. Found "
-    "by the driver-entry oracle fuzz; driver-gate data never triggers "
-    "it (every sf corpus has tokens). When fixed, this strict xfail "
-    "XPASSes and must be converted into the plain fuzz row.")
 def test_corpus_stats_zero_token_corpus_survives(spark, tmp_path_factory):
+    """Regression (r6 fuzz find, fixed r7): a corpus whose every doc
+    tokenizes to nothing used to ABORT under ANSI in corpus_stats'
+    bare type_token_ratio division; try_divide now reports NULL."""
     import __spark_entry__ as entry_mod
 
     tmpdir = tmp_path_factory.mktemp("fz_cs0")
@@ -261,20 +254,17 @@ def degen_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name,reason", [
     ("domain_mix",
-     "bare n_tokens/total_tokens (pipeline.py:435) aborts under ANSI "
-     "when the corpus has zero tokens — try_divide + NULLIF, r7"),
+     "r6 hole, fixed r7: bare n_tokens/total_tokens aborted under "
+     "ANSI on a zero-token corpus — now try_divide + NULLIF"),
     ("mm_binary_meta",
-     "with_payload keeps NULL text as NULL payload (multimodal.py:54) "
-     "and the Arrow UDF md5(None) throws — coalesce text to '' or "
-     "filter, mirrored in the oracle, r7"),
+     "r6 hole, fixed r7: with_payload kept NULL text as NULL payload "
+     "and the Arrow UDF md5(None) threw — now coalesced to b'', "
+     "mirrored in the oracle"),
     ("dedup_incremental_indexed",
-     "write_dedup_index over a corpus with zero shingle-able docs "
-     "writes no part files; the read fails UNABLE_TO_INFER_SCHEMA — "
-     "the text-index empty-store round-trip fix (r6 ADVICE) applied "
-     "to the dedup store, r7"),
+     "r6 hole, fixed r7: write_dedup_index over zero shingle-able "
+     "docs wrote no part files and the read died in schema inference "
+     "— the store now carries a stats row and round-trips typed-empty"),
 ])
-@pytest.mark.xfail(strict=True,
-                   reason="KNOWN r6 degenerate-corpus hole; see param")
 def test_degenerate_dataset_survives(spark, degen_dir, name, reason):
     import __spark_entry__ as entry_mod
 
@@ -427,15 +417,14 @@ def _some_valid(vecs):
                for _, v, _ in vecs)
 
 
-@given(emb_corpus.filter(_some_valid))
+@given(emb_corpus)
 @settings(max_examples=5, deadline=None)
 def test_fuzz_semantic_split_leakage_oracle(spark, tmp_path_factory, vecs):
     """NaN / zero-norm / NULL vectors against the D5 valid-vector and
     zero-norm gates, then split labelling — both engines must agree on
-    which pairs exist AND how they label. Corpora where EVERY vector is
-    invalid are excluded here: that class crashes in the frozen
-    broadcast_unit_matrix (strict-xfail-pinned below, r7 fix) — widen
-    the strategy back when the pin XPASSes."""
+    which pairs exist AND how they label. Includes corpora where EVERY
+    vector is invalid — the class that used to crash
+    broadcast_unit_matrix before the r7 empty-matrix guard."""
     from resin_spark.operators import pipeline
 
     tmpdir = tmp_path_factory.mktemp("fz_semleak")
@@ -468,21 +457,11 @@ def test_fuzz_semantic_split_leakage_oracle(spark, tmp_path_factory, vecs):
         f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN hole found by the overtime-r6 semantic-leakage fuzz, "
-    "fix scheduled r7 (the D5/D9 vector cohort's window check is due "
-    "then, so the edit costs zero slots): broadcast_unit_matrix "
-    "(similarity.py:74-78) collects ZERO rows when every embedding is "
-    "NULL/NaN — np.array([]) is 1-dim, so (mat*mat).sum(axis=1) raises "
-    "AxisError instead of yielding an empty pair relation. Driver data "
-    "never triggers it (embeddings are valid). r7 fix: guard len(ids)==0 "
-    "with unit=np.zeros((0,0)) there, and 'if bunit.shape[0]==0: "
-    "continue' in the cosine_threshold/topk candidate gens; then this "
-    "XPASSes - convert it to a plain fuzz row and widen "
-    "test_fuzz_semantic_split_leakage_oracle's strategy back to "
-    "all-invalid corpora.")
 def test_all_invalid_embeddings_survive(spark):
+    """Regression (r6 fuzz find, fixed r7): a corpus where EVERY
+    embedding is NULL/NaN used to crash broadcast_unit_matrix with a
+    numpy AxisError; the empty-matrix guard must yield empty pair
+    relations instead."""
     from resin_spark.operators import dedup, pipeline
 
     emb = spark.createDataFrame(
@@ -555,25 +534,15 @@ def test_fuzz_q22_scalar_boundary_oracle(spark, tmp_path_factory, data):
         f"first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:2]}"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN hole found by tools/deep_fuzz_driver seed 7106, fix "
-    "scheduled r7 with the davg cohort's due re-window: F.round(davg, s) "
-    "diverges cross-engine on EXACT DECIMAL TIES. Doc '\\t \\t ７漢 x1 ZZZ' "
-    "tokenizes to x1+zzz with corpus bits 3.965784 + 4.158429 = 8.124213 "
-    "(odd at 1e-6), so the 2-token mean is exactly 4.0621065: Java's "
-    "round() rounds the SHORTEST-DECIMAL rep half-up (4.062107) while "
-    "DuckDB rounds the binary double, which sits below the tie "
-    "(4.06210649999…) → 4.062106. Driver data never lands on a tie (6 "
-    "rounds green); random 2-token docs do. Affected call sites: "
-    "traindata.py:100 (quality_perplexity), :1153 (importance_weights), "
-    ":1381 (cosine avg) — q1/q22 use davg UNROUNDED (identical doubles, "
-    "immune). r7 fix: round in DECIMAL on both sides — engine "
-    "(sum.cast(decimal(p,s+6))/count).cast(decimal(p,s)).cast(double), "
-    "oracle CAST(CAST(SUM(dec)/COUNT AS DECIMAL(p,s)) AS DOUBLE) — then "
-    "this XPASSes; convert to a plain fuzz row and re-verify tie "
-    "behaviour with THIS corpus before re-windowing the three entries.")
 def test_quality_perplexity_decimal_tie_crossengine(spark, tmp_path_factory):
+    """Regression (deep_fuzz_driver seed 7106, fixed r7): F.round(davg, s)
+    diverged cross-engine on EXACT DECIMAL TIES — a 2-token doc whose
+    6-dp bit costs sum to an odd multiple of 1e-6 means the mean is
+    exactly between two 6-dp decimals; Java rounded the shortest-decimal
+    rep half-up while DuckDB rounded the binary double, which sits just
+    below the tie. exact.dravg/dravg_sql now decide the tie in integer
+    arithmetic (half-away-from-zero) on both engines; this corpus must
+    stay hash-identical."""
     import os
     import random
     import sys

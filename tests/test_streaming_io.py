@@ -272,21 +272,7 @@ def _default_table_location(spark, table):
         return f"{wh}/{parts[-2]}.db/{parts[-1]}"
     return f"{wh}/{parts[-1]}"
 
-@pytest.mark.parametrize("name", [
-    "orphan_b",
-    pytest.param("iodb.orphan_b", marks=pytest.mark.xfail(strict=True, reason=(
-        "ADVICE-r5 hole: write_bucketed quotes db.tbl as ONE identifier and "
-        "points its orphan cleanup at wh/db.tbl instead of wh/db.db/tbl, so a "
-        "qualified-name overwrite dies on LOCATION_ALREADY_EXISTS. The complete "
-        "fix (try-first + cleanup-and-retry on LOCATION_ALREADY_EXISTS only — "
-        "AnalysisException for junk files, SparkRuntimeException for real "
-        "stranded table dirs — with part-wise quoting) is commits "
-        "fa0eb1c+4662dff, REVERTED at HEAD under the SURVEY §6 window contract: "
-        "write_bucketed is reachable from the frozen tail entry "
-        "semantic_dedup_indexed via a function-local import the AST audit "
-        "cannot trace. r7: restore io.py from 4662dff, drop this xfail, "
-        "re-window semantic_dedup_indexed (due by rotation anyway)."))),
-])
+@pytest.mark.parametrize("name", ["orphan_b", "iodb.orphan_b"])
 def test_write_bucketed_orphan_location_recovery(spark, tmp_path, name):
     """A warehouse directory left stranded with NO catalog entry (fresh
     metastore, files kept) must not wedge overwrite, for both orphan
