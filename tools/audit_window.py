@@ -190,7 +190,19 @@ def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
                         continue
                     gl.setdefault(alias.asname or alias.name.split(".")[0],
                                   m2)
-        names = tuple(getattr(code, "co_names", ())) + freevars
+        # NESTED code objects (lambdas / inner defs) carry their own
+        # co_names, invisible from the enclosing co_names — an entry
+        # wrapper doing `_build_once(key, lambda: dedup.write_x(...))`
+        # must still surface write_x (r7 find, the same class as the
+        # r6 function-local-import blind spot).
+        def _code_names(c) -> tuple:
+            out = tuple(getattr(c, "co_names", ()))
+            for k in getattr(c, "co_consts", ()):
+                if isinstance(k, _t.CodeType):
+                    out += _code_names(k)
+            return out
+
+        names = (_code_names(code) if code is not None else ()) + freevars
         for name in names:
             v = gl.get(name)
             if isinstance(v, _t.ModuleType):
