@@ -1799,3 +1799,136 @@ def dataset_card(t: Tables) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("section", "metric")
+
+
+def _melt_typed(df: DataFrame, section: str, key_cols: list[str]) -> DataFrame:
+    """(section, metric, value_num, value_str) — the machine face of
+    :func:`_melt`. Numeric cells stay DOUBLE instead of being cast to
+    string: float→string formatting is ENGINE-SPECIFIC (Java prints
+    shortest-repr with scientific notation under 1e-3, DuckDB prints
+    plain decimal; %.6f-style formats tie-break differently on x/128
+    dyadics), while the doubles themselves are bit-identical across
+    engines because each cell is the underlying oracle-checked card's
+    value unchanged (bigint→double exact under 2^53). Key columns are
+    strings/bigints only — safe to fold into the metric name."""
+    from pyspark.sql.types import NumericType
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    value_cols = [c for c in df.columns if c not in key_cols]
+    prefix = (F.concat_ws("/", *[
+        F.concat_ws("=", F.lit(k), F.col(k).cast("string"))
+        for k in key_cols
+    ]) if key_cols else F.lit(None))
+
+    def cell(c):
+        if isinstance(fields[c], NumericType):
+            return F.struct(F.lit(c).alias("m"),
+                            F.col(c).cast("double").alias("vn"),
+                            F.lit(None).cast("string").alias("vs"))
+        return F.struct(F.lit(c).alias("m"),
+                        F.lit(None).cast("double").alias("vn"),
+                        F.col(c).cast("string").alias("vs"))
+
+    pairs = F.array(*[cell(c) for c in value_cols])
+    metric = (F.concat_ws("/", prefix, F.col("kv.m")) if key_cols
+              else F.col("kv.m"))
+    return df.select(F.explode(pairs).alias("kv"), *key_cols).select(
+        F.lit(section).alias("section"),
+        metric.alias("metric"),
+        F.col("kv.vn").alias("value_num"),
+        F.col("kv.vs").alias("value_str"),
+    )
+
+
+def dataset_card_typed(t: Tables) -> DataFrame:
+    """C63 driver face: :func:`dataset_card` with typed cells, so the
+    whole five-section release card is hash-checkable against one SQL
+    oracle (dataset_card_typed_oracle nests the five checked cards'
+    CTEs verbatim). Same sections, same metric names; value_num carries
+    numerics as DOUBLE, value_str carries strings — scalar columns
+    only, per the driver canonicaliser contract.
+
+    Scale: identical to dataset_card — five bounded card relations,
+    a row-local explode, and a union.
+    """
+    from resin_spark.operators.dedup import dup_cluster_histogram
+    from resin_spark.operators.traindata import corpus_stats, lang_stats
+
+    docs = t["documents"]
+    parts = [
+        _melt_typed(corpus_stats(t), "corpus", []),
+        _melt_typed(lang_stats(t), "languages", ["lang"]),
+        _melt_typed(filter_funnel(t), "funnel", ["stage", "stage_name"]),
+        _melt_typed(dup_cluster_histogram(docs), "duplication",
+                    ["cluster_size"]),
+        _melt_typed(dataset_split(docs), "splits", ["source", "split"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric", "value_num")
+
+
+# lockstep card layout shared by dataset_card_typed and its oracle:
+# section -> (oracle-fn spec, key cols, numeric cols, string cols).
+# Changing any underlying card's columns means changing BOTH the
+# engine relation and this table together.
+CARD_SECTIONS = (
+    ("corpus", [], ["n_docs", "n_tokens", "vocab", "type_token_ratio",
+                    "mean_doc_tokens", "p50_doc_tokens", "p95_doc_tokens",
+                    "n_langs", "top_lang_share"], ["top_lang"]),
+    ("languages", ["lang"], ["n_docs", "n_tokens", "vocab",
+                             "mean_doc_tokens", "p50_doc_tokens",
+                             "p95_doc_tokens", "doc_share", "token_share"],
+     []),
+    ("funnel", ["stage", "stage_name"], ["docs_in", "docs_out",
+                                         "docs_dropped", "tokens_out"], []),
+    ("duplication", ["cluster_size"], ["n_clusters", "n_docs",
+                                       "doc_share"], []),
+    ("splits", ["source", "split"], ["n_docs", "n_chars", "doc_share",
+                                     "target_frac"], []),
+)
+
+
+def dataset_card_typed_oracle() -> str:
+    """One SQL statement nesting the five checked cards' oracle CTEs
+    and melting them with the same metric-name scheme as _melt_typed
+    (concat_ws skips NULL key values identically in both engines)."""
+    from resin_spark.operators.dedup import dup_cluster_histogram_oracle
+    from resin_spark.operators.traindata import (corpus_stats_oracle,
+                                                 lang_stats_oracle)
+
+    bodies = {
+        "corpus": corpus_stats_oracle(),
+        "languages": lang_stats_oracle(),
+        "funnel": filter_funnel_oracle(),
+        "duplication": dup_cluster_histogram_oracle(),
+        "splits": dataset_split_demo_oracle(),
+    }
+    ctes = ",\n".join(f"card_{s} AS (\n{bodies[s]}\n)" for s in bodies)
+
+    def melt(section, keys, nums, strs):
+        prefix = ("concat_ws('/', " + ", ".join(
+            f"concat_ws('=', '{k}', CAST({k} AS VARCHAR))" for k in keys)
+            + ")")
+
+        def metric(c):
+            return (f"concat_ws('/', {prefix}, '{c}')" if keys
+                    else f"'{c}'")
+
+        sels = [
+            f"SELECT '{section}' AS section, {metric(c)} AS metric, "
+            f"CAST({c} AS DOUBLE) AS value_num, "
+            f"CAST(NULL AS VARCHAR) AS value_str FROM card_{section}"
+            for c in nums
+        ] + [
+            f"SELECT '{section}', {metric(c)}, CAST(NULL AS DOUBLE), "
+            f"CAST({c} AS VARCHAR) FROM card_{section}"
+            for c in strs
+        ]
+        return "\nUNION ALL\n".join(sels)
+
+    melts = "\nUNION ALL\n".join(melt(*spec) for spec in CARD_SECTIONS)
+    return (f"WITH {ctes}\n"
+            f"SELECT * FROM (\n{melts}\n)\n"
+            f"ORDER BY section, metric, value_num")

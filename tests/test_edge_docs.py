@@ -152,6 +152,8 @@ def _staged_pairs():
          pipeline.chunk_documents_oracle(), False),
         ("dataset_split", pipeline.dataset_split_demo,
          pipeline.dataset_split_demo_oracle(), False),
+        ("dataset_card_typed", pipeline.dataset_card_typed,
+         pipeline.dataset_card_typed_oracle(), False),
         ("split_leakage", pipeline.split_leakage_demo,
          pipeline.split_leakage_demo_oracle(), False),
         ("cluster_split", pipeline.cluster_split_demo,

@@ -640,3 +640,28 @@ def test_dataset_card_sections_equal_their_source_ops(spark):
     out = pipeline.dataset_card(t)
     assert [f.dataType.simpleString() for f in out.schema.fields] \
         == ["string", "string", "string"]
+
+
+def test_dataset_card_typed_matches_display_card(spark):
+    """The typed (driver) face and the display face melt the SAME five
+    cards: identical (section, metric) multisets, numeric cells equal
+    the display strings' values, and the whole relation is
+    oracle-exact (parity also in the staged edge battery)."""
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    disp = pipeline.dataset_card(t).collect()
+    typed = pipeline.dataset_card_typed(t).collect()
+    assert sorted((r["section"], r["metric"]) for r in disp) \
+        == sorted((r["section"], r["metric"]) for r in typed)
+    # scalar driver-safe schema: string, string, double, string
+    tdf = pipeline.dataset_card_typed(t)
+    assert [f.dataType.simpleString() for f in tdf.schema.fields] \
+        == ["string", "string", "double", "string"]
+    # every typed row carries exactly one face of the cell
+    for r in typed:
+        assert (r["value_num"] is None) or (r["value_str"] is None)
+    compare(pipeline.dataset_card_typed(t),
+            pipeline.dataset_card_typed_oracle(),
+            "/root/testdata/sf0.001")
