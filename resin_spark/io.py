@@ -316,8 +316,16 @@ def compact_parquet(spark: SparkSession, path: str,
         fs.delete(tmp, True)
         raise IOError(f"compact_parquet: could not stage {path} aside")
     if not fs.rename(tmp, p):
-        fs.rename(bak, p)  # roll back
+        rolled_back = fs.rename(bak, p)
         fs.delete(tmp, True)
+        if not rolled_back:
+            # double rename failure: the data survives ONLY at the
+            # .compact_bak location — say so, or the operator sees a
+            # missing path with no pointer to the recovery copy
+            raise IOError(
+                f"compact_parquet: could not swap in compacted {path} "
+                f"AND the rollback rename failed — the original data "
+                f"is intact at {path}.compact_bak; restore it manually")
         raise IOError(f"compact_parquet: could not swap in compacted {path}")
     files_after = fs.getContentSummary(p).getFileCount()
     return {"files_before": int(files_before),

@@ -2174,6 +2174,15 @@ def shard_manifest(t: Tables, n_shards: int = N_SHARDS) -> DataFrame:
     associative-commutative XOR — no ordering, no floats. Shares the
     C25 shard expression (_token_hash60 % n_shards), so the manifest
     describes exactly the layout write_shards materialises.
+
+    SECURITY SCOPE (ADVICE r6): content_sig is an INTEGRITY/EQUALITY
+    check for non-adversarial replica comparison, NOT a cryptographic
+    signature — the XOR fold is linear over GF(2), so an adversary can
+    craft distinct doc multisets that collide (and a doubled batch
+    cancels its own contribution). Tamper-evident release signing
+    needs a real digest over a canonically ordered serialisation (or
+    an order-free cryptographic accumulator) applied OUTSIDE the
+    engine; do not treat content_sig as one.
     """
     return (
         manifest_rows(t["documents"], n_shards)
@@ -2235,7 +2244,9 @@ def merge_manifests(*manifests: DataFrame) -> DataFrame:
     in tests).
 
     Scale: |shards|-row inputs, one bounded aggregate; never reads
-    documents.
+    documents. Same SECURITY SCOPE as shard_manifest: equality check
+    for non-adversarial replicas, not a tamper-evident signature (the
+    GF(2)-linear fold collides under crafted inputs).
     """
     assert manifests, "merge_manifests needs at least one manifest"
     u = manifests[0]
