@@ -839,3 +839,19 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_plan": multimodal.resize_plan_oracle(),
         "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
     }
+
+
+def retired_queries() -> dict[str, Query]:
+    """Entries RETIRED from the driver window (SURVEY §6 retirement
+    policy): each was driver-hash-green when retired and keeps running
+    against its ORIGINAL oracle in pytest
+    (tests/test_oracle_parity.py::test_retired_parity — the
+    driver-identical comparison) at every round, so retirement trades
+    a rotation slot, never coverage. Empty until the r8 slate (the
+    four mm_* entries, once CORRECTNESS_r07 verifies their NULL fix)."""
+    return {}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Oracles for retired_queries(), same contract as oracle_sql()."""
+    return {}

@@ -42,3 +42,21 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+RETIRED_ORACLES = entry_mod.retired_oracle_sql()
+RETIRED_QUERIES = entry_mod.retired_queries()
+
+
+def test_retired_registry_consistent():
+    """Every retired entry keeps an oracle (retirement without an
+    oracle would silently drop to rows-only coverage) and never
+    shadows a live entry."""
+    assert set(RETIRED_ORACLES) == set(RETIRED_QUERIES)
+    assert not set(RETIRED_QUERIES) & set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED_ORACLES))
+def test_retired_parity(spark, name):
+    df = RETIRED_QUERIES[name](spark, SF)
+    compare(df, RETIRED_ORACLES[name], SF)
