@@ -160,6 +160,27 @@ def _staged_pairs():
          pipeline.cluster_split_demo_oracle(), False),
         ("semantic_split_leakage", pipeline.semantic_split_leakage_demo,
          pipeline.semantic_split_leakage_oracle(), True),
+        # r7 widening: the r6-staged health/traindata pairs previously
+        # covered only by their own sf-corpus parity tests — adding
+        # them here also puts them under tools/deep_fuzz_staged
+        ("encoding_anomalies", health.encoding_anomalies_demo,
+         health.encoding_anomalies_demo_oracle(), False),
+        ("source_overlap", health.source_overlap_demo,
+         health.source_overlap_demo_oracle(), False),
+        ("table_profile", health.table_profile_demo,
+         health.table_profile_demo_oracle(), False),
+        ("profile_drift", health.profile_drift_demo,
+         health.profile_drift_demo_oracle(), False),
+        ("lang_confusion", traindata.lang_confusion,
+         traindata.lang_confusion_oracle(), False),
+        ("cdc_chunk_stats", traindata.cdc_chunk_stats,
+         traindata.cdc_chunk_stats_oracle(), False),
+        ("dup_cluster_histogram",
+         lambda t: dedup.dup_cluster_histogram(t["documents"]),
+         dedup.dup_cluster_histogram_oracle(), False),
+        ("source_divergence",
+         lambda t: pipeline.source_divergence(t["documents"]),
+         pipeline.source_divergence_oracle(), False),
     ]
 
 
