@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from resin_spark import io as rio
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
@@ -528,6 +529,44 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.props_json(load_tables(spark, sf_dir))
+
+
+# --- block H: ingest --------------------------------------------------------
+
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r8 driver demo (rows-only): the crawl→curated loop on
+    driver data. A bounded, deterministic slice of the documents table
+    is exported as a Common-Crawl-layout member-gzip WARC segment
+    (io.warc_segment_bytes — one gzip member per response record),
+    then read back through the real ingest stack: read_warc parses the
+    framing, warc_extract_text strips the HTTP envelope and extracts
+    visible text. Binary source ⇒ no SQL oracle by design (the H2/H14
+    precedent); the text round-trip is pinned in
+    tests/test_ingest_cycle.py. NOT registered in queries() this
+    round: the r7 window closed at 50/50 — takes the first rows-only
+    slot in r8 per the §6 queue."""
+    import html as _html
+    import os
+
+    rows = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .orderBy("doc_id").limit(40)          # bounded demo slice
+        .select("doc_id", "text").collect()
+    )
+    recs = [
+        (f"http://corpus.local/doc/{r['doc_id']}",
+         ("<html><body><p>"
+          + _html.escape(r["text"])
+          + "</p></body></html>").encode("utf-8"))
+        for r in rows
+    ]
+    seg = os.path.join(_scratch("warc", sf_dir), "segment-00000.warc.gz")
+    with open(seg, "wb") as fh:
+        fh.write(rio.warc_segment_bytes(recs))
+    from resin_spark.operators import extract
+    return extract.warc_extract_text(rio.read_warc(spark, seg)) \
+        .orderBy("url")
 
 
 def queries() -> dict[str, Query]:

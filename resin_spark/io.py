@@ -470,3 +470,38 @@ def warc_record_batches(keep: tuple[str, ...] | None):
             yield pd.DataFrame(rows)
 
     return gen
+
+
+def warc_response_record(uri: str, payload: bytes,
+                         date: str = "2026-01-01T00:00:00Z",
+                         content_type: str =
+                         "text/html; charset=utf-8") -> bytes:
+    """One WARC/1.0 ``response`` record wrapping an HTTP 200 envelope
+    around ``payload`` — the export half of the H14 ingest face
+    (framing identical to what ``read_warc`` parses: CRLFCRLF header
+    terminator, exact Content-Length, CRLFCRLF record separator)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + content_type.encode("ascii") + b"\r\n\r\n" + payload)
+    head = b"\r\n".join([
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Date: " + date.encode("ascii"),
+        b"WARC-Target-URI: " + uri.encode("ascii"),
+        b"Content-Length: " + str(len(http)).encode("ascii"),
+    ])
+    return head + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+def warc_segment_bytes(records: list[tuple[str, bytes]],
+                       date: str = "2026-01-01T00:00:00Z") -> bytes:
+    """A Common-Crawl-layout ``.warc.gz`` segment (one gzip MEMBER per
+    record — the layout read_warc's multi-member decompress expects)
+    from (uri, payload-bytes) pairs. Pure bytes→bytes: callers decide
+    where segments land (a driver-side demo file, a foreachPartition
+    writer, an object-store put)."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(warc_response_record(uri, payload, date))
+        for uri, payload in records
+    )

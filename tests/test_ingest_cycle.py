@@ -207,3 +207,27 @@ def test_crawl_to_curated_cycle(spark, tmp_path):
     card = dataset_split(curated).collect()
     assert sum(r["n_docs"] for r in card) == curated.count() == 1
     assert abs(sum(r["doc_share"] for r in card) - 1.0) < 1e-12
+
+
+def test_warc_ingest_demo_roundtrip(spark):
+    """The staged r8 driver demo (__spark_entry__._warc_ingest): a
+    bounded documents slice exported via io.warc_segment_bytes and
+    re-ingested through read_warc → warc_extract_text must reproduce
+    every document's text exactly up to the extractor's whitespace
+    normalisation, keyed by the synthesised url."""
+    import re
+
+    import __spark_entry__ as entry_mod
+    from resin_spark.io import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["url"]: r["text"]
+           for r in entry_mod._warc_ingest(spark, sf).collect()}
+    src = (load_tables(spark, sf)["documents"]
+           .filter("doc_id IS NOT NULL AND text IS NOT NULL")
+           .orderBy("doc_id").limit(40).collect())
+    assert len(out) == len(src) == 40
+    ws = re.compile(r"\s+")
+    for r in src:
+        url = f"http://corpus.local/doc/{r['doc_id']}"
+        assert out[url] == ws.sub(" ", r["text"]).strip(), url
