@@ -115,23 +115,34 @@ def price_quantiles(t: Tables) -> DataFrame:
     window's parallelism, fine while groups >> executors).
     """
     li = t["lineitem"]
+    d = li.select("l_returnflag", "l_extendedprice")
+    # NULL prices: percentile_disc is an ordered-set aggregate — the
+    # standard (and DuckDB) SKIPS NULLs, so the rank/count window runs
+    # over the NON-NULL subset only (Spark's ASC default is NULLS
+    # FIRST, which would shift every quantile position — r7 rel-fuzz
+    # find, seed 9000). n_rows still counts every row, like COUNT(*).
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wg = Window.partitionBy("l_returnflag")
-    d = (
-        li.select("l_returnflag", "l_extendedprice")
+    vals = (
+        d.filter(F.col("l_extendedprice").isNotNull())
         .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("nv", F.count(F.lit(1)).over(wg))
     )
     aggs = [
         F.min(
-            F.when(F.col("rn") * 100 >= int(q * 100) * F.col("n"),
+            F.when(F.col("rn") * 100 >= int(q * 100) * F.col("nv"),
                    F.col("l_extendedprice"))
         ).alias(f"p{int(q * 100)}")
         for q in QUANTILES
     ]
+    counts = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    quants = vals.groupBy("l_returnflag").agg(*aggs)
+    # left join: a group whose every price is NULL keeps its row count
+    # and reports NULL quantiles (percentile_disc over zero values)
     return (
-        d.groupBy("l_returnflag")
-        .agg(F.max("n").alias("n_rows"), *aggs)
+        counts.join(quants, "l_returnflag", "left")
+        .select("l_returnflag", "n_rows",
+                *[f"p{int(q * 100)}" for q in QUANTILES])
         .orderBy("l_returnflag")
     )
 
