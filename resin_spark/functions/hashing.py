@@ -69,6 +69,11 @@ _NET_CATEGORY = {
 }
 
 # IsNumberToken: double.TryParse(Float|AllowThousands, invariant) analog.
+# LIVE until the r8 cutover (see the staged `_next` transliteration
+# below); this regex analog diverges from the reference on bare in-range
+# integers (geo), non-ASCII Nd digits, NaN/Infinity, exponent geo forms,
+# and packed DMS — every divergence is pinned strict-xfail in
+# tests/test_hashing_features.py::test_live_vs_next_divergence_pin.
 _NUM_RE = re.compile(
     r"^\s*[+-]?(?:\d{1,3}(?:,\d{3})+|\d+)?(?:\.\d*)?(?:[eE][+-]?\d+)?\s*$"
 )
@@ -82,9 +87,9 @@ def _is_number_token(s: str) -> bool:
 
 # IsLongitudeLatitudeToken subset: decimal degrees with optional trailing
 # hemisphere letter, range-checked; the reference additionally parses
-# "lat,lon" pairs and DMS forms (StringAnalyzer.cs:470-592) which cannot
-# survive this pipeline's tokenisation (commas/°/quotes split tokens), so
-# only the single-coordinate form is implemented.
+# "lat,lon" pairs and DMS forms (StringAnalyzer.cs:470-592). LIVE until
+# the r8 cutover (the staged `_next` transliteration below closes the
+# packed-DMS / bare-integer / ASCII-digit gaps).
 _GEO_RE = re.compile(r"^\s*[+-]?\d+(?:\.\d+)?\s*([NnSsEeWw])?\s*$")
 
 
@@ -104,6 +109,218 @@ def _is_geo_token(s: str) -> bool:
     # no hemisphere: the reference accepts if it fits either range and
     # contains a decimal point (bare integers are just numbers)
     return "." in s and -180.0 <= v <= 180.0
+
+
+# --- STAGED r8 cutover: .NET invariant number parsing (transliterated) -------
+#
+# The r7 reference re-read found the live regex analogs above diverge
+# from the reference on LIVE token shapes. The faithful transliteration
+# below is finished and fully tested (tests/test_hashing_features.py::
+# test_net_tryparse_fidelity / test_geo_live_token_shapes) but NOT yet
+# wired into the embedder: `string_compare` reaches this module and
+# rides the r7 driver tail on AST identity (window contract, SURVEY §6)
+# — it is rotation-due in r8, which is when `_is_number_token_next` /
+# `_is_geo_token_next` replace the two functions above and the hot path
+# in accumulate_token_features switches to _NUMGEO_CAND_RE + exact
+# scalar predicates (the exact diff is in git history — this round's
+# parity-transliteration commit).
+#
+# What the transliteration fixes, per IsNumberToken (StringAnalyzer.cs:
+# 415-431) = double.TryParse(NumberStyles.Float|AllowThousands,
+# InvariantCulture) and IsLongitudeLatitudeToken (:436-592):
+# .NET invariant parsing accepts ONLY ASCII '0'-'9' (never Arabic-Indic
+# or other Nd digits Python's float() normalises), accepts the invariant
+# special symbols "NaN"/"Infinity", accepts a trailing decimal point
+# ("5."), and — with AllowThousands — accepts ',' between ANY two digits
+# without validating group sizes ("1,2" parses as 12). Geo Case 2 has NO
+# decimal-point requirement (bare digit runs ≤180 ARE geo — the
+# reference's own coordinate-pair test relies on the '40'/'74' split
+# fragments matching), a trailing 'e' reads as East, exponent forms
+# parse ("1e2" = 100 → geo), and packed DMS "404156°N" is live ('°' is
+# So, a data char in both tokenizers). The comma/space-pair and
+# delimited-DMS branches are dead in BOTH engines ('.', ',', '\'', '"'
+# are Po, '+' is Sm standalone, '-' is Pd — none survive SplitWords)
+# but are transliterated anyway so direct API callers diverge nowhere.
+_NET_WS = "\t\n\x0b\x0c\r "  # the parser's IsWhite set: 0x09-0x0D + 0x20
+
+
+def _net_parse_float(s: str, allow_thousands: bool = True):
+    """double.TryParse(Float[|AllowThousands], invariant) analog:
+    returns the parsed float, or None on failure."""
+    if not s:
+        return None
+    i, n = 0, len(s)
+    while i < n and s[i] in _NET_WS:
+        i += 1
+    while n > i and s[n - 1] in _NET_WS:
+        n -= 1
+    if i >= n:
+        return None
+    neg = False
+    if s[i] in "+-":  # AllowLeadingSign
+        neg = s[i] == "-"
+        i += 1
+    rest = s[i:n]
+    if rest == "NaN":  # invariant NaNSymbol, exact case
+        return float("nan")
+    if rest == "Infinity":  # invariant (Positive)InfinitySymbol
+        return float("-inf") if neg else float("inf")
+    int_digits = []
+    frac_digits = []
+    while i < n:
+        c = s[i]
+        if "0" <= c <= "9":
+            int_digits.append(c)
+            i += 1
+        elif (c == "," and allow_thousands and int_digits
+                and i + 1 < n and "0" <= s[i + 1] <= "9"):
+            i += 1  # lenient grouping: ',' between digits, sizes unchecked
+        else:
+            break
+    if i < n and s[i] == ".":
+        i += 1
+        while i < n and "0" <= s[i] <= "9":
+            frac_digits.append(s[i])
+            i += 1
+    if not int_digits and not frac_digits:
+        return None
+    exp = ""
+    if i < n and s[i] in "eE":
+        j = i + 1
+        esign = ""
+        if j < n and s[j] in "+-":
+            esign = s[j]
+            j += 1
+        ed = []
+        while j < n and "0" <= s[j] <= "9":
+            ed.append(s[j])
+            j += 1
+        if not ed:
+            return None
+        exp = "e" + esign + "".join(ed)
+        i = j
+    if i != n:
+        return None
+    lit = ("-" if neg else "") + ("".join(int_digits) or "0") \
+        + "." + ("".join(frac_digits) or "0") + exp
+    return float(lit)  # float() saturates to ±inf on overflow, like .NET
+
+
+def _is_number_token_next(s: str) -> bool:
+    """IsNumberToken (StringAnalyzer.cs:415-431). Note 'NaN'/'Infinity'
+    ARE numbers to the reference (TryParse succeeds on the invariant
+    special symbols). STAGED — replaces _is_number_token at the r8
+    cutover (see the block comment above)."""
+    return bool(s) and _net_parse_float(s, allow_thousands=True) is not None
+
+
+# IsLongitudeLatitudeToken (StringAnalyzer.cs:436-592), full
+# transliteration — STAGED, replaces _is_geo_token at the r8 cutover.
+_HEMI_CHARS = "NnSsEeWw"
+
+
+def _try_decimal_hemi(s: str):
+    """TryParseDecimalWithHemisphere (StringAnalyzer.cs:441-466):
+    (value, hemi) with hemi in {'\\0','N','S','E','W'}, or None."""
+    t = s.strip(_NET_WS)
+    if not t:
+        return None
+    hemi = "\0"
+    if t[-1] in _HEMI_CHARS:
+        hemi = t[-1].upper()
+        t = t[:-1].rstrip(_NET_WS)
+    v = _net_parse_float(t, allow_thousands=True)
+    if v is None:
+        return None
+    return v, hemi
+
+
+def _is_geo_token_next(s: str) -> bool:
+    if not s:
+        return False
+
+    def lat_ok(v: float, h: str) -> bool:
+        return -90.0 <= v <= 90.0 and h in ("\0", "N", "S")
+
+    def lon_ok(v: float, h: str) -> bool:
+        return -180.0 <= v <= 180.0 and h in ("\0", "E", "W")
+
+    # Case 1: "lat,lon" / "lat lon" pair (dead post-tokenisation)
+    ci = s.find(",")
+    if ci >= 0:
+        left, right = _try_decimal_hemi(s[:ci]), _try_decimal_hemi(s[ci + 1:])
+        if left and right and lat_ok(*left) and lon_ok(*right):
+            return True
+    else:
+        si = s.find(" ")
+        if si > 0:
+            left, right = _try_decimal_hemi(s[:si]), _try_decimal_hemi(s[si + 1:])
+            if left and right and lat_ok(*left) and lon_ok(*right):
+                return True
+
+    # Case 2: single coordinate, optional hemisphere. A hemisphere
+    # letter RETURNS the range verdict (no DMS fallback); only the
+    # hemisphere-less out-of-range case falls through.
+    ph = _try_decimal_hemi(s)
+    if ph is not None:
+        v, hemi = ph
+        if hemi in ("N", "S"):
+            return -90.0 <= v <= 90.0
+        if hemi in ("E", "W"):
+            return -180.0 <= v <= 180.0
+        if -90.0 <= v <= 90.0 or -180.0 <= v <= 180.0:
+            return True
+
+    # Case 3: degree-sign forms
+    di = s.find("°")
+    if di > 0:
+        # 3a: delimited DMS 40°42'51"N (dead: ' and " split tokens)
+        deg = _net_parse_float(s[:di], allow_thousands=False)
+        if deg is not None:
+            likely_lat = 0.0 <= deg <= 90.0
+            likely_lon = 0.0 <= deg <= 180.0
+            has_min = s.find("'") > di
+            has_sec = s.find('"') > di
+            if (has_min or has_sec) and (likely_lat or likely_lon):
+                last = s[-1]
+                if last in "NnSs":
+                    return likely_lat
+                if last in "EeWw":
+                    return likely_lon
+                return True
+        # 3b: packed DMS DDMMSS°/DDDMMSS° + optional hemisphere (LIVE).
+        # char.IsDigit is Unicode Nd — but any non-digit in the packed
+        # segment aborts the WHOLE function (the reference's early
+        # return), and int.TryParse(NumberStyles.None) then rejects
+        # non-ASCII digits.
+        packed = s[:di]
+        for ch in packed:
+            if not unicodedata.category(ch) == "Nd":
+                return False
+        if len(packed) in (5, 6, 7):
+            if not all("0" <= c <= "9" for c in packed):
+                return False
+            ss_ = int(packed[-2:])
+            mm = int(packed[-4:-2])
+            dd = int(packed[:-4])
+            if not (0 <= mm < 60 and 0 <= ss_ < 60):
+                return False
+            decimal_degrees = dd + mm / 60.0 + ss_ / 3600.0
+            last = s[-1]
+            if last in "NnSs":
+                return decimal_degrees <= 90.0
+            if last in "EeWw":
+                return decimal_degrees <= 180.0
+            return decimal_degrees <= 180.0  # ≤90 OR ≤180 collapses
+
+    return False
+
+
+# Hot-path prefilter for the r8 cutover: a SUPERSET of every token
+# either `_next` predicate can accept — numbers need an ASCII digit or
+# an (optionally signed) NaN/Infinity symbol; geo needs ASCII digits
+# (° alone never suffices).
+_NUMGEO_CAND_RE = re.compile(r"[0-9]|NaN|Infinity")
 
 
 def _fnv1a(s: str) -> int:

@@ -718,7 +718,13 @@ def knn_classify(emb: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("vec_id", "true_label", "nb_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("n_votes").desc(), F.col("nb_label"))
+    # vote tie-break: smallest LABELLED class wins; an unlabeled
+    # (NULL) neighbor class loses ties. The null order must be
+    # explicit: Spark's bare ASC is NULLS FIRST while DuckDB's is
+    # NULLS LAST — a silent cross-engine divergence whenever a NULL
+    # label ties a real one (r7 emb-fuzz find, seed 11001).
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc_nulls_last())
     return (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
@@ -748,7 +754,8 @@ def knn_classify_oracle(k: int = 10) -> str:
     SELECT vec_id, true_label, nb_label AS pred_label, n_votes
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY n_votes DESC, nb_label) AS vr
+                                     ORDER BY n_votes DESC,
+                                              nb_label NULLS LAST) AS vr
         FROM votes
     ) WHERE vr = 1
     ORDER BY vec_id
