@@ -212,8 +212,13 @@ def stream_sessionize(spark: SparkSession, events_parquet_dir: str,
     watermark horizon allowed to be pending.
     """
     stream = _event_stream(spark, events_parquet_dir)
+    # NULL-user gate: the batch gaps-and-islands sessionize (and its
+    # driver-checked oracle) drops NULL user_id, while session_window's
+    # groupBy would keep a NULL-user group — apply the batch semantics
+    # JVM-side (r7 stream-fuzz find, seed 13001)
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.unix_timestamp(F.min("ts")).alias("session_start"))
@@ -280,11 +285,15 @@ def stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str,
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             # same decimal-exact sum as the batch face, so the full
+             # batch row (incl. sum_value) rebuilds from the stream
+             dsum("value", scale=4).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("hour_start"),
             "event_type",
             "n_events",
+            "sum_value",
         )
     )
 

@@ -99,12 +99,17 @@ def stream_quality_score(spark: SparkSession, docs_parquet_dir: str,
                 toks = [t for t in splitter.split(text.lower()) if t]
                 if not toks:
                     continue
-                # exact integer micro-bits sum, then one HALF_UP round —
-                # the same value chain as the batch decimal-sum mean
+                # exact integer micro-bits sum, then one HALF_UP round.
+                # The mean must round in INTEGER micro-bits —
+                # floor((2·micro+n)/(2n)) is exact HALF_UP of micro/n
+                # (bits are non-negative) — because the batch side
+                # (exact.dravg) half-up-rounds the exact DECIMAL
+                # quotient: a float mean is off by an ulp on exact
+                # .5-at-the-7th-digit ties (r7 stream-fuzz, seed 13002:
+                # 4.041214 vs 4.041215)
                 micro = sum(int(round(table.get(t, oov) * 1e6)) for t in toks)
-                mean = (float(micro) / 1e6) / len(toks)
-                out.append((doc_id, len(toks),
-                            math.floor(mean * 1e6 + 0.5) / 1e6))
+                n = len(toks)
+                out.append((doc_id, n, ((2 * micro + n) // (2 * n)) / 1e6))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_tokens", "bits_per_token"])
 
@@ -706,11 +711,11 @@ def stream_mm_meta(spark: SparkSession, docs_parquet_dir: str) -> DataFrame:
 
     One stateless Arrow mapInPandas pass per micro-batch: no state, no
     watermark, no shuffle. Rows equal the batch relation bit-for-bit
-    on non-null corpora (pinned in tests); NULL text takes the
-    adjudicated coalesce-to-b'' semantics (n_bytes 0, md5 of empty)
-    ahead of the deferred r7 batch fix. A real decoder drops into the
-    shared frame unchanged — schema, batching and the stream plumbing
-    here stay identical.
+    (pinned in tests and fuzzed over random corpora); NULL text takes
+    the adjudicated coalesce-to-b'' semantics (n_bytes 0, md5 of
+    empty) on BOTH faces since the r7 with_payload fix. A real decoder
+    drops into the shared frame unchanged — schema, batching and the
+    stream plumbing here stay identical.
     """
     from resin_spark.operators.multimodal import payload_meta_frame
 

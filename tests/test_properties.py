@@ -772,3 +772,19 @@ def test_chunk_documents_covers_and_reconstructs(spark, n, chunk, ov):
         already = len(rebuilt) - (c["start_pos"] - 1)
         rebuilt += toks[already:]
     assert rebuilt == words
+
+
+@given(st.integers(0, 10_000_000), st.integers(1, 4096))
+@settings(max_examples=200, deadline=None)
+def test_stream_micro_mean_half_up_matches_decimal(micro, n):
+    """The streaming quality twin's integer mean — floor((2·micro+n)/(2n))
+    — must equal exact decimal HALF_UP of micro/n for every non-negative
+    micro-bits total (the batch side, exact.dravg, rounds the exact
+    decimal quotient; a float mean loses .5-at-the-7th-digit ties —
+    r7 stream-fuzz find, seed 13002)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = (2 * micro + n) // (2 * n)
+    want = int((Decimal(micro) / Decimal(n)).quantize(
+        Decimal("1"), rounding=ROUND_HALF_UP))
+    assert got == want

@@ -82,6 +82,35 @@ def test_stream_sessionize_emits_batch_sessions(spark, tmp_path):
         assert batch[key] == r["n_events"], key
 
 
+def test_stream_sessionize_drops_null_users(spark, tmp_path):
+    """The batch sessionize (and its driver-checked oracle) drops NULL
+    user_id rows; session_window's groupBy would keep a NULL-user group
+    and emit sessions the batch never produces — the twin must gate
+    NULL users JVM-side (r7 stream-fuzz find, seed 13001)."""
+    src = tmp_path / "null_user_events"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, "2026-01-01 10:00:00", None, "click", 1.0, None),
+         (1, "2026-01-01 10:00:05", 7, "view", 1.0, None),
+         (2, "2026-01-01 14:00:00", None, "click", 1.0, None)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(src / "p"))
+    q = (
+        ev.stream_sessionize(spark, str(src / "p"), watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("null_user_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nu"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM null_user_sessions").collect()
+    assert all(r["user_id"] is not None for r in rows)
+
+
 def _write_cirrus_fixture(path):
     rows = [
         {"index": {"_type": "page", "_id": "1"}},
