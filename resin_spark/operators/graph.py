@@ -1,11 +1,21 @@
 """Graph-build near-identity dedup (SURVEY.md §2 block E5).
 
-The reference's index build walks vectors in insertion order and merges
-any vector whose cosine to an already-indexed vector reaches
-IdenticalAngle (reference: src/Resin.MachineLearning/GraphExtensions.cs:15
-Build/AddOrMerge; GraphOptions.cs:5 IdenticalAngle = 0.99). The
+The reference's index build walks vectors in insertion order and
+rejects a new node as a duplicate during the tree descent
+(reference: src/Resin.MachineLearning/GraphExtensions.cs:7-44 TryAdd;
+GraphOptions.cs IdenticalAngle = 0.99, Precision = 0.01). The
 distributed re-expression: vector j is dropped when some earlier vector
 i < j has cos(i, j) ≥ IdenticalAngle; survivors keep their ids.
+
+Adjudicated divergence (r7 parity re-read): the literal reference test
+is ``Approximates(angle, 0.99, 0.01)`` — the OPEN band (0.98, 1.00) —
+evaluated only against nodes on the fold-angle descent PATH. Taken
+literally, an EXACT duplicate (angle = 1.0, |1.0-0.99| = 0.01 not
+< 0.01) is NOT merged, and a near-dup sitting on another branch is
+missed. This module implements the evident intent (a ≥-threshold
+against every earlier vector — also what GraphIndexValidator.cs:41
+treats as "indexed" when it accepts hit.Score ≥ IdenticalAngle), not
+the band-and-path artifact.
 
 Candidate generation is size-gated: one matmul pass against the
 broadcast unit matrix (exact recall) while the corpus fits the

@@ -911,9 +911,17 @@ def closest_match(emb: DataFrame, queries: DataFrame,
                   fold_angle: float = FOLD_ANGLE,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
-    """GraphIndex.Search analog: the single best hit per query, with the
-    FoldAngle acceptance gate reported as a flag
-    (GraphExtensions.cs:46-73; GraphOptions.cs FoldAngle=0.55)."""
+    """The single best hit per query, with the FoldAngle acceptance
+    gate reported as a flag (GraphOptions.cs FoldAngle=0.55).
+
+    Parity target (r7 re-read): this is GraphSearcher.Search
+    (GraphSearcher.cs:13-15) — a FULL traverse ordered by score, i.e.
+    the exact global argmax — NOT GraphExtensions.ClosestMatch
+    (GraphExtensions.cs:46-85), whose greedy fold-angle descent is
+    path-local and can return a sub-optimal hit; the repo's analog of
+    that cheaper approximate descent is the LSH/IVF candidate route
+    (ann_topk_lsh / ann_topk_ivf), where the recall trade is measured
+    instead of implicit."""
     best = brute_topk(emb, queries, k=1, id_col=id_col, vec_col=vec_col,
                       q_id=q_id, q_vec=q_vec)
     return best.select(

@@ -83,6 +83,15 @@ def lexicon_build(t: Tables) -> DataFrame:
     """Distinct token → stable sorted index (LexiconBuilder.cs:1-19: a
     SortedList keyed by word).
 
+    Adjudicated adaptation (r7 parity re-read): the reference assigns
+    ``index`` in FIRST-SEEN enumeration order (the SortedList only
+    sorts the keys; values are arrival-ordered) — well-defined for a
+    sequential word stream, not for a distributed unordered corpus.
+    This assigns the sorted rank instead: deterministic at any
+    parallelism, and isomorphic for every consumer (the ML Tokenizer's
+    one-hot geometry and C11's sparse counts only need a stable
+    bijection, never the reference's arrival numbers).
+
     Scalable global rank without a single-partition window: tokens are
     [a-z0-9]+, so the first character is a prefix of the sort order and
     buckets the vocabulary into ≤36 contiguous lexicographic ranges. Pass
@@ -584,7 +593,17 @@ def fingerprint_oracle() -> str:
 def unicode_range(t: Tables) -> DataFrame:
     """Corpus min/max codepoint (StringAnalyzer.FindUnicodeRange,
     StringAnalyzer.cs:714-743). Per-doc min/max first (no explode), then
-    a global fold — the shuffle carries one row per document."""
+    a global fold — the shuffle carries one row per document.
+
+    Two documented adaptations vs the reference (r7 parity re-read):
+    (1) the reference's ``first`` can never move off its 0 initial —
+    the update guard ``c < last && c < first`` compares an unsigned
+    char against 0 — so FindUnicodeRange always reports range start 0;
+    this implements the evident INTENT (true corpus min), not the bug.
+    (2) the reference walks UTF-16 units (a non-BMP char contributes
+    two surrogate halves ≤ 0xFFFF); this reports true codepoints,
+    which can exceed 0xFFFF on supplementary-plane corpora. Both
+    diverge only on corpora the reference's own logic mishandles."""
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
     return (
         t["documents"]
