@@ -68,62 +68,12 @@ _NET_CATEGORY = {
     "Cn": 29,
 }
 
-# IsNumberToken: double.TryParse(Float|AllowThousands, invariant) analog.
-# LIVE until the r8 cutover (see the staged `_next` transliteration
-# below); this regex analog diverges from the reference on bare in-range
-# integers (geo), non-ASCII Nd digits, NaN/Infinity, exponent geo forms,
-# and packed DMS — every divergence is pinned strict-xfail in
-# tests/test_hashing_features.py::test_live_vs_next_divergence_pin.
-_NUM_RE = re.compile(
-    r"^\s*[+-]?(?:\d{1,3}(?:,\d{3})+|\d+)?(?:\.\d*)?(?:[eE][+-]?\d+)?\s*$"
-)
-
-
-def _is_number_token(s: str) -> bool:
-    if not s or not _NUM_RE.match(s) or not any(ch.isdigit() for ch in s):
-        return False
-    return True
-
-
-# IsLongitudeLatitudeToken subset: decimal degrees with optional trailing
-# hemisphere letter, range-checked; the reference additionally parses
-# "lat,lon" pairs and DMS forms (StringAnalyzer.cs:470-592). LIVE until
-# the r8 cutover (the staged `_next` transliteration below closes the
-# packed-DMS / bare-integer / ASCII-digit gaps).
-_GEO_RE = re.compile(r"^\s*[+-]?\d+(?:\.\d+)?\s*([NnSsEeWw])?\s*$")
-
-
-def _is_geo_token(s: str) -> bool:
-    m = _GEO_RE.match(s or "")
-    if not m:
-        return False
-    hemi = (m.group(1) or "").upper()
-    try:
-        v = float(s.strip().rstrip("NnSsEeWw").strip())
-    except ValueError:
-        return False
-    if hemi in ("N", "S"):
-        return -90.0 <= v <= 90.0
-    if hemi in ("E", "W"):
-        return -180.0 <= v <= 180.0
-    # no hemisphere: the reference accepts if it fits either range and
-    # contains a decimal point (bare integers are just numbers)
-    return "." in s and -180.0 <= v <= 180.0
-
-
-# --- STAGED r8 cutover: .NET invariant number parsing (transliterated) -------
+# --- .NET invariant number parsing (transliterated; live since r8) ----------
 #
-# The r7 reference re-read found the live regex analogs above diverge
-# from the reference on LIVE token shapes. The faithful transliteration
-# below is finished and fully tested (tests/test_hashing_features.py::
-# test_net_tryparse_fidelity / test_geo_live_token_shapes) but NOT yet
-# wired into the embedder: `string_compare` reaches this module and
-# rides the r7 driver tail on AST identity (window contract, SURVEY §6)
-# — it is rotation-due in r8, which is when `_is_number_token_next` /
-# `_is_geo_token_next` replace the two functions above and the hot path
-# in accumulate_token_features switches to _NUMGEO_CAND_RE + exact
-# scalar predicates (the exact diff is in git history — this round's
-# parity-transliteration commit).
+# The r7 reference re-read found the earlier regex analogs diverged
+# from the reference on LIVE token shapes; the faithful transliteration
+# below replaced them at the r8 cutover (window contract: string_compare
+# rode the r7 driver tail, its r8 rotation slot is when the flip landed).
 #
 # What the transliteration fixes, per IsNumberToken (StringAnalyzer.cs:
 # 415-431) = double.TryParse(NumberStyles.Float|AllowThousands,
@@ -161,9 +111,11 @@ def _net_parse_float(s: str, allow_thousands: bool = True):
         neg = s[i] == "-"
         i += 1
     rest = s[i:n]
-    if rest == "NaN":  # invariant NaNSymbol, exact case
+    # invariant NaNSymbol / (Positive)InfinitySymbol — matched
+    # case-insensitively since .NET Core 3.0 (the reference targets net9)
+    if rest.lower() == "nan":
         return float("nan")
-    if rest == "Infinity":  # invariant (Positive)InfinitySymbol
+    if rest.lower() == "infinity":
         return float("-inf") if neg else float("inf")
     int_digits = []
     frac_digits = []
@@ -206,16 +158,15 @@ def _net_parse_float(s: str, allow_thousands: bool = True):
     return float(lit)  # float() saturates to ±inf on overflow, like .NET
 
 
-def _is_number_token_next(s: str) -> bool:
+def _is_number_token(s: str) -> bool:
     """IsNumberToken (StringAnalyzer.cs:415-431). Note 'NaN'/'Infinity'
     ARE numbers to the reference (TryParse succeeds on the invariant
-    special symbols). STAGED — replaces _is_number_token at the r8
-    cutover (see the block comment above)."""
+    special symbols, case-insensitively since .NET Core 3.0)."""
     return bool(s) and _net_parse_float(s, allow_thousands=True) is not None
 
 
 # IsLongitudeLatitudeToken (StringAnalyzer.cs:436-592), full
-# transliteration — STAGED, replaces _is_geo_token at the r8 cutover.
+# transliteration.
 _HEMI_CHARS = "NnSsEeWw"
 
 
@@ -235,7 +186,7 @@ def _try_decimal_hemi(s: str):
     return v, hemi
 
 
-def _is_geo_token_next(s: str) -> bool:
+def _is_geo_token(s: str) -> bool:
     if not s:
         return False
 
@@ -316,11 +267,11 @@ def _is_geo_token_next(s: str) -> bool:
     return False
 
 
-# Hot-path prefilter for the r8 cutover: a SUPERSET of every token
-# either `_next` predicate can accept — numbers need an ASCII digit or
-# an (optionally signed) NaN/Infinity symbol; geo needs ASCII digits
-# (° alone never suffices).
-_NUMGEO_CAND_RE = re.compile(r"[0-9]|NaN|Infinity")
+# Hot-path prefilter: a SUPERSET of every token either predicate can
+# accept — numbers need an ASCII digit or an (optionally signed,
+# any-case) NaN/Infinity symbol; geo needs ASCII digits (° alone never
+# suffices).
+_NUMGEO_CAND_RE = re.compile(r"[0-9]|nan|infinity", re.IGNORECASE)
 
 
 def _fnv1a(s: str) -> int:
@@ -648,11 +599,14 @@ def accumulate_token_features(tokens: list[str], owners: np.ndarray,
                   + T.cat_dims[cat_per_char[not_sep]], 0.25)
 
         # --- numeric / geo hints w 0.6 -------------------------------
+        # _NUMGEO_CAND_RE is a vectorised SUPERSET prefilter; only
+        # plausible tokens reach the exact scalar TryParse analogs.
         ser = pd.Series(tokens)
-        is_num = (ser.str.match(_NUM_RE) & ser.str.contains(r"\d")).to_numpy(bool)
+        is_num = np.zeros(n_tok, dtype=bool)
         is_geo = np.zeros(n_tok, dtype=bool)
-        geo_cand = np.nonzero(ser.str.match(_GEO_RE).to_numpy(bool))[0]
-        for i in geo_cand:  # regex prefilter: only plausible coords reach Python
+        cand = np.nonzero(ser.str.contains(_NUMGEO_CAND_RE).to_numpy(bool))[0]
+        for i in cand:
+            is_num[i] = _is_number_token(tokens[i])
             is_geo[i] = _is_geo_token(tokens[i])
         np.add.at(mats, owners * dims + T.d_num[is_num.astype(np.int64)], 0.6)
         np.add.at(mats, owners * dims + T.d_geo[is_geo.astype(np.int64)], 0.6)

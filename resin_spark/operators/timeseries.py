@@ -36,11 +36,20 @@ def asof_join(t: Tables, left_type: str = "purchase",
     per user is a single value.
     """
     ev = t["events"]
-    left = ev.filter(F.col("event_type") == left_type).select(
+    # NULL user_id/ts rows must not enter the union-window: a NULL
+    # user_id would form a real window partition (NULL purchases
+    # "matching" NULL clicks) and NULL ts rows sort into the
+    # carry-forward, while the ASOF semantic (`a.user = b.user AND
+    # b.ts <= a.ts`) never matches NULL keys. Run the window over
+    # non-NULL keys only and union the excluded LEFT rows back
+    # unmatched (r7 rel-fuzz seed 9001).
+    keyed = F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    left_all = ev.filter(F.col("event_type") == left_type)
+    left = left_all.filter(keyed).select(
         "user_id", "ts", F.lit(1).alias("side"), "event_id",
         F.lit(None).cast("timestamp").alias("rts"),
     )
-    right = ev.filter(F.col("event_type") == right_type).select(
+    right = ev.filter((F.col("event_type") == right_type) & keyed).select(
         "user_id", "ts", F.lit(0).alias("side"),
         F.lit(None).cast("long").alias("event_id"), F.col("ts").alias("rts"),
     )
@@ -48,7 +57,7 @@ def asof_join(t: Tables, left_type: str = "purchase",
         Window.partitionBy("user_id").orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    matched = (
         left.unionByName(right)
         .withColumn("matched", F.last("rts", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
@@ -59,8 +68,14 @@ def asof_join(t: Tables, left_type: str = "purchase",
             (F.unix_timestamp("ts") - F.unix_timestamp("matched"))
             .alias("gap_s"),
         )
-        .orderBy("event_id")
     )
+    unmatched = left_all.filter(~keyed).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("left_ts"),
+        F.lit(None).cast("long").alias("right_ts"),
+        F.lit(None).cast("long").alias("gap_s"),
+    )
+    return matched.unionByName(unmatched).orderBy("event_id")
 
 
 def asof_join_oracle(left_type: str = "purchase",
@@ -366,9 +381,14 @@ def funnel(t: Tables, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
             "the pivoted single-scan plan cannot represent a repeated "
             "step; deduplicate the sequence or split the repeated step "
             "into separately named event types")
+    # a NULL user_id is not a user: it would survive the groupBy/pivot
+    # chain as one countable "user" at every step while the oracle's
+    # step-k JOIN USING (user_id) drops it after step 0 — filtered on
+    # BOTH sides (r7 rel-fuzz seed 9001; the _sessions adjudication).
     ev = (
         t["events"].select("user_id", "ts", "event_type")
-        .filter(F.col("event_type").isin(list(steps)))
+        .filter(F.col("event_type").isin(list(steps))
+                & F.col("user_id").isNotNull())
     )
     per_user = (
         ev.groupBy("user_id")
@@ -407,7 +427,7 @@ def funnel_oracle(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
             ctes.append(f"""
             s0 AS (
                 SELECT user_id, MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t0
-                FROM events GROUP BY user_id
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id
                 HAVING MIN(CASE WHEN event_type = '{s}' THEN ts END) IS NOT NULL
             )""")
         else:

@@ -200,14 +200,35 @@ def topk_per_group_oracle(k: int = 3) -> str:
 
 def agg_rollup(t: Tables) -> DataFrame:
     """Grouping-sets rollup over (returnflag, linestatus) — subtotals and
-    grand total in one pass (Spark expands grouping sets map-side)."""
+    grand total (Spark expands grouping sets map-side).
+
+    The () level is a separate always-present global aggregate row:
+    Spark's ``rollup()`` over an EMPTY relation yields zero rows, while
+    SQL-standard GROUP BY ROLLUP emits the grand-total grouping-set row
+    (COUNT=0) even on empty input (r7 rel-fuzz seed 9106) — a global
+    ``.agg()`` returns exactly one row on empty input in both engines,
+    so planning levels (a,b)+(a) as grouping sets and unioning the
+    global row restores the standard semantics. Two codegen'd
+    count+sum scans instead of one; both prune to two columns.
+    """
+    li = t["lineitem"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    ]
+    levels = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
+            "l_returnflag", "l_linestatus")
+        .agg(*aggs)
+    )
+    total = li.agg(*aggs).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_rows", "sum_qty",
+    )
     return (
-        t["lineitem"]
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            dsum("l_quantity").alias("sum_qty"),
-        )
+        levels.unionByName(total)
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

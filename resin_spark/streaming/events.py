@@ -127,10 +127,18 @@ def sessionize_oracle(gap_minutes: int = 30) -> str:
 
 def props_json(t: Tables) -> DataFrame:
     """Extract the JSON ``props.k`` field and aggregate per event_type —
-    semi-structured extraction stays JVM-side (get_json_object)."""
+    semi-structured extraction stays JVM-side (get_json_object).
+
+    ``k`` counts only INTEGRAL values (digit-run strings after JSON
+    extraction): engine-native casts diverge on everything else —
+    Spark's string→bigint truncates '3.5' while DuckDB's TRY_CAST
+    rounds it to 4, and DuckDB's plain CAST throws on 'v' where Spark
+    yields NULL (r7 rel-fuzz seed 9000) — so both sides gate on the
+    same ^-?digits$ shape and try_cast only that."""
+    v = F.get_json_object("props", "$.k")
     e = t["events"].select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.when(v.rlike("^-?[0-9]+$"), v.try_cast("bigint")).alias("k"),
     )
     return (
         e.groupBy("event_type")
@@ -149,6 +157,9 @@ def props_json_oracle() -> str:
     # JSON (the right semantic for a scrubbing pipeline — one bad row
     # must not kill the job); DuckDB's json_extract THROWS, so the
     # oracle needs the explicit guard to express the same semantics.
+    # json_extract_string mirrors get_json_object's string-unquoting;
+    # the integral-shape regexp + TRY_CAST mirrors the engine's gate
+    # (see props_json — native casts diverge on fractional strings).
     return """
     SELECT event_type,
            COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
@@ -156,7 +167,11 @@ def props_json_oracle() -> str:
     FROM (
         SELECT event_type,
                CASE WHEN json_valid(props)
-                    THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+                         AND regexp_matches(
+                             json_extract_string(props, '$.k'),
+                             '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) END AS k
         FROM events
     )
     GROUP BY event_type

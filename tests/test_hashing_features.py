@@ -12,7 +12,6 @@ from __future__ import annotations
 import unicodedata
 
 import numpy as np
-import pytest
 
 from resin_spark.functions import hashing as H
 
@@ -85,6 +84,9 @@ TOKENS = [
     "hello", "World", "A", "ab", "abc", "HTML", "Tokyo2020", "40.7128",
     "74.0060W", "x", "1,234.5", "café", "ÉCOLE", "+", "Z9",
     "supercalifragilisticexpialidocious", "90N", "181E", "-45.5S",
+    # r8 cutover shapes: bare in-range integers, NaN symbol (any case),
+    # exponent geo, packed DMS, non-ASCII digits
+    "45", "NaN", "nan", "Infinity", "1e2", "404156°N", "٤٥", "12345",
 ]
 
 
@@ -101,51 +103,36 @@ def test_vectors_are_unit_norm():
     assert np.allclose(norms, 1.0)
 
 
-def test_numeric_and_geo_classifiers():
-    # NumericAndGeoFeatureTests.cs behaviours (LIVE regex analogs, until
-    # the r8 cutover to the _next transliterations below)
+def test_net_tryparse_fidelity():
+    """double.TryParse(Float|AllowThousands, invariant) corners the old
+    regex analog got wrong (r7 reference re-read, StringAnalyzer.cs:
+    415-431): invariant parsing is ASCII-digit-only, accepts the
+    NaN/Infinity symbols (case-insensitively since .NET Core 3.0 — the
+    reference targets net9), trailing decimal points, and ',' between
+    any two digits without group-size validation. Live since the r8
+    cutover."""
+    assert H._is_number_token("NaN")     # invariant NaNSymbol parses
+    assert H._is_number_token("Infinity")
+    assert H._is_number_token("-Infinity")
+    assert H._is_number_token("nan")     # symbols match case-insensitively
+    assert H._is_number_token("INFINITY")
+    assert not H._is_number_token("inf")  # partial symbol never parses
+    assert H._is_number_token("5.")      # trailing point is legal
+    assert H._is_number_token(".5")
+    assert not H._is_number_token(".")
+    assert H._is_number_token("1,2")     # lenient grouping → 12
+    assert not H._is_number_token(",5")  # separator before any digit
+    assert not H._is_number_token("1,")  # separator must precede a digit
+    assert not H._is_number_token("٤٥")  # Nd digits ≠ ASCII digits
+    assert not H._is_number_token("1e")  # empty exponent
+    assert not H._is_number_token("e5")  # empty mantissa
+    assert H._is_number_token("1e5")
+    # unchanged verdicts vs the old regex analog
     assert H._is_number_token("42")
     assert H._is_number_token("1,234.5")
     assert H._is_number_token("-3.2e10")
     assert not H._is_number_token("abc")
     assert not H._is_number_token("")
-    assert H._is_geo_token("40.7128N")
-    assert H._is_geo_token("74.0060W")
-    assert H._is_geo_token("40.7128")       # fits either range, has a point
-    assert not H._is_geo_token("91N")       # out of lat range
-    assert not H._is_geo_token("181E")      # out of lon range
-    assert not H._is_geo_token("12345")     # bare integer is just a number
-
-
-def test_net_tryparse_fidelity():
-    """double.TryParse(Float|AllowThousands, invariant) corners the live
-    regex analog gets wrong (r7 reference re-read, StringAnalyzer.cs:
-    415-431): invariant parsing is ASCII-digit-only, accepts the
-    NaN/Infinity symbols, trailing decimal points, and ',' between any
-    two digits without group-size validation. Staged as
-    _is_number_token_next until the r8 cutover (window contract:
-    string_compare rides the r7 tail and reaches this module)."""
-    assert H._is_number_token_next("NaN")     # invariant NaNSymbol parses
-    assert H._is_number_token_next("Infinity")
-    assert H._is_number_token_next("-Infinity")
-    assert not H._is_number_token_next("nan")  # symbols are case-sensitive
-    assert not H._is_number_token_next("inf")
-    assert H._is_number_token_next("5.")      # trailing point is legal
-    assert H._is_number_token_next(".5")
-    assert not H._is_number_token_next(".")
-    assert H._is_number_token_next("1,2")     # lenient grouping → 12
-    assert not H._is_number_token_next(",5")  # separator before any digit
-    assert not H._is_number_token_next("1,")  # separator must precede a digit
-    assert not H._is_number_token_next("٤٥")  # Nd digits ≠ ASCII digits
-    assert not H._is_number_token_next("1e")  # empty exponent
-    assert not H._is_number_token_next("e5")  # empty mantissa
-    assert H._is_number_token_next("1e5")
-    # unchanged verdicts vs the live analog
-    assert H._is_number_token_next("42")
-    assert H._is_number_token_next("1,234.5")
-    assert H._is_number_token_next("-3.2e10")
-    assert not H._is_number_token_next("abc")
-    assert not H._is_number_token_next("")
 
 
 def test_geo_live_token_shapes():
@@ -155,54 +142,36 @@ def test_geo_live_token_shapes():
     relies on '40'/'74' (the comma/point-split fragments) being geo —
     hemisphere suffixes incl. 'e'-as-East, exponent forms, and packed
     DMS behind a degree sign ('°' is So, a data char in both
-    tokenizers). Staged as _is_geo_token_next until the r8 cutover."""
-    assert H._is_geo_token_next("45")         # bare integer ≤ 90
-    assert H._is_geo_token_next("180")        # bare integer ≤ 180
-    assert not H._is_geo_token_next("181")
-    assert H._is_geo_token_next("90N")
-    assert H._is_geo_token_next("90e")        # trailing 'e' is East
-    assert H._is_geo_token_next("1e2")        # 100 → lon range
-    assert not H._is_geo_token_next("12e2")   # 1200 → out of range
-    assert not H._is_geo_token_next("٤٥")     # Nd digits don't parse
-    assert not H._is_geo_token_next("NaN")    # NaN fails every range check
+    tokenizers). Live since the r8 cutover."""
+    assert H._is_geo_token("45")         # bare integer ≤ 90
+    assert H._is_geo_token("180")        # bare integer ≤ 180
+    assert not H._is_geo_token("181")
+    assert H._is_geo_token("90N")
+    assert H._is_geo_token("90e")        # trailing 'e' is East
+    assert H._is_geo_token("1e2")        # 100 → lon range
+    assert not H._is_geo_token("12e2")   # 1200 → out of range
+    assert not H._is_geo_token("٤٥")     # Nd digits don't parse
+    assert not H._is_geo_token("NaN")    # NaN fails every range check
     # packed DMS (Case 3b — the live °-form)
-    assert H._is_geo_token_next("404156°N")   # 40°41'56"N
-    assert H._is_geo_token_next("404156°")    # hemisphere optional
-    assert H._is_geo_token_next("1234045°E")  # 7 digits → 123°40'45"E
-    assert not H._is_geo_token_next("994156°N")  # 99.69° > 90 for a latitude
-    assert H._is_geo_token_next("994156°E")   # …but fine as a longitude
-    assert not H._is_geo_token_next("404199°N")  # seconds ≥ 60
-    assert not H._is_geo_token_next("406956°N")  # minutes ≥ 60
-    assert not H._is_geo_token_next("4041°N")  # 4 digits: not a packed form
-    assert not H._is_geo_token_next("°N")     # degree sign at position 0
-    # unchanged verdicts vs the live analog
-    assert H._is_geo_token_next("40.7128N")
-    assert H._is_geo_token_next("74.0060W")
-    assert H._is_geo_token_next("40.7128")
-    assert not H._is_geo_token_next("91N")
-    assert not H._is_geo_token_next("181E")
-    assert not H._is_geo_token_next("12345")
+    assert H._is_geo_token("404156°N")   # 40°41'56"N
+    assert H._is_geo_token("404156°")    # hemisphere optional
+    assert H._is_geo_token("1234045°E")  # 7 digits → 123°40'45"E
+    assert not H._is_geo_token("994156°N")  # 99.69° > 90 for a latitude
+    assert H._is_geo_token("994156°E")   # …but fine as a longitude
+    assert not H._is_geo_token("404199°N")  # seconds ≥ 60
+    assert not H._is_geo_token("406956°N")  # minutes ≥ 60
+    assert not H._is_geo_token("4041°N")  # 4 digits: not a packed form
+    assert not H._is_geo_token("°N")     # degree sign at position 0
+    # unchanged verdicts vs the old regex analog
+    assert H._is_geo_token("40.7128N")
+    assert H._is_geo_token("74.0060W")
+    assert H._is_geo_token("40.7128")
+    assert not H._is_geo_token("91N")
+    assert not H._is_geo_token("181E")
+    assert not H._is_geo_token("12345")
     # delimited DMS (Case 3a — dead post-split, live for direct callers)
-    assert H._is_geo_token_next("40°42'51\"N")
-    assert H._is_geo_token_next("74°00'21\"W")
-
-
-@pytest.mark.xfail(
-    strict=True,
-    reason="r8 cutover pin (window contract): the LIVE regex analogs "
-    "diverge from the reference on live token shapes — bare in-range "
-    "integers, exponent geo forms, packed DMS, NaN/Infinity numbers, "
-    "non-ASCII Nd digits. string_compare rides the r7 driver tail and "
-    "reaches the embedder, so the fix is staged as _next until its r8 "
-    "rotation slot; this pin XPASSes (and MUST be removed) when the "
-    "cutover lands.",
-)
-def test_live_vs_next_divergence_pin():
-    assert H._is_geo_token("45") == H._is_geo_token_next("45")
-    assert H._is_geo_token("1e2") == H._is_geo_token_next("1e2")
-    assert H._is_geo_token("404156°N") == H._is_geo_token_next("404156°N")
-    assert H._is_number_token("NaN") == H._is_number_token_next("NaN")
-    assert H._is_number_token("٤٥") == H._is_number_token_next("٤٥")
+    assert H._is_geo_token("40°42'51\"N")
+    assert H._is_geo_token("74°00'21\"W")
 
 
 def test_angle_key_locality_and_identity():

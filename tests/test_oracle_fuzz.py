@@ -637,37 +637,36 @@ def test_price_quantiles_null_prices_match_percentile_disc(
 
 @pytest.mark.parametrize("seed,name,reason", [
     (9000, "events_props_json",
-     "props.k values that are JSON strings (or fractional numbers) "
-     "diverge: Spark get_json_object+cast yields NULL, DuckDB "
-     "CAST(json_extract(...) AS BIGINT) THROWS. r8 fix with the G-block "
-     "re-window: TRY_CAST-equivalent semantics mirrored on both sides "
-     "(engine try_cast; oracle TRY_CAST inside the json_valid guard)."),
+     "props.k values that are JSON strings (or fractional numbers) used "
+     "to diverge: Spark get_json_object+cast yielded NULL, DuckDB "
+     "CAST(json_extract(...) AS BIGINT) THREW. Fixed r8: both sides "
+     "gate on the integral ^-?digits$ shape and try_cast only that "
+     "(native casts still disagree on '3.5' — Spark truncates, DuckDB "
+     "TRY_CAST rounds — so the shared gate is the only exact mirror)."),
     (9001, "events_asof_join",
-     "NULL user_id rows form ONE window partition in the engine (NULL "
-     "purchases match NULL clicks) and NULL ts rows sort NULLS-FIRST "
+     "NULL user_id rows formed ONE window partition in the engine (NULL "
+     "purchases matched NULL clicks) and NULL ts rows sorted NULLS-FIRST "
      "into the carry-forward, while the oracle's ASOF equi-join drops "
-     "NULL keys and 'b.ts <= NULL' never matches. r8 fix: run the "
-     "union-window over non-NULL (user_id, ts) only and union the "
-     "excluded left rows back with matched=NULL (the _sessions "
-     "adjudication applied to the as-of shape)."),
+     "NULL keys. Fixed r8: the union-window runs over non-NULL "
+     "(user_id, ts) only and the excluded left rows union back with "
+     "matched=NULL (the _sessions adjudication applied to the as-of "
+     "shape)."),
     (9001, "events_funnel",
-     "a NULL user_id survives the engine's groupBy/pivot chain as a "
+     "a NULL user_id survived the engine's groupBy/pivot chain as a "
      "countable 'user' at every step, but the oracle's step-k JOIN "
-     "USING (user_id) drops it after step 0. r8 fix: filter NULL "
-     "user_id on BOTH sides (a NULL user is not a user — the "
+     "USING (user_id) dropped it after step 0. Fixed r8: NULL user_id "
+     "filtered on BOTH sides (a NULL user is not a user — the "
      "_sessions adjudication)."),
     (9106, "agg_rollup",
      "Spark's rollup() over an EMPTY relation yields zero rows, while "
      "SQL-standard GROUP BY ROLLUP (DuckDB) emits the grand-total "
-     "grouping-set row (COUNT=0) even on empty input — verified with a "
-     "minimal repro. r8 fix: plan the (a,b) and (a) levels as grouping "
-     "sets and UNION an always-present global .agg() row for the () "
-     "level (a global aggregate returns one row on empty input in both "
-     "engines)."),
+     "grouping-set row (COUNT=0) even on empty input. Fixed r8: the "
+     "(a,b) and (a) levels run as grouping sets and an always-present "
+     "global .agg() row supplies the () level (a global aggregate "
+     "returns one row on empty input in both engines)."),
 ])
-@pytest.mark.xfail(strict=True,
-                   reason="KNOWN r7 rel-fuzz hole in a frozen r6-cohort "
-                   "tail entry; fix named per param, due r8")
 def test_rel_degenerate_dataset_matches_oracle(spark, tmp_path_factory,
                                                seed, name, reason):
+    """Regressions for the four r7 rel-fuzz pins — all four r8 fixes
+    landed in their due rotation slots (window contract)."""
     _rel_compare(spark, tmp_path_factory.mktemp("relx"), seed, name)

@@ -163,16 +163,10 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    # KNOWN-PINNED hole classes (strict xfails in test_oracle_fuzz.py::
-    # test_rel_degenerate_dataset_matches_oracle) excluded so fresh runs
-    # surface only NEW classes; un-skip each when its r8 fix lands:
-    # - events_props_json: string/fractional props.k cast divergence
-    # - events_asof_join / events_funnel: NULL user_id/ts window-vs-join
-    # - agg_rollup: Spark rollup() emits no grand-total row on EMPTY input
-    skip = {"events_props_json", "events_asof_join", "events_funnel",
-            "agg_rollup"}
-    global REL_QUERIES
-    REL_QUERIES = [q for q in REL_QUERIES if q not in skip]
+    # No pinned hole classes outstanding: the four r7 pins
+    # (events_props_json / events_asof_join / events_funnel /
+    # agg_rollup) landed their r8 fixes and run again — regression rows
+    # in test_oracle_fuzz.py::test_rel_degenerate_dataset_matches_oracle.
     spark = get_spark("deep-fuzz-rel")
     failures = []
     for c in range(n_corpora):
