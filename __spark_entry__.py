@@ -599,10 +599,6 @@ def queries() -> dict[str, Query]:
         # *_indexed entries)
         "corpus_stats": _mk_text(traindata.corpus_stats),
         "domain_mix": _mk_text(pipeline.domain_mix),
-        "mm_binary_meta": _mm_binary_meta,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_resize_plan": _mm_resize_plan,
-        "mm_feature_extract": _mm_feature_extract,
         "dedup_embedding": _dedup_embedding,
         "semantic_dedup": _semantic_dedup,
         "kmeans_refine": _kmeans_refine,
@@ -873,10 +869,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_dedup": graph.graph_dedup_oracle(),
         "label_centroids": similarity.label_centroids_oracle(),
         "closest_match": similarity.closest_match_oracle(),
-        "mm_binary_meta": multimodal.binary_meta_oracle(),
-        "mm_frame_sample": multimodal.frame_sample_oracle(),
-        "mm_resize_plan": multimodal.resize_plan_oracle(),
-        "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
     }
 
 
@@ -886,11 +878,25 @@ def retired_queries() -> dict[str, Query]:
     against its ORIGINAL oracle in pytest
     (tests/test_oracle_parity.py::test_retired_parity — the
     driver-identical comparison) at every round, so retirement trades
-    a rotation slot, never coverage. Empty until the r8 slate (the
-    four mm_* entries, once CORRECTNESS_r07 verifies their NULL fix)."""
-    return {}
+    a rotation slot, never coverage.
+
+    r8 slate: the four mm_* entries — CORRECTNESS_r07 verified their
+    NULL-payload fix hash-green; their decode step is a deterministic
+    fake (multimodal.py real-decoder seam), so a driver slot buys no
+    information the pytest parity doesn't."""
+    return {
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_resize_plan": _mm_resize_plan,
+        "mm_feature_extract": _mm_feature_extract,
+    }
 
 
 def retired_oracle_sql() -> dict[str, str]:
     """Oracles for retired_queries(), same contract as oracle_sql()."""
-    return {}
+    return {
+        "mm_binary_meta": multimodal.binary_meta_oracle(),
+        "mm_frame_sample": multimodal.frame_sample_oracle(),
+        "mm_resize_plan": multimodal.resize_plan_oracle(),
+        "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
+    }
