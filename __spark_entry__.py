@@ -18,8 +18,8 @@ from resin_spark import io as rio
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
-    dedup, graph, kv, multimodal, pipeline, similarity, sketch, textindex,
-    textops, timeseries, tokenizer, traindata,
+    dedup, graph, kv, multimodal, pipeline, retrieval, similarity, sketch,
+    textindex, textops, timeseries, tokenizer, traindata,
 )
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
@@ -576,85 +576,28 @@ def queries() -> dict[str, Query]:
     # functions/oracles were edited this round, and (c) every entry
     # whose last driver check is TWO rounds old (no entry goes
     # unchecked for more than two rounds); the tail holds ONLY entries
-    # green in the LATEST artifact (CORRECTNESS_r06) whose reachable
+    # green in the LATEST artifact (CORRECTNESS_r07) whose reachable
     # functions are AST-identical to that checked form — adjudicated
-    # by `python tools/audit_window.py <r6-final-ref>` at function
+    # by `python tools/audit_window.py <r7-final-ref>` at function
     # level (docstrings stripped), not by prose (the r4
     # dedup_embedding lesson).
     #
-    # r7: the seven r6-pinned fixes' edit cones cross into the r6
-    # cohort at exactly four entries (graph_dedup + knn_classify via
-    # broadcast_unit_matrix/candidate gens; quality_perplexity +
-    # importance_weights via exact.dravg), so 46 due + 4 edited fill
-    # the window EXACTLY — promotions (dataset_card,
-    # hybrid_search_rrf, cluster_split, shard_manifest) take the r8
-    # slack per the §6 promotion policy.
+    # r8 (computed by tools/plan_window.py 3e9d983): 0 red + 3 edited
+    # + 45 due + 2 promotions = 50. Edited: lexicon_angle /
+    # lexicon_validate (numeric/geo parser cutover in hashing.py —
+    # both r7-checked) and price_quantiles (NULL-safe group join,
+    # ADVICE r7). Due: the full r6-checked cohort minus
+    # phrase_topk_indexed, which retires per §6 (pinned row-identical
+    # twin phrase_search is IN this window). Promotions (§6 queue
+    # order into true slack): dataset_card_typed (one slot
+    # transitively pins the five checked cards), hybrid_search_rrf
+    # (composes the C38 BM25 + E1 cosine oracles).
     return {
-        # -- (b) r7-edited, r5-due cohort (rotation check due anyway):
-        # corpus_stats/domain_mix try_divide; mm_* NULL-payload
-        # coalesce; dedup-store stats row + typed-empty read;
-        # empty-embedding guard (dedup_embedding/semantic_dedup);
-        # dravg decimal-tie (kmeans_refine); write_bucketed re-apply
-        # (semantic_dedup_indexed); _build_once memos (the three
-        # *_indexed entries)
-        "corpus_stats": _mk_text(traindata.corpus_stats),
-        "domain_mix": _mk_text(pipeline.domain_mix),
-        "dedup_embedding": _dedup_embedding,
-        "semantic_dedup": _semantic_dedup,
-        "kmeans_refine": _kmeans_refine,
-        "dedup_incremental_indexed": _dedup_incremental_indexed,
-        "semantic_dedup_indexed": _semantic_dedup_indexed,
-        "index_validate": _index_validate,
-        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
-        # -- (b) r7-edited, r6-cohort (forced in by the same fixes:
-        # the broadcast_unit_matrix/candidate-gen guards and the
-        # dravg decimal-tie rewrite)
-        "graph_dedup": _graph_dedup,
-        "knn_classify": _knn_classify,
-        "quality_perplexity": _mk_text(traindata.quality_perplexity),
-        "importance_weights": _mk_text(traindata.importance_weights),
-        # -- (c) the rest of the r5-checked cohort — two rounds old,
-        # re-checks this round
-        "lang_stats": _mk_text(traindata.lang_stats),
+        # -- (b) edited this round
         "lexicon_angle": _mk_text(textops.lexicon_angle),
         "lexicon_validate": _mk_text(textops.lexicon_validate),
-        "centroid_assign": _centroid_assign,
-        "bpe_merge_step": _bpe_merge_step,
-        "bm25_search": _mk_text(textops.bm25_search),
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash": _dedup_simhash,
-        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "lexicon_build": _mk_text(textops.lexicon_build),
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
-        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
-        "events_retention": _mk_text(timeseries.retention),
-        "text_quality_score": _mk_text(textops.quality_score),
-        "quality_repetition": _mk_text(pipeline.quality_repetition),
-        "pipeline_curate": _mk_text(textops.pipeline_curate),
-        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier": _q5,
-        "topk_per_group": _topk,
-        "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "price_quantiles": _mk_text(sketch.price_quantiles),
-        "contamination_check": _mk_text(pipeline.contamination_check),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
-        "doc_fingerprint": _mk_text(textops.fingerprint),
-        "unicode_range": _mk_text(textops.unicode_range),
-        "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "lang_id_heuristic": _mk_text(textops.lang_id),
-        "kv_try_put": _kv_try_put,
-        "dedup_incremental": _dedup_incremental,
-        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
-        # ---- tail: past the 50-entry window from here down ----
-        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r06
-        # and its reachable functions + oracle are AST-identical to
-        # that checked form: verified by tools/audit_window.py (run it
-        # against the r6 final commit 4364c28; warnings==0 is the
-        # contract).
-        "phrase_topk_indexed": _phrase_topk_indexed,
+        # -- (c) the r6-checked cohort — two rounds old, re-checks now
         "corpus_delta": _corpus_delta,
         "embedding_drift": _embedding_drift,
         "phrase_search": _mk_text(textops.phrase_search),
@@ -700,6 +643,58 @@ def queries() -> dict[str, Query]:
         "events_funnel": _mk_text(timeseries.funnel),
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
+        # -- (d) promotions into true slack (§6 queue order)
+        "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
+        "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
+        # ---- tail: past the 50-entry window from here down ----
+        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r07
+        # and its reachable functions + oracle are AST-identical to
+        # that checked form: verified by tools/audit_window.py (run it
+        # against the r7 final commit 3e9d983; warnings==0 is the
+        # contract).
+        "corpus_stats": _mk_text(traindata.corpus_stats),
+        "domain_mix": _mk_text(pipeline.domain_mix),
+        "dedup_embedding": _dedup_embedding,
+        "semantic_dedup": _semantic_dedup,
+        "kmeans_refine": _kmeans_refine,
+        "dedup_incremental_indexed": _dedup_incremental_indexed,
+        "semantic_dedup_indexed": _semantic_dedup_indexed,
+        "index_validate": _index_validate,
+        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
+        "graph_dedup": _graph_dedup,
+        "knn_classify": _knn_classify,
+        "quality_perplexity": _mk_text(traindata.quality_perplexity),
+        "importance_weights": _mk_text(traindata.importance_weights),
+        "lang_stats": _mk_text(traindata.lang_stats),
+        "centroid_assign": _centroid_assign,
+        "bpe_merge_step": _bpe_merge_step,
+        "bm25_search": _mk_text(textops.bm25_search),
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_retention": _mk_text(timeseries.retention),
+        "text_quality_score": _mk_text(textops.quality_score),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "topk_per_group": _topk,
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        "contamination_check": _mk_text(pipeline.contamination_check),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "unicode_range": _mk_text(textops.unicode_range),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
+        "kv_try_put": _kv_try_put,
+        "dedup_incremental": _dedup_incremental,
+        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
     }
 
 
@@ -826,7 +821,6 @@ def oracle_sql() -> dict[str, str]:
         # two monitoring demos derive their second snapshot from the
         # same physical table in both engines; bpe_encode's oracle
         # retrains the merge chain in unrolled CTEs
-        "phrase_topk_indexed": textops.phrase_search_oracle(),
         "corpus_delta": pipeline.corpus_delta_demo_oracle(),
         "embedding_drift": traindata.embedding_drift_demo_oracle(),
         "bpe_encode": tokenizer.bpe_encode_oracle(BPE_ENCODE_MERGES),
@@ -869,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_dedup": graph.graph_dedup_oracle(),
         "label_centroids": similarity.label_centroids_oracle(),
         "closest_match": similarity.closest_match_oracle(),
+        # r8 promotions (§6 queue): the typed release card nests the
+        # five checked cards' oracle CTEs; hybrid RRF composes the C38
+        # BM25 and E1 cosine oracles (HYBRID_*/RRF_K lockstep knobs)
+        "dataset_card_typed": pipeline.dataset_card_typed_oracle(),
+        "hybrid_search_rrf": retrieval.hybrid_search_oracle(),
     }
 
 
@@ -883,12 +882,16 @@ def retired_queries() -> dict[str, Query]:
     r8 slate: the four mm_* entries — CORRECTNESS_r07 verified their
     NULL-payload fix hash-green; their decode step is a deterministic
     fake (multimodal.py real-decoder seam), so a driver slot buys no
-    information the pytest parity doesn't."""
+    information the pytest parity doesn't. Plus phrase_topk_indexed
+    (the §6-named twin retirement): pytest pins it row-identical to
+    phrase_search, which holds an r8 window slot, and its r6 driver
+    row was green — retiring it funds a promotion slot."""
     return {
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize_plan": _mm_resize_plan,
         "mm_feature_extract": _mm_feature_extract,
+        "phrase_topk_indexed": _phrase_topk_indexed,
     }
 
 
@@ -899,4 +902,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "mm_frame_sample": multimodal.frame_sample_oracle(),
         "mm_resize_plan": multimodal.resize_plan_oracle(),
         "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
+        "phrase_topk_indexed": textops.phrase_search_oracle(),
     }

@@ -152,6 +152,131 @@ def url_normalize(url_col):
         F.concat(F.lower(head), rest))
 
 
+# --- boilerplate-mass card (the H15 stdlib-extractor trade, quantified) ------
+
+# a non-empty line seen in >= this many DISTINCT docs is template mass
+BOILER_MIN_DOCS = 3
+# nav/footer/cookie-banner lexicon: deliberately small and literal —
+# the regex runs identically as Spark rlike (Java) and DuckDB
+# regexp_matches (RE2); both support the inline (?i) flag
+BOILER_KEYWORD_RE = (
+    r"(?i)(cookie|subscribe|newsletter|all rights reserved|"
+    r"privacy policy|terms of (service|use)|sign in|log ?in|"
+    r"skip to (main )?content|related articles|share (this|on)|"
+    r"copyright|©)"
+)
+
+
+def boilerplate_card(docs: DataFrame,
+                     min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """Per-source boilerplate-mass card: how much of the extracted text
+    is template, by two independent signals —
+
+    - **template lines**: non-blank lines whose exact text appears in
+      ``min_docs``+ distinct documents (nav bars, footers, licence
+      blocks — the C4/RefinedWeb repeated-line signal, measured at the
+      corpus level instead of removed per doc like line_dedup_stats),
+    - **keyword lines**: lines matching the nav/footer/cookie lexicon
+      (catches boilerplate too rare to repeat at small corpus scale).
+
+    This is the measurement half of the documented H15 trade (SURVEY
+    H15: the stdlib extractor keeps boilerplate a trafilatura-class
+    main-content extractor would drop): a crawl build reads
+    template_char_share/keyword_char_share per source and knows how
+    much mass the quality gates are carrying before model training.
+
+    Plan: one explode pass; the doc-frequency count shuffles
+    (xxhash64(line), doc_id) pairs — 16 bytes/row, never the text —
+    then a hash join back to the line stream and one per-source
+    aggregate. Skew lands exactly on the boilerplate lines being
+    hunted (AQE-skew-split territory at web scale, same note as
+    line_dedup_stats).
+    """
+    lines = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("source", "doc_id",
+                F.explode(F.split("text", "\n")).alias("raw"))
+        .select("source", "doc_id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .withColumn("lh", F.xxhash64("line"))
+    )
+    template = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with_line"))
+        .filter(F.col("n_docs_with_line") >= min_docs)
+        .select("lh", F.lit(True).alias("is_template"))
+    )
+    flagged = lines.join(template, "lh", "left").select(
+        "source",
+        F.length("line").alias("n_chars"),
+        F.coalesce("is_template", F.lit(False)).alias("is_template"),
+        F.col("line").rlike(BOILER_KEYWORD_RE).alias("is_keyword"),
+    )
+    tmpl_chars = F.sum(F.when(F.col("is_template"),
+                              F.col("n_chars")).otherwise(F.lit(0)))
+    kw_chars = F.sum(F.when(F.col("is_keyword"),
+                            F.col("n_chars")).otherwise(F.lit(0)))
+    total_chars = F.sum("n_chars")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            total_chars.cast("long").alias("n_chars"),
+            F.sum(F.col("is_template").cast("long")).alias("template_lines"),
+            F.sum(F.col("is_keyword").cast("long")).alias("keyword_lines"),
+            F.try_divide(tmpl_chars.cast("double"),
+                         total_chars).alias("template_char_share"),
+            F.try_divide(kw_chars.cast("double"),
+                         total_chars).alias("keyword_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def boilerplate_card_demo(t: dict) -> DataFrame:
+    """Driver-entry form over the documents table (staged, SURVEY H15)."""
+    return boilerplate_card(t["documents"])
+
+
+def boilerplate_card_oracle(min_docs: int = BOILER_MIN_DOCS) -> str:
+    # lockstep: BOILER_MIN_DOCS + BOILER_KEYWORD_RE are shared knobs;
+    # line definition = trimmed, non-blank split on chr(10), exactly
+    # the engine's. Grouping by line text (vs the engine's xxhash64
+    # key) yields the same groups.
+    return f"""
+    WITH lines AS (
+        SELECT source, doc_id, trim(l) AS line
+        FROM (
+            SELECT source, doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        )
+        WHERE trim(l) <> ''
+    ), template AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ), flagged AS (
+        SELECT source, length(line) AS n_chars,
+               line IN (SELECT line FROM template) AS is_template,
+               regexp_matches(line, '{BOILER_KEYWORD_RE}') AS is_keyword
+        FROM lines
+    )
+    SELECT source,
+           COUNT(*) AS n_lines,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN is_template THEN 1 ELSE 0 END) AS BIGINT)
+               AS template_lines,
+           CAST(SUM(CASE WHEN is_keyword THEN 1 ELSE 0 END) AS BIGINT)
+               AS keyword_lines,
+           CAST(SUM(CASE WHEN is_template THEN n_chars ELSE 0 END) AS DOUBLE)
+               / NULLIF(SUM(n_chars), 0) AS template_char_share,
+           CAST(SUM(CASE WHEN is_keyword THEN n_chars ELSE 0 END) AS DOUBLE)
+               / NULLIF(SUM(n_chars), 0) AS keyword_char_share
+    FROM flagged
+    GROUP BY source ORDER BY source
+    """
+
+
 def url_dedup_card(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host URL-duplication card: (host, n_urls, n_canonical,
     dup_share) where n_canonical counts DISTINCT normalised urls — the
@@ -159,7 +284,7 @@ def url_dedup_card(docs: DataFrame, url_col: str = "url") -> DataFrame:
     resource under many spellings (tracking params, fragments, case).
 
     One scan; the aggregate shuffles (host, canonical-url) pairs onto
-    \|hosts\| groups — at 100 TB this is the standard two-level
+    |hosts| groups — at 100 TB this is the standard two-level
     distinct-count shape and the card is host-bounded.
     """
     canon = url_normalize(F.col(url_col))

@@ -136,11 +136,18 @@ def price_quantiles(t: Tables) -> DataFrame:
         for q in QUANTILES
     ]
     counts = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
-    quants = vals.groupBy("l_returnflag").agg(*aggs)
+    quants = vals.groupBy("l_returnflag").agg(*aggs) \
+        .withColumnRenamed("l_returnflag", "rf")
     # left join: a group whose every price is NULL keeps its row count
-    # and reports NULL quantiles (percentile_disc over zero values)
+    # and reports NULL quantiles (percentile_disc over zero values).
+    # NULL-SAFE equality: GROUP BY groups NULL flags together in both
+    # engines, but a plain equi-join would never match that group's two
+    # halves, reporting NULL quantiles where DuckDB returns real values
+    # (ADVICE r7). EqualNullSafe is a hash-joinable key, so the plan is
+    # unchanged.
     return (
-        counts.join(quants, "l_returnflag", "left")
+        counts.join(quants, F.col("l_returnflag").eqNullSafe(F.col("rf")),
+                    "left")
         .select("l_returnflag", "n_rows",
                 *[f"p{int(q * 100)}" for q in QUANTILES])
         .orderBy("l_returnflag")

@@ -80,16 +80,32 @@ def asof_join(t: Tables, left_type: str = "purchase",
 
 def asof_join_oracle(left_type: str = "purchase",
                      right_type: str = "click") -> str:
+    # NULL (user_id, ts) rows are excluded from the ASOF and unioned
+    # back unmatched — the adjudicated semantic (a NULL key never
+    # matches) stated EXPLICITLY: DuckDB's ASOF sort machinery treats a
+    # NULL probe ts as +inf and would match the user's LATEST right
+    # event (r8 rel-fuzz seed 9201), which is not the engine's (or
+    # SQL's three-valued) reading of `b.ts <= a.ts`.
     return f"""
     SELECT a.event_id,
            a.user_id,
            floor(epoch(a.ts))::BIGINT AS left_ts,
            floor(epoch(b.ts))::BIGINT AS right_ts,
            floor(epoch(a.ts))::BIGINT - floor(epoch(b.ts))::BIGINT AS gap_s
-    FROM (SELECT * FROM events WHERE event_type = '{left_type}') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}') b
+    FROM (SELECT * FROM events WHERE event_type = '{left_type}'
+          AND user_id IS NOT NULL AND ts IS NOT NULL) a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}'
+                    AND user_id IS NOT NULL AND ts IS NOT NULL) b
         ON a.user_id = b.user_id AND b.ts <= a.ts
-    ORDER BY a.event_id
+    UNION ALL
+    SELECT event_id, user_id,
+           floor(epoch(ts))::BIGINT AS left_ts,
+           CAST(NULL AS BIGINT) AS right_ts,
+           CAST(NULL AS BIGINT) AS gap_s
+    FROM events
+    WHERE event_type = '{left_type}'
+      AND (user_id IS NULL OR ts IS NULL)
+    ORDER BY event_id
     """
 
 

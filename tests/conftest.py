@@ -29,3 +29,10 @@ def tables(spark):
     from resin_spark.io import load_tables
 
     return load_tables(spark, SF_SMALL)
+
+
+@pytest.fixture(scope="session")
+def tables_med(spark):
+    from resin_spark.io import load_tables
+
+    return load_tables(spark, SF_MED)

@@ -124,10 +124,12 @@ def edge_dir_emb(spark, edge_dir):
 
 
 def _staged_pairs():
-    from resin_spark.operators import (dedup, health, pipeline,
+    from resin_spark.operators import (dedup, extract, health, pipeline,
                                         retrieval, textops, traindata)
 
     return [
+        ("boilerplate_card", extract.boilerplate_card_demo,
+         extract.boilerplate_card_oracle(), False),
         ("perplexity_threshold_curve", traindata.perplexity_threshold_curve,
          traindata.perplexity_threshold_curve_oracle(), False),
         ("shard_manifest", traindata.shard_manifest,

@@ -624,14 +624,22 @@ def _rel_compare(spark, tmpdir, seed, name):
         f"{name} first diff: {[p for p in zip(sset, oset) if p[0] != p[1]][:3]}"
 
 
+@pytest.mark.parametrize("seed", [9000, 9106])
 def test_price_quantiles_null_prices_match_percentile_disc(
-        spark, tmp_path_factory):
-    """Regression (r7 rel-fuzz seed 9000, fixed r7 — price_quantiles is
-    in the r7 window): NULL l_extendedprice rows used to occupy window
-    ranks (Spark ASC = NULLS FIRST), shifting every quantile position,
-    while percentile_disc skips NULLs; the rank window now runs over
-    the non-NULL subset and an all-NULL group reports NULL quantiles."""
-    _rel_compare(spark, tmp_path_factory.mktemp("relq"), 9000,
+        spark, tmp_path_factory, seed):
+    """Regression (r7 rel-fuzz, fixed r7 — price_quantiles was in the
+    r7 window): NULL l_extendedprice rows used to occupy window ranks
+    (Spark ASC = NULLS FIRST), shifting every quantile position, while
+    percentile_disc skips NULLs; the rank window now runs over the
+    non-NULL subset and an all-NULL group reports NULL quantiles.
+
+    r8 (ADVICE): _FLAGS now generates NULL l_returnflag, and the
+    counts-to-quantiles join is NULL-SAFE — a plain equi-join dropped
+    the NULL-flag group's quantiles where both engines' GROUP BY keeps
+    the group. Seed 9000 = NULL-flag group with real prices; 9106 =
+    NULL-flag group whose every price is NULL (scanned classes under
+    the r8 generator)."""
+    _rel_compare(spark, tmp_path_factory.mktemp("relq"), seed,
                  "price_quantiles")
 
 
@@ -651,19 +659,33 @@ def test_price_quantiles_null_prices_match_percentile_disc(
      "(user_id, ts) only and the excluded left rows union back with "
      "matched=NULL (the _sessions adjudication applied to the as-of "
      "shape)."),
+    (9201, "events_asof_join",
+     "second r8 find, same day: DuckDB's ASOF sort machinery treats a "
+     "NULL probe ts as +inf and matched a NULL-ts purchase to the "
+     "user's LATEST click, violating the adjudicated 'NULL keys never "
+     "match' semantic (and SQL's own b.ts <= NULL). Fixed by stating "
+     "the adjudication explicitly in the ORACLE: NULL-keyed left rows "
+     "are excluded from the ASOF and unioned back unmatched."),
     (9001, "events_funnel",
      "a NULL user_id survived the engine's groupBy/pivot chain as a "
      "countable 'user' at every step, but the oracle's step-k JOIN "
      "USING (user_id) dropped it after step 0. Fixed r8: NULL user_id "
      "filtered on BOTH sides (a NULL user is not a user — the "
      "_sessions adjudication)."),
-    (9106, "agg_rollup",
+    (9003, "agg_rollup",
      "Spark's rollup() over an EMPTY relation yields zero rows, while "
      "SQL-standard GROUP BY ROLLUP (DuckDB) emits the grand-total "
      "grouping-set row (COUNT=0) even on empty input. Fixed r8: the "
      "(a,b) and (a) levels run as grouping sets and an always-present "
      "global .agg() row supplies the () level (a global aggregate "
-     "returns one row on empty input in both engines)."),
+     "returns one row on empty input in both engines). Seed was 9106 "
+     "pre-r8; the _FLAGS NULL addition shifted the rng streams and "
+     "9003 is the first empty-lineitem seed under the r8 generator."),
+    (9000, "agg_rollup",
+     "r8 generator NULL l_returnflag coverage: real NULL group keys "
+     "must conflate with rollup-subtotal NULLs identically in both "
+     "engines (COALESCE 'ALL' multiset equality across the (a,b)/(a)/"
+     "() levels)."),
 ])
 def test_rel_degenerate_dataset_matches_oracle(spark, tmp_path_factory,
                                                seed, name, reason):

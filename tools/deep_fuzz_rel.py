@@ -55,7 +55,10 @@ _NAMES = ["alpha", "Büro", "７漢", "", "x", "a b", None]
 _SEGMENTS = ["BUILDING", "MACHINERY", None, ""]
 _STATUS = ["O", "F", "P"]
 _PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW", None]
-_FLAGS = ["A", "N", "R"]
+# None: NULL group keys are fair game — GROUP BY groups them together
+# in both engines but equi-joins/windows over the key diverge (the
+# price_quantiles NULL-flag join, ADVICE r7); the fuzz must cover them.
+_FLAGS = ["A", "N", "R", None]
 _LINESTATUS = ["O", "F"]
 _ETYPES = ["click", "view", "purchase", "signup", None]
 _PROPS = ['{"k": 1}', '{"k": "v", "n": 2.5}', "{}", "not json", "", None,
