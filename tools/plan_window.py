@@ -45,23 +45,27 @@ from audit_window import (  # noqa: E402
 # --- §6 policy state (SURVEY.md; edit HERE when the policy changes) ----------
 
 # Judge-ranked promotion queue, highest verified-surface-per-slot first.
+# r8 promoted dataset_card_typed + hybrid_search_rrf (slack 1 + the
+# phrase_topk_indexed twin retirement); the queue below is the r9+
+# order. boilerplate_card appended (new r8 staged op, SURVEY H15).
 PROMOTION_QUEUE = [
-    "dataset_card_typed", "hybrid_search_rrf", "cluster_split",
-    "shard_manifest", "warc_ingest", "ann_topk_ivf_indexed",
-    "encoding_anomalies", "source_overlap_matrix", "mixture_plan",
-    "lang_confusion", "cdc_chunk_stats", "table_profile",
+    "cluster_split", "shard_manifest", "warc_ingest",
+    "ann_topk_ivf_indexed", "encoding_anomalies", "source_overlap_matrix",
+    "mixture_plan", "lang_confusion", "cdc_chunk_stats", "table_profile",
     "dup_cluster_histogram", "profile_drift", "source_divergence",
     "vocab_coverage", "dedup_threshold_curve", "apply_mixture",
     "length_histogram", "chunk_documents", "search_snippets",
     "dataset_split", "split_leakage", "perplexity_threshold_curve",
     "semantic_split_leakage", "search_facets", "q4_order_priority",
-    "q22_idle_customers",
+    "q22_idle_customers", "boilerplate_card",
 ]
 
 # Entries that retire to retired_queries() once the latest artifact
 # shows them green (§6 item 3: their fix/verification condition met).
-RETIREMENT_SLATE = ["mm_binary_meta", "mm_frame_sample", "mm_resize_plan",
-                    "mm_feature_extract"]
+# The r8 slate (four mm_* + phrase_topk_indexed) executed in r8; no
+# retirement is currently slated — §6 allows a new entry here only
+# with a pinned row-identical twin already driver-checked.
+RETIREMENT_SLATE: list[str] = []
 
 
 def _latest_artifact():
