@@ -167,6 +167,28 @@ BOILER_KEYWORD_RE = (
 )
 
 
+def boiler_line_rows(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, line, lh, n_chars, is_keyword) for every
+    non-blank trimmed line — the stateless line-classification frame
+    SHARED VERBATIM between the batch card and its streaming keyword
+    twin (streaming/quality.stream_boilerplate_keywords), so the two
+    faces cannot drift. Works unchanged on a static or streaming
+    DataFrame (explode + row-local expressions only)."""
+    return (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("source", "doc_id",
+                F.explode(F.split("text", "\n")).alias("raw"))
+        .select("source", "doc_id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .select(
+            "source", "doc_id", "line",
+            F.xxhash64("line").alias("lh"),
+            F.length("line").alias("n_chars"),
+            F.col("line").rlike(BOILER_KEYWORD_RE).alias("is_keyword"),
+        )
+    )
+
+
 def boilerplate_card(docs: DataFrame,
                      min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
     """Per-source boilerplate-mass card: how much of the extracted text
@@ -192,14 +214,7 @@ def boilerplate_card(docs: DataFrame,
     hunted (AQE-skew-split territory at web scale, same note as
     line_dedup_stats).
     """
-    lines = (
-        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("source", "doc_id",
-                F.explode(F.split("text", "\n")).alias("raw"))
-        .select("source", "doc_id", F.trim("raw").alias("line"))
-        .filter(F.col("line") != "")
-        .withColumn("lh", F.xxhash64("line"))
-    )
+    lines = boiler_line_rows(docs)
     template = (
         lines.groupBy("lh")
         .agg(F.countDistinct("doc_id").alias("n_docs_with_line"))
@@ -208,9 +223,9 @@ def boilerplate_card(docs: DataFrame,
     )
     flagged = lines.join(template, "lh", "left").select(
         "source",
-        F.length("line").alias("n_chars"),
+        "n_chars",
         F.coalesce("is_template", F.lit(False)).alias("is_template"),
-        F.col("line").rlike(BOILER_KEYWORD_RE).alias("is_keyword"),
+        "is_keyword",
     )
     tmpl_chars = F.sum(F.when(F.col("is_template"),
                               F.col("n_chars")).otherwise(F.lit(0)))

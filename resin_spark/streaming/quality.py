@@ -791,3 +791,46 @@ def stream_warc_ingest(spark: SparkSession, warc_dir: str,
         .mapInPandas(warc_record_batches(keep), WARC_SCHEMA)
     )
     return warc_extract_text(stream)
+
+
+def stream_boilerplate_keywords(spark: SparkSession,
+                                docs_parquet_dir: str) -> DataFrame:
+    """Ingestion-time face of the H15 boilerplate card's KEYWORD half:
+    per-source running (n_lines, n_chars, keyword_lines,
+    keyword_char_share) over arriving docs — a crawl build watches
+    template keyword mass accumulate as shards land, before a batch
+    card ever runs.
+
+    The line-classification frame is extract.boiler_line_rows, shared
+    VERBATIM with the batch card; the running totals are one bounded
+    streaming aggregate (|sources| rows of three counters, forever).
+    The TEMPLATE half (repeated-line doc frequency) is deliberately
+    NOT streamed: it needs a corpus-global distinct-doc count per line
+    plus a join back to the line stream — two stateful operators whose
+    composition Structured Streaming cannot run in one query, and a
+    running doc-frequency verdict would flip lines from unique to
+    template mid-stream anyway (retrospective by nature). Once the
+    directory drains, the complete-mode table equals the batch card's
+    keyword columns row-for-row (pinned in tests)."""
+    from resin_spark.operators.extract import boiler_line_rows
+
+    schema = spark.read.parquet(docs_parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_parquet_dir)
+    )
+    kw_chars = F.sum(F.when(F.col("is_keyword"),
+                            F.col("n_chars")).otherwise(F.lit(0)))
+    total_chars = F.sum("n_chars")
+    return (
+        boiler_line_rows(stream)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            total_chars.cast("long").alias("n_chars"),
+            F.sum(F.col("is_keyword").cast("long")).alias("keyword_lines"),
+            F.try_divide(kw_chars.cast("double"),
+                         total_chars).alias("keyword_char_share"),
+        )
+    )

@@ -87,3 +87,42 @@ def test_boilerplate_card_plan_text_never_shuffles(tables):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "line#" not in m.group(1), m.group(0)
+
+
+def test_stream_boilerplate_keywords_matches_batch(spark, tmp_path):
+    """Once the directory drains, the complete-mode keyword table must
+    equal the batch card's keyword columns row-for-row (the shared
+    boiler_line_rows frame makes drift structurally impossible; this
+    pins the aggregate algebra)."""
+    from resin_spark.io import load_tables
+    from resin_spark.streaming import quality as q
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"] \
+        .filter(F.col("doc_id").isNotNull())
+    src_dir = tmp_path / "docs_in"
+    docs.repartition(4).write.parquet(str(src_dir))   # several triggers
+
+    batch = {
+        (r["source"], r["n_lines"], r["n_chars"], r["keyword_lines"],
+         None if r["keyword_char_share"] is None
+         else round(r["keyword_char_share"], 12))
+        for r in extract.boilerplate_card(
+            spark.read.parquet(str(src_dir))).collect()
+    }
+    sq = (
+        q.stream_boilerplate_keywords(spark, str(src_dir))
+        .writeStream.format("memory")
+        .queryName("boiler_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_boiler"))
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {
+        (r["source"], r["n_lines"], r["n_chars"], r["keyword_lines"],
+         None if r["keyword_char_share"] is None
+         else round(r["keyword_char_share"], 12))
+        for r in spark.sql("SELECT * FROM boiler_stream").collect()
+    }
+    assert got == batch

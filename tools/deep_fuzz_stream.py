@@ -324,6 +324,17 @@ def main() -> None:  # noqa: C901 — one twin block per pairing, linear
               _rowset(td.shard_manifest({"documents": docs_id}), cols))
         n_twins += 1
 
+        # keyword half of the H15 boilerplate card (r8): complete-mode
+        # running totals vs the batch card's keyword columns
+        from resin_spark.operators import extract as ex
+        cols = ["source", "n_lines", "n_chars", "keyword_lines",
+                "keyword_char_share"]
+        check(seed, "boilerplate_keywords",
+              _rowset(_drain(spark, sq.stream_boilerplate_keywords(
+                  spark, f"{d}/docs"), f"bk_{tag}", "complete"), cols),
+              _rowset(ex.boilerplate_card(docs_id).select(*cols), cols))
+        n_twins += 1
+
         # --- snapshot-delta twin (old = this corpus, new = mutation) -
         new_rows = _doc_rows(rng)
         new_snap = _write(spark, new_rows, DOCS_SCHEMA, f"{d}/new", rng) \
