@@ -268,7 +268,10 @@ def degen_dir(spark, tmp_path_factory):
 def test_degenerate_dataset_survives(spark, degen_dir, name, reason):
     import __spark_entry__ as entry_mod
 
-    entry_mod.queries()[name](spark, degen_dir).collect()
+    # retirement (§6) moves an entry's registration, not its coverage:
+    # regression subjects are looked up across BOTH registries
+    reg = {**entry_mod.queries(), **entry_mod.retired_queries()}
+    reg[name](spark, degen_dir).collect()
 
 
 # --- overtime-r6 staged ops: split governance + quality curve ------------------
