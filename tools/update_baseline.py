@@ -41,6 +41,14 @@ def parse_existing(md: str):
     end = start
     while end < len(lines) and lines[end].startswith("|"):
         end += 1
+    hdr = [c.strip() for c in lines[start].strip().strip("|").split("|")]
+    # column positions are resolved from the HEADER, not assumed — the
+    # first regeneration changes the layout, and a positional parse of
+    # the regenerated table silently duplicates later columns into
+    # r4/r5 (caught r8)
+    i4 = next(i for i, c in enumerate(hdr) if c.startswith("r4"))
+    i5 = next(i for i, c in enumerate(hdr) if c.startswith("r5 ")
+              or c == "r5 (s)" or c.startswith("r5("))
     rows: dict[str, dict] = {}
     order: list[str] = []
     for line in lines[start + 2:end]:
@@ -48,8 +56,7 @@ def parse_existing(md: str):
         name = cells[0].strip("* ")
         if name == "total":
             continue
-        # historical table: query, r2, r3, r4, r5, r5/r4, note
-        rows[name] = {"r4": cells[3], "r5": cells[4], "note": cells[-1]}
+        rows[name] = {"r4": cells[i4], "r5": cells[i5], "note": cells[-1]}
         order.append(name)
     return "\n".join(lines[:start]), "\n".join(lines[end:]), rows, order
 
