@@ -50,14 +50,18 @@ from audit_window import (  # noqa: E402
 # order. boilerplate_card appended (new r8 staged op, SURVEY H15).
 PROMOTION_QUEUE = [
     "cluster_split", "shard_manifest", "warc_ingest",
-    "ann_topk_ivf_indexed", "encoding_anomalies", "source_overlap_matrix",
+    "ann_topk_ivf_indexed",
+    # q4/q22 bumped to the r9-reachable band (VERDICT r7 item 5 named
+    # them): the only A-block rows never driver-checked, pinning the
+    # LeftSemi and LeftAnti+broadcast-scalar join shapes
+    "q4_order_priority", "q22_idle_customers",
+    "encoding_anomalies", "source_overlap_matrix",
     "mixture_plan", "lang_confusion", "cdc_chunk_stats", "table_profile",
     "dup_cluster_histogram", "profile_drift", "source_divergence",
     "vocab_coverage", "dedup_threshold_curve", "apply_mixture",
     "length_histogram", "chunk_documents", "search_snippets",
     "dataset_split", "split_leakage", "perplexity_threshold_curve",
-    "semantic_split_leakage", "search_facets", "q4_order_priority",
-    "q22_idle_customers", "boilerplate_card",
+    "semantic_split_leakage", "search_facets", "boilerplate_card",
 ]
 
 # Entries that retire to retired_queries() once the latest artifact
