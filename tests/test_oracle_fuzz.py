@@ -695,3 +695,61 @@ def test_rel_degenerate_dataset_matches_oracle(spark, tmp_path_factory,
     """Regressions for the four r7 rel-fuzz pins — all four r8 fixes
     landed in their due rotation slots (window contract)."""
     _rel_compare(spark, tmp_path_factory.mktemp("relx"), seed, name)
+
+
+def test_props_json_integral_gate_shapes(spark, tmp_path_factory):
+    """Hand-built battery for the r8 events_props_json semantics (the
+    fuzz-seed replays depend on the generator's rng streams; this
+    corpus is generator-proof). The shared contract: k counts only
+    INTEGRAL-shaped values after JSON extraction — everything else is
+    NULL on both engines, because native casts disagree ('3.5': Spark
+    string→bigint truncates to 3, DuckDB TRY_CAST rounds to 4; '"v"':
+    DuckDB plain CAST throws; booleans/objects/malformed: assorted)."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, ts, 1, "click", 1.0, '{"k": 1}'),          # integral number
+        (2, ts, 1, "click", 1.0, '{"k": -7}'),         # negative integral
+        (3, ts, 1, "click", 1.0, '{"k": 3.5}'),        # fractional: NULL
+        (4, ts, 1, "click", 1.0, '{"k": "5"}'),        # quoted digits: 5
+        (5, ts, 1, "click", 1.0, '{"k": "v"}'),        # string: NULL
+        (6, ts, 1, "click", 1.0, '{"k": true}'),       # boolean: NULL
+        (7, ts, 1, "click", 1.0, '{"k": null}'),       # JSON null
+        (8, ts, 1, "click", 1.0, '{"k": {"n": 1}}'),   # object: NULL
+        (9, ts, 1, "click", 1.0, '{"k": [1]}'),        # array: NULL
+        (10, ts, 1, "view", 1.0, "not json"),          # malformed
+        (11, ts, 1, "view", 1.0, ""),                  # empty string
+        (12, ts, 1, "view", 1.0, None),                # NULL props
+        (13, ts, 1, "view", 1.0, "{}"),                # k absent
+        (14, ts, 1, "view", 1.0, '{"k": "007"}'),      # leading zeros: 7
+    ]
+    d = tmp_path_factory.mktemp("propsbat")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = entry_mod.queries()["events_props_json"](spark, str(d))
+    got = {r["event_type"]: (r["n_with_k"], r["sum_k"], r["min_k"],
+                             r["max_k"]) for r in out.collect()}
+    # click: counted k = {1, -7, 5 (quoted digits)}; fractional/string/
+    # boolean/null/object/array all gate to NULL
+    assert got["click"] == (3, -1, -7, 5)
+    # view: only the leading-zeros row parses ("007" -> 7); malformed/
+    # empty/NULL/absent all gate to NULL
+    assert got["view"] == (1, 7, 7, 7)
+
+    # and the oracle agrees on the same corpus
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet/*.parquet')")
+        orows = con.execute(entry_mod.oracle_sql()["events_props_json"]) \
+            .fetchall()
+    finally:
+        con.close()
+    o = {r[0]: tuple(r[1:]) for r in orows}
+    assert o == got
