@@ -457,6 +457,40 @@ def cmd_hybrid(flags: dict, spark: SparkSession, log=print) -> int:
     return 0
 
 
+def cmd_ingest(flags: dict, spark: SparkSession, log=print) -> int:
+    """Crawl ingest: WARC segments → documents-shaped parquet.
+    --warc <dir of .warc/.warc.gz>, --out <parquet dir> (omit for a
+    dry run that only counts), --extractor full|blocks|main (default
+    full: all visible text flat; blocks: lossless one-block-per-line;
+    main: jusText-style main-content classification), --compare (print
+    the per-host extraction_compare_card instead of/before writing)."""
+    from resin_spark.operators import extract
+
+    warc = rio.read_warc(spark, flags["warc"])
+    if "compare" in flags:
+        log("-- extraction compare (full vs main, per host) --")
+        for r in extract.extraction_compare_card(warc).collect():
+            share = (f"{r['main_kept_share']:.3f}"
+                     if r["main_kept_share"] is not None else "-")
+            log(f"{r['host']}: {r['n_docs']} docs, {r['chars_all']} chars "
+                f"-> {r['chars_main']} main (kept {share})")
+    kind = (flags.get("extractor") or "full").lower()
+    fns = {"full": None, "blocks": extract.html_block_text,
+           "main": extract.html_main_text}
+    if kind not in fns:
+        log(f"unknown extractor: {kind} (one of {'|'.join(fns)})")
+        return 0
+    docs = extract.warc_extract_text(warc, extractor=fns[kind])
+    out = flags.get("out")
+    if out:
+        docs.write.mode("overwrite").parquet(out)
+        docs = spark.read.parquet(out)
+    n, chars = docs.selectExpr("count(*)", "sum(n_chars)").first()
+    log(f"ingested {n} doc(s), {chars or 0} chars via extractor={kind}"
+        + (f" -> {out}" if out else " (dry run, nothing written)"))
+    return 0
+
+
 COMMANDS = {
     "lexicon": cmd_lexicon,
     "validatelexicon": cmd_validatelexicon,
@@ -469,6 +503,7 @@ COMMANDS = {
     "vsearch": cmd_vsearch,
     "hybrid": cmd_hybrid,
     "health": cmd_health,
+    "ingest": cmd_ingest,
 }
 
 

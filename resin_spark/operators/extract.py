@@ -70,6 +70,168 @@ def html_to_text(html: str) -> str:
     return _WS_RE.sub(" ", " ".join(p.parts)).strip()
 
 
+# --- main-content extraction (the H15 trafilatura-class seam, filled) -----
+#
+# A jusText/readability-style block classifier in pure stdlib (Pomikálek
+# 2011's paragraph heuristics, simplified and made deterministic): the
+# page is segmented into text blocks at block-level tag boundaries, each
+# block scored by link density + length + subtree role, and only blocks
+# classified "good" (plus shorts/headings adjacent to good prose) are
+# kept. This is the main-content extractor SURVEY H15 documents as the
+# drop-in for ``html_to_text`` — nav bars, footers, cookie banners and
+# link farms never reach the corpus instead of being measured after the
+# fact by boilerplate_card.
+
+# tags that end an inline run — a visible-text block boundary
+_BLOCK_TAGS = {
+    "address", "article", "aside", "blockquote", "body", "br", "caption",
+    "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "html",
+    "li", "main", "nav", "ol", "p", "pre", "section", "table", "tbody",
+    "td", "tfoot", "th", "thead", "tr", "ul",
+}
+# subtrees that are chrome by construction, whatever their text says
+_BAD_SUBTREES = {"nav", "header", "footer", "aside", "form"}
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+# a low-link-density block this long is prose (jusText's max_length_low
+# neighbourhood); shorter blocks need a good neighbour to survive
+MAIN_MIN_BLOCK_CHARS = 80
+# above this share of characters inside <a>, a block is link chrome
+MAIN_MAX_LINK_DENSITY = 0.33
+
+
+class _BlockCollector(HTMLParser):
+    """Segments visible text into blocks, tracking per block the chars
+    contributed inside <a> (link density), whether the block sits inside
+    a chrome subtree, and whether it is a heading. Suppresses <title> on
+    top of html_to_text's skip set — document metadata, not content (the
+    cascade would otherwise promote it above the first heading)."""
+
+    _SKIP = _TextCollector._SKIP | {"title"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._bad = 0
+        self._link = 0
+        self._head = 0
+        self._open_new = True
+        self.blocks: list[dict] = []
+
+    def _cur(self) -> dict:
+        if self._open_new or not self.blocks:
+            self.blocks.append({"parts": [], "link_parts": [],
+                                "bad": self._bad > 0,
+                                "heading": self._head > 0})
+            self._open_new = False
+        return self.blocks[-1]
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip += 1
+            return
+        if tag in _BAD_SUBTREES:
+            self._bad += 1
+        if tag == "a":
+            self._link += 1
+        if tag in _HEADINGS:
+            self._head += 1
+        if tag in _BLOCK_TAGS:
+            self._open_new = True
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP:
+            if self._skip > 0:
+                self._skip -= 1
+            return
+        if tag in _BAD_SUBTREES and self._bad > 0:
+            self._bad -= 1
+        if tag == "a" and self._link > 0:
+            self._link -= 1
+        if tag in _HEADINGS and self._head > 0:
+            self._head -= 1
+        if tag in _BLOCK_TAGS:
+            self._open_new = True
+
+    def handle_data(self, data):
+        if self._skip or not data.strip():
+            return
+        b = self._cur()
+        b["parts"].append(data)
+        if self._link > 0:
+            b["link_parts"].append(data)
+
+
+def html_block_text(html: str) -> str:
+    """ALL visible text, one block per line — ``html_to_text``'s content
+    with ``html_main_text``'s block structure and no classification
+    (<title> suppressed like the main extractor; it is metadata). The
+    right extractor seam when downstream line-level ops
+    (line_dedup_stats, boilerplate_card) should see real block
+    boundaries but extraction must stay lossless."""
+    p = _BlockCollector()
+    p.feed(html)
+    p.close()
+    out = []
+    for b in p.blocks:
+        text = _WS_RE.sub(" ", " ".join(b["parts"])).strip()
+        if text:
+            out.append(text)
+    return "\n".join(out)
+
+
+def html_main_text(html: str) -> str:
+    """Main-content text of an HTML document, one kept block per line.
+
+    Deterministic three-step classification:
+
+    1. segment into blocks at block-tag boundaries (script/style/
+       template/noscript suppressed exactly as in ``html_to_text``);
+    2. label each block — **bad** if inside nav/header/footer/aside/form
+       or link density > ``MAIN_MAX_LINK_DENSITY``; **good** if a
+       non-heading block of ≥ ``MAIN_MIN_BLOCK_CHARS`` normalised chars;
+       **short** otherwise (headings always start short);
+    3. context passes in fixed order — one forward sweep promotes a
+       short block whose predecessor ended up good, then one backward
+       sweep promotes a short whose successor is good; both cascade
+       through runs of shorts (jusText's near-good rule), so captions
+       between paragraphs and the title above its article survive,
+       while shorts not touching any good prose die.
+
+    A page with no good block (link farm, bare chrome) yields "" — at
+    crawl scale that IS the extraction verdict, and the empty-text row
+    is what the downstream quality gates expect to drop. Blocks join
+    with newlines so line-level ops (line_dedup_stats, boilerplate_card)
+    see real block boundaries instead of one flat line.
+    """
+    p = _BlockCollector()
+    p.feed(html)
+    p.close()
+    blocks: list[tuple[str, bool]] = []  # (text, heading)
+    labels: list[str] = []
+    for b in p.blocks:
+        text = _WS_RE.sub(" ", " ".join(b["parts"])).strip()
+        if not text:
+            continue
+        a_len = len(_WS_RE.sub(" ", " ".join(b["link_parts"])).strip())
+        link_density = a_len / len(text)
+        if b["bad"] or link_density > MAIN_MAX_LINK_DENSITY:
+            labels.append("bad")
+        elif len(text) >= MAIN_MIN_BLOCK_CHARS and not b["heading"]:
+            labels.append("good")
+        else:
+            labels.append("short")
+        blocks.append((text, b["heading"]))
+    for i in range(1, len(labels)):
+        if labels[i] == "short" and labels[i - 1] == "good":
+            labels[i] = "good"
+    for i in range(len(labels) - 2, -1, -1):
+        if labels[i] == "short" and labels[i + 1] == "good":
+            labels[i] = "good"
+    return "\n".join(t for (t, _), lab in zip(blocks, labels)
+                     if lab == "good")
+
+
 def _decode(body: bytes, header: bytes) -> str:
     m = _CHARSET_RE.search(header)
     if m:
@@ -80,12 +242,18 @@ def _decode(body: bytes, header: bytes) -> str:
     return body.decode("utf-8", errors="replace")
 
 
-def warc_extract_text(warc: DataFrame) -> DataFrame:
+def warc_extract_text(warc: DataFrame, extractor=None) -> DataFrame:
     """WARC response rows → documents-shaped frame: (doc_id, url, text,
     n_chars, source). doc_id is xxhash64(url || warc_date) — computed
     JVM-side AFTER extraction, deterministic across runs/partitionings
     (re-crawls of a url at a new date are new docs, which is what
     incremental dedup expects to adjudicate).
+
+    ``extractor`` is the html→text seam SURVEY H15 documents: default
+    ``html_to_text`` (all visible text), pass ``html_main_text`` for
+    main-content extraction (boilerplate stripped at the source). Must
+    be a module-level callable (it ships to executors in the Arrow
+    closure).
 
     Scale: one Arrow pass per record batch, no shuffle anywhere; the
     binary payload column dies inside the pass, so everything
@@ -95,6 +263,7 @@ def warc_extract_text(warc: DataFrame) -> DataFrame:
     not the extractor's).
     """
     schema = "url string, warc_date string, text string"
+    extract_fn = extractor or html_to_text
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +271,7 @@ def warc_extract_text(warc: DataFrame) -> DataFrame:
             for uri, date, blob in zip(pdf["target_uri"], pdf["warc_date"],
                                        pdf["payload"]):
                 header, body = http_split(bytes(blob))
-                texts.append(html_to_text(_decode(body, header)))
+                texts.append(extract_fn(_decode(body, header)))
                 urls.append(uri)
                 dates.append(date)
             yield pd.DataFrame(
@@ -314,5 +483,49 @@ def url_dedup_card(docs: DataFrame, url_col: str = "url") -> DataFrame:
             F.try_divide(
                 (F.col("n_urls") - F.col("n_canonical")).cast("double"),
                 F.col("n_urls")))
+        .orderBy("host")
+    )
+
+
+def extraction_compare_card(warc: DataFrame) -> DataFrame:
+    """Per-host A/B of the two extractors over the SAME crawl bytes:
+    (host, n_docs, chars_all, chars_main, main_kept_share) — how much
+    of each host's visible text the main-content classifier keeps. A
+    host near 1.0 is prose-dominant; a host near 0.0 is chrome/link
+    farm, and the card is the evidence for routing it through
+    ``html_main_text`` (or skipping it entirely) before a 100 TB build.
+
+    Both extractions run in ONE Arrow pass per batch (the page is
+    parsed twice but fetched/decoded once, and the payload dies inside
+    the pass); the only shuffle is the |hosts|-group aggregate over
+    16-byte count rows.
+    """
+    schema = "url string, chars_all long, chars_main long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ca, cm = [], [], []
+            for uri, blob in zip(pdf["target_uri"], pdf["payload"]):
+                header, body = http_split(bytes(blob))
+                html = _decode(body, header)
+                urls.append(uri)
+                ca.append(len(html_to_text(html)))
+                cm.append(len(html_main_text(html)))
+            yield pd.DataFrame(
+                {"url": urls, "chars_all": ca, "chars_main": cm})
+
+    host = F.regexp_extract(
+        url_normalize(F.col("url")), r"^[a-z0-9+.-]*://([^/?#]*)", 1)
+    return (
+        warc.select("target_uri", "payload")
+        .mapInPandas(gen, schema)
+        .groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars_all").alias("chars_all"),
+            F.sum("chars_main").alias("chars_main"),
+            F.try_divide(F.sum("chars_main").cast("double"),
+                         F.sum("chars_all")).alias("main_kept_share"),
+        )
         .orderBy("host")
     )

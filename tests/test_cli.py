@@ -414,3 +414,45 @@ def test_cmd_hybrid_bare_trailing_mmr_flag(spark):
          "--k", "3", "--mmr"],
         spark=spark, log=lines.append) == 0
     assert len([l for l in lines if "max sim to picked" in l]) == 3
+
+
+def test_cmd_ingest_extractors_and_compare(spark, tmp_path):
+    from resin_spark.io import warc_segment_bytes
+
+    para = ("a real paragraph of article prose that comfortably clears "
+            "the eighty character main-content threshold for the test")
+    pages = [
+        (f"https://h.test/p{i}",
+         (f'<html><body><nav><a href="/">Home</a> <a href="/a">A</a> '
+          f'<a href="/b">B</a></nav><p>Doc {i}: {para}</p>'
+          f"<footer>All rights reserved</footer></body></html>").encode())
+        for i in range(3)
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(warc_segment_bytes(pages))
+
+    out = []
+    rc = cli.main(["ingest", "--warc", str(d), "--out",
+                   str(tmp_path / "docs_main"), "--extractor", "main",
+                   "--compare"], spark=spark, log=out.append)
+    assert rc == 0
+    txt = "\n".join(out)
+    assert "h.test: 3 docs" in txt and "extractor=main" in txt
+    rows = spark.read.parquet(str(tmp_path / "docs_main")).collect()
+    assert len(rows) == 3
+    assert all("Home" not in r["text"]
+               and "rights reserved" not in r["text"] for r in rows)
+    assert all(para in r["text"] for r in rows)
+
+    # dry run with the lossless block extractor keeps the chrome
+    out2 = []
+    assert cli.main(["ingest", "--warc", str(d), "--extractor", "blocks"],
+                    spark=spark, log=out2.append) == 0
+    assert "dry run" in "\n".join(out2)
+
+    # unknown extractor: notice + exit 0 (Program.cs parity)
+    out3 = []
+    assert cli.main(["ingest", "--warc", str(d), "--extractor", "nope"],
+                    spark=spark, log=out3.append) == 0
+    assert any("unknown extractor" in line for line in out3)

@@ -1,0 +1,198 @@
+"""Main-content extraction (SURVEY H15's trafilatura-class seam,
+filled): html_main_text — a deterministic jusText/readability-style
+block classifier in pure stdlib — plus the warc_extract_text extractor
+seam and the per-host extraction_compare_card A/B. Extraction output is
+parser-defined (no SQL oracle by design, the H15 adjudication); the
+battery pins the classifier's scalar behavior and the Spark plumbing
+end-to-end from WARC bytes, and boilerplate_card measures that the main
+extractor actually removes the template mass the card was built to
+quantify."""
+
+from __future__ import annotations
+
+from resin_spark.operators import extract
+from resin_spark.operators.extract import (
+    MAIN_MIN_BLOCK_CHARS,
+    html_main_text,
+    html_to_text,
+)
+
+PARA1 = ("This is the first real paragraph of the article, long enough "
+         "to clear the prose threshold because it keeps going with "
+         "actual sentences and actual words.")
+PARA2 = ("And this is the second real paragraph, also comfortably "
+         "longer than eighty characters so the classifier treats it as "
+         "good prose content too.")
+
+
+def _page(body: str) -> str:
+    return f"<html><head><title>T</title></head><body>{body}</body></html>"
+
+
+# --- scalar classification battery -----------------------------------------
+
+def test_main_chrome_subtrees_stripped():
+    html = _page(
+        '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>'
+        f"<p>{PARA1}</p>"
+        '<footer>All rights reserved <a href="/p">Privacy</a></footer>'
+        f"<header>Masthead {PARA2}</header>"
+        f"<aside>{PARA2}</aside><form>{PARA2}</form>")
+    m = html_main_text(html)
+    assert PARA1 in m
+    # chrome subtrees die even when their text is long prose
+    assert "Home" not in m and "rights reserved" not in m
+    assert "Masthead" not in m and PARA2 not in m
+
+
+def test_main_link_density_kills_link_farms():
+    farm = "".join(f'<li><a href="/{i}">Item number {i} text</a></li>'
+                   for i in range(30))
+    assert html_main_text(_page(f"<ul>{farm}</ul>")) == ""
+    # prose-length items WITHOUT links are kept (it was the link
+    # density, not the list markup, that killed the farm)
+    plain = "".join(f"<li>Item {i}: {PARA1}</li>" for i in range(3))
+    kept = html_main_text(_page(f"<ul>{plain}</ul>"))
+    assert f"Item 0: {PARA1}" in kept and f"Item 2: {PARA1}" in kept
+
+
+def test_main_heading_promoted_above_good_prose():
+    m = html_main_text(_page(f"<h1>The Title</h1><p>{PARA1}</p>"))
+    assert m.splitlines() == ["The Title", PARA1]
+    # an isolated heading with no good prose anywhere dies
+    assert html_main_text(_page("<h1>The Title</h1>")) == ""
+
+
+def test_main_short_context_cascade_both_directions():
+    html = _page(
+        "<p>intro line</p>"          # short, promoted backward via PARA1
+        f"<p>{PARA1}</p>"
+        "<p>Short caption.</p>"      # short, promoted forward
+        f"<p>{PARA2}</p>"
+        "<p>trailing note</p>")      # short, promoted forward
+    assert html_main_text(html).splitlines() == [
+        "intro line", PARA1, "Short caption.", PARA2, "trailing note"]
+
+
+def test_main_isolated_short_dies():
+    html = _page(
+        "<p>lonely stub</p>"
+        '<div><a href="/x">all link block all link block all link</a></div>'
+        f"<p>{PARA1}</p>")
+    m = html_main_text(html)
+    # the link block separates the stub from the prose: no promotion path
+    assert "lonely stub" not in m and "all link" not in m and PARA1 in m
+
+
+def test_main_script_style_suppressed_and_threshold_boundary():
+    assert html_main_text(_page(f"<script>{PARA1}</script>")) == ""
+    exact = "x" * MAIN_MIN_BLOCK_CHARS
+    assert html_main_text(_page(f"<p>{exact}</p>")) == exact
+    assert html_main_text(_page(f"<p>{exact[:-1]}</p>")) == ""
+
+
+def test_main_empty_and_bare_text():
+    assert html_main_text("") == ""
+    # bare long text with no tags is one good block
+    assert html_main_text(PARA1) == PARA1
+
+
+# --- Spark plumbing: the extractor seam + compare card ----------------------
+
+def _crawl_segment(tmp_path):
+    from resin_spark.io import warc_segment_bytes
+
+    chrome = ('<nav><a href="/">Home</a> | <a href="/a">About</a> | '
+              '<a href="/c">Contact</a></nav>')
+    foot = '<footer>All rights reserved <a href="/p">Privacy Policy</a></footer>'
+    pages = [
+        # article bodies are unique per page — only nav/footer repeat,
+        # so the line-level doc-frequency signal flags exactly them
+        (f"https://site-a.test/art{i}",
+         _page(f"{chrome}<h1>Title {i}</h1><p>Article {i} opens: {PARA1}</p>"
+               f"<p>Article {i} continues: {PARA2}</p>{foot}").encode())
+        for i in range(4)
+    ] + [
+        ("https://farm.test/links",
+         _page("<ul>" + "".join(
+             f'<li><a href="/{i}">Item number {i} here</a></li>'
+             for i in range(30)) + "</ul>").encode()),
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(warc_segment_bytes(pages))
+    return str(d)
+
+
+def test_warc_extractor_seam_end_to_end(spark, tmp_path):
+    from resin_spark.io import read_warc
+
+    warc = read_warc(spark, _crawl_segment(tmp_path))
+    full = extract.warc_extract_text(warc).orderBy("url").collect()
+    main = extract.warc_extract_text(warc, extractor=html_main_text) \
+        .orderBy("url").collect()
+    # same rows, same deterministic ids — only the text column changes
+    assert [r["doc_id"] for r in full] == [r["doc_id"] for r in main]
+    by_url = {r["url"]: r for r in main}
+    art = by_url["https://site-a.test/art0"]
+    assert "Title 0" in art["text"] and PARA1 in art["text"]
+    assert "Home" not in art["text"] and "rights reserved" not in art["text"]
+    assert by_url["https://farm.test/links"]["text"] == ""
+    # every main text is a strict subset (by length) of the full text
+    for f, m in zip(full, main):
+        assert m["n_chars"] <= f["n_chars"]
+
+
+def test_main_extraction_removes_boilerplate_mass(spark, tmp_path):
+    """The A/B the card was built for: template+keyword char share over
+    the SAME crawl drops to zero under the main-content extractor.
+    Baseline is html_block_text — the card is line-level, so the
+    lossless extractor must emit block boundaries for the repeated-line
+    signal to exist at all (html_to_text's single flat line per doc
+    can never repeat across docs)."""
+    from resin_spark.io import read_warc
+
+    from resin_spark.operators.extract import html_block_text
+
+    warc = read_warc(spark, _crawl_segment(tmp_path))
+
+    def card(extractor):
+        docs = extract.warc_extract_text(warc, extractor=extractor)
+        return {r["source"]: r
+                for r in extract.boilerplate_card(docs).collect()}
+
+    full = card(html_block_text)["warc"]
+    main = card(html_main_text)["warc"]
+    assert full["template_char_share"] > 0      # nav+footer repeat 4x
+    assert full["keyword_char_share"] > 0       # "All rights reserved"
+    assert main["template_lines"] == 0 and main["keyword_lines"] == 0
+
+
+def test_block_text_lossless_vs_main(spark, tmp_path):
+    from resin_spark.operators.extract import html_block_text
+
+    html = _page('<nav><a href="/">Home</a></nav>'
+                 f"<h1>Title</h1><p>{PARA1}</p><p>tail note</p>")
+    blocks = html_block_text(html).splitlines()
+    assert blocks == ["Home", "Title", PARA1, "tail note"]
+    # main output is always a sub-sequence of the block output
+    main_lines = html_main_text(html).splitlines()
+    it = iter(blocks)
+    assert all(line in it for line in main_lines)
+
+
+def test_extraction_compare_card(spark, tmp_path):
+    from resin_spark.io import read_warc
+
+    warc = read_warc(spark, _crawl_segment(tmp_path))
+    rows = {r["host"]: r
+            for r in extract.extraction_compare_card(warc).collect()}
+    a, farm = rows["site-a.test"], rows["farm.test"]
+    assert a["n_docs"] == 4 and farm["n_docs"] == 1
+    # article pages keep most of their text; the link farm keeps none
+    assert 0.5 < a["main_kept_share"] < 1.0
+    assert farm["chars_main"] == 0 and farm["main_kept_share"] == 0.0
+    # chars_all equals the default extractor's output length, per host
+    full = extract.warc_extract_text(warc).collect()
+    exp_a = sum(r["n_chars"] for r in full if "site-a" in r["url"])
+    assert a["chars_all"] == exp_a

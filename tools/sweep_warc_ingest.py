@@ -6,6 +6,8 @@ local[32]:
 
   read_warc            — record parse only (payload stays bytes)
   + warc_extract_text  — HTTP split + charset decode + HTMLParser text
+  + html_block_text    — same, block-per-line lossless face
+  + html_main_text     — jusText-style main-content classification
 
 Reported as MB/s of UNCOMPRESSED WARC bytes and pages/s — the numbers
 that size an ingest fleet: segments/hour/executor is wall-clock ÷
@@ -34,12 +36,19 @@ _PARA = ("the quick brown fox jumps over the lazy dog while a crawler "
          "collects paragraphs of visible text from rendered pages ")
 
 
+_CHROME = ('<nav>' + ' | '.join(f'<a href="/s{k}">Section {k}</a>'
+                                for k in range(8)) + '</nav>')
+_FOOTER = ('<footer>All rights reserved — <a href="/privacy">Privacy '
+           'Policy</a> <a href="/tos">Terms of Use</a></footer>')
+
+
 def _page(seg: int, i: int) -> bytes:
     body = ("<html><head><title>Page %d-%d</title>"
             "<style>p{margin:0}</style><script>var x=%d;</script></head>"
-            "<body>%s</body></html>" % (
-                seg, i, i,
-                "".join(f"<p>{_PARA * 3} #{i}-{k}</p>" for k in range(8))))
+            "<body>%s%s%s</body></html>" % (
+                seg, i, i, _CHROME,
+                "".join(f"<p>{_PARA * 3} #{i}-{k}</p>" for k in range(8)),
+                _FOOTER))
     payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
                b"\r\n\r\n" + body.encode())
     head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
@@ -76,11 +85,28 @@ def main() -> None:
     n2, chars = ext.selectExpr("count(*)", "sum(n_chars)").first()
     t2 = time.time() - t0
     assert n1 == n2 == n_pages
+    from resin_spark.operators.extract import html_block_text, html_main_text
+    t0 = time.time()
+    blk = warc_extract_text(read_warc(spark, d), extractor=html_block_text)
+    n3, chars_blk = blk.selectExpr("count(*)", "sum(n_chars)").first()
+    t3 = time.time() - t0
+    t0 = time.time()
+    mn = warc_extract_text(read_warc(spark, d), extractor=html_main_text)
+    n4, chars_main = mn.selectExpr("count(*)", "sum(n_chars)").first()
+    t4 = time.time() - t0
+    assert n3 == n4 == n_pages
     print(f"read_warc (parse only):        {t1:6.2f}s  "
           f"{mb / t1:7.1f} MB/s  {n_pages / t1:8.0f} pages/s")
     print(f"read_warc + extract_text:      {t2:6.2f}s  "
           f"{mb / t2:7.1f} MB/s  {n_pages / t2:8.0f} pages/s  "
           f"({chars / 1e6:.0f} M chars out)")
+    print(f"read_warc + html_block_text:   {t3:6.2f}s  "
+          f"{mb / t3:7.1f} MB/s  {n_pages / t3:8.0f} pages/s  "
+          f"({chars_blk / 1e6:.0f} M chars out)")
+    print(f"read_warc + html_main_text:    {t4:6.2f}s  "
+          f"{mb / t4:7.1f} MB/s  {n_pages / t4:8.0f} pages/s  "
+          f"({chars_main / 1e6:.0f} M chars out, "
+          f"kept {chars_main / chars_blk:.3f} of block text)")
     spark.stop()
     shutil.rmtree(d, ignore_errors=True)
 
