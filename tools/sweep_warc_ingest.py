@@ -75,25 +75,32 @@ def main() -> None:
           f"{mb:.0f} MB uncompressed")
 
     spark = get_spark("sweep-warc-ingest")
-    # warm the JVM/Arrow path on one segment before timing
-    read_warc(spark, os.path.join(d, "seg000.warc.gz")).count()
-    t0 = time.time()
-    n1 = read_warc(spark, d).count()
-    t1 = time.time() - t0
-    t0 = time.time()
-    ext = warc_extract_text(read_warc(spark, d))
-    n2, chars = ext.selectExpr("count(*)", "sum(n_chars)").first()
-    t2 = time.time() - t0
+    # Measured (order-swap experiment, r8): the first few Python/Arrow
+    # stages in a fresh process ramp 7s -> 1.7s for IDENTICAL work
+    # (worker-pool spawn + page cache + interpreter warm-up), so a
+    # single-shot timing charges the ramp to whichever extractor runs
+    # first. Warm with one full extract pass, then take min-of-2 per
+    # stage — the steady-state number a long-running ingest fleet sees.
+    warc_extract_text(read_warc(spark, d)).count()
+
+    def timed(make_df, agg=True):
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            df = make_df()
+            out = (df.selectExpr("count(*)", "sum(n_chars)").first()
+                   if agg else (df.count(), None))
+            best = min(best, time.time() - t0)
+        return best, out
+
+    t1, (n1, _) = timed(lambda: read_warc(spark, d), agg=False)
+    t2, (n2, chars) = timed(lambda: warc_extract_text(read_warc(spark, d)))
     assert n1 == n2 == n_pages
     from resin_spark.operators.extract import html_block_text, html_main_text
-    t0 = time.time()
-    blk = warc_extract_text(read_warc(spark, d), extractor=html_block_text)
-    n3, chars_blk = blk.selectExpr("count(*)", "sum(n_chars)").first()
-    t3 = time.time() - t0
-    t0 = time.time()
-    mn = warc_extract_text(read_warc(spark, d), extractor=html_main_text)
-    n4, chars_main = mn.selectExpr("count(*)", "sum(n_chars)").first()
-    t4 = time.time() - t0
+    t3, (n3, chars_blk) = timed(lambda: warc_extract_text(
+        read_warc(spark, d), extractor=html_block_text))
+    t4, (n4, chars_main) = timed(lambda: warc_extract_text(
+        read_warc(spark, d), extractor=html_main_text))
     assert n3 == n4 == n_pages
     print(f"read_warc (parse only):        {t1:6.2f}s  "
           f"{mb / t1:7.1f} MB/s  {n_pages / t1:8.0f} pages/s")
