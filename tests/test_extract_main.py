@@ -196,3 +196,65 @@ def test_extraction_compare_card(spark, tmp_path):
     full = extract.warc_extract_text(warc).collect()
     exp_a = sum(r["n_chars"] for r in full if "site-a" in r["url"])
     assert a["chars_all"] == exp_a
+
+
+# --- hypothesis fuzz (pure Python, structural invariants) -------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _words = st.lists(
+        st.sampled_from(["alpha", "beta", "the", "of", "x1", "café",
+                         "７漢", "&amp;", "a.b.c", "..."]),
+        min_size=0, max_size=40).map(" ".join)
+    _tag = st.sampled_from(["p", "div", "li", "h2", "span", "b", "nav",
+                            "footer", "td", "br", "a", "script", "title"])
+
+    @st.composite
+    def _html(draw):
+        n = draw(st.integers(0, 12))
+        parts = []
+        for _ in range(n):
+            tag = draw(_tag)
+            txt = draw(_words)
+            shape = draw(st.integers(0, 3))
+            if shape == 0:
+                parts.append(f"<{tag}>{txt}</{tag}>")
+            elif shape == 1:          # unclosed
+                parts.append(f"<{tag}>{txt}")
+            elif shape == 2:          # stray close
+                parts.append(f"{txt}</{tag}>")
+            else:                     # bare text
+                parts.append(txt)
+        return "".join(parts)
+
+    @given(_html())
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_main_never_crashes_and_is_subsequence(html):
+        from resin_spark.operators.extract import (html_block_text,
+                                                   html_main_text)
+
+        blocks = html_block_text(html).splitlines()
+        main = html_main_text(html).splitlines()
+        # main is a sub-sequence of the lossless block lines
+        it = iter(blocks)
+        assert all(line in it for line in main)
+        # no blank lines, no leading/trailing whitespace ever
+        for line in blocks + main:
+            assert line == line.strip() and line != ""
+
+    @given(_html())
+    @settings(max_examples=150, deadline=None)
+    def test_fuzz_main_blocks_idempotent_reparse(html):
+        """Re-extracting an extractor's own output (plain text, no tags
+        beyond what the corpus text happens to contain) is stable: block
+        extraction of block output reproduces it."""
+        from resin_spark.operators.extract import html_block_text
+
+        once = html_block_text(html)
+        if "<" in once or "&" in once:
+            return  # corpus text that parses as markup is out of scope
+        assert html_block_text(once.replace("\n", "<br>")) == once
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
