@@ -1004,9 +1004,19 @@ def source_divergence(docs: DataFrame) -> DataFrame:
     the source's distribution equals the corpus's.
 
     Cross-engine exactness (the nb_lang_classify recipe,
-    traindata.py:860): both ratios are exact long→double divisions,
-    log2 is rounded to 6 decimals at the per-token grain, and the
-    per-source sum runs in decimal(28,12) — order-free. Scale: one
+    traindata.py:860): both ratios are exact long→double divisions and
+    log2 is rounded to 6 decimals at the per-token grain. The sum is
+    then kept EXACT by factoring p_s out of the per-token term:
+    KL = Σ (c_st/n_s)·r_t = (Σ c_st·r_t) / n_s with n_s constant per
+    source — c_st·r_t is an exact decimal product (r_t enters as
+    decimal(18,6), scale-matched to its own rounding, so the
+    double→decimal cast is unambiguous), the sum is an exact decimal,
+    and the one division per source is a single IEEE double op both
+    engines compute identically. The previous form summed
+    (p_s·r_t)::decimal(28,12) — a FULL-precision double product cast
+    to scale 12, whose binary-vs-shortest-decimal rounding diverged
+    between engines at the 12th decimal (staged-fuzz seed 2512, found
+    the first run the generator emitted multi-line texts). Scale: one
     (source, tok) count shuffle, a tok-level rollup for the corpus
     marginals, one join back on tok (Zipf-skewed — AQE territory),
     |sources| output rows. The NB model-build shape.
@@ -1023,7 +1033,8 @@ def source_divergence(docs: DataFrame) -> DataFrame:
     n_all = c_tot.groupBy().agg(F.sum("c_t").alias("n_corpus"))
     p_s = F.col("c_st") / F.col("n_s")
     p_c = F.col("c_t") / F.col("n_corpus")
-    term = (p_s * F.round(F.log2(p_s / p_c), 6)).cast("decimal(28,12)")
+    r6 = F.round(F.log2(p_s / p_c), 6).cast("decimal(18,6)")
+    term = F.col("c_st").cast("decimal(20,0)") * r6
     return (
         st.join(s_tot, "source").join(c_tot, "tok")
         .join(F.broadcast(n_all))
@@ -1031,7 +1042,8 @@ def source_divergence(docs: DataFrame) -> DataFrame:
         .agg(
             F.max("n_s").alias("n_tokens"),
             F.max("n_distinct").alias("n_distinct"),
-            F.sum(term).cast("double").alias("kl_bits"),
+            (F.sum(term).cast("double")
+             / F.max("n_s").cast("double")).alias("kl_bits"),
         )
         .orderBy("source")
     )
@@ -1058,9 +1070,10 @@ def source_divergence_oracle() -> str:
     n_all AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_corpus FROM c_tot)
     SELECT st.source, MAX(n_s) AS n_tokens,
            MAX(n_distinct) AS n_distinct,
-           CAST(SUM(CAST((c_st / n_s)
-                    * round(log2((c_st / n_s) / (c_t / n_corpus)), 6)
-                    AS DECIMAL(28,12))) AS DOUBLE) AS kl_bits
+           CAST(SUM(CAST(c_st AS DECIMAL(20,0))
+                    * CAST(round(log2((c_st / n_s) / (c_t / n_corpus)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(MAX(n_s) AS DOUBLE) AS kl_bits
     FROM st
     JOIN s_tot ON st.source = s_tot.source
     JOIN c_tot ON st.tok = c_tot.tok

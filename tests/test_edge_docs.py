@@ -58,6 +58,20 @@ EDGE_DOCS = [
     (11, "merge sort merge sort window merge", "en", "web", 34),
     (12, "merge", "en", "web", 5),                 # hit shorter than phrase
     (13, "sort merge", "en", "web", 10),           # reversed phrase: 0 hits
+    # r8: MULTI-LINE rows — the generated testdata contains ZERO
+    # newline-bearing docs (measured: 0 at sf0.01), so the line-level
+    # ops (line_dedup, boilerplate_card, cdc) and every tokenizer were
+    # never driver-gated on them; a repeated template line + a keyword
+    # line + blank-only lines pin that whole class. Found-by: the
+    # multi-line staged fuzz (seed 2512) caught source_divergence's
+    # decimal-cast divergence on its first run.
+    (14, "Home | About | Contact\nunique prose line fourteen", "en",
+     "web", 49),
+    (15, "Home | About | Contact\nanother unique body line", "en",
+     "blog", 47),
+    (16, "Home | About | Contact\nthird distinct body\nall rights reserved",
+     "en", "blog", 62),
+    (17, "\n \nonly blanks around\n\n", "en", "web", 23),
 ]
 
 

@@ -27,6 +27,14 @@ from resin_spark.session import get_spark  # noqa: E402
 _WORDS = ["alpha", "beta", "gamma", "delta", "the", "a", "of", "x1",
           "７漢", "café", "...", "a.b.c", "", "merge", "sort", "window",
           "naïve", "&amp;", "\t", "ZZZ"]
+# shared whole lines injected across docs so the LINE-level ops
+# (boilerplate_card, line_dedup_stats) see cross-doc repeated lines and
+# keyword hits, not just single-line docs (added r8 — the generator
+# previously never emitted a newline; no replay seeds are pinned in
+# tests, failures print seeds for the current generator)
+_TEMPLATE_LINES = ["Home | About | Contact", "all rights reserved",
+                   "Subscribe to our newsletter", "plain repeated line",
+                   "  ", "７漢 café"]
 
 
 def _corpus(rng: random.Random):
@@ -45,6 +53,10 @@ def _corpus(rng: random.Random):
             text = base + " " + rng.choice(_WORDS)  # near duplicate
         else:
             text = " ".join(rng.choices(_WORDS, k=rng.randint(0, 30)))
+            if rng.random() < 0.35:                # multi-line shape
+                tmpl = rng.choice(_TEMPLATE_LINES)
+                text = (tmpl + "\n" + text if rng.random() < 0.5
+                        else text + "\n" + tmpl)
         if text is not None:
             texts_pool.append(text)
         rows.append((i, text,
