@@ -118,7 +118,7 @@ def test_stream_boilerplate_keywords_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_boiler"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {
         (r["source"], r["n_lines"], r["n_chars"], r["keyword_lines"],
          None if r["keyword_char_share"] is None

@@ -45,7 +45,7 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {
         (r["hour_start"], r["event_type"]): r["n_events"]
         for r in spark.sql("SELECT * FROM hourly_stream").collect()
@@ -73,7 +73,7 @@ def test_stream_sessionize_emits_batch_sessions(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     emitted = spark.sql("SELECT * FROM session_stream").collect()
     assert len(emitted) > 0
     for r in emitted:
@@ -106,7 +106,7 @@ def test_stream_sessionize_drops_null_users(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_nu"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM null_user_sessions").collect()
     assert all(r["user_id"] is not None for r in rows)
 
@@ -212,7 +212,7 @@ def test_stream_user_running_totals_state_across_batches(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt3"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM user_totals_stream").collect()
     assert rows
     final = {}
@@ -359,7 +359,7 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM dedup_stream").collect()
     emitted_ids = {r["doc_id"] for r in rows}
     # every batch-1 doc emits (distinct texts in the corpus)...
@@ -404,7 +404,7 @@ def test_stream_near_dedup_matches_batch_lsh(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM near_dedup_stream").collect()
     got = {}
     for r in rows:
@@ -449,7 +449,7 @@ def test_stream_ann_topk_matches_batch_lsh(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain (overloaded machine?)"
     got = {}
     for r in spark.sql("SELECT * FROM ann_stream").collect():
         got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
@@ -520,7 +520,7 @@ def test_stream_quality_score_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_q"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
            for r in spark.sql("SELECT * FROM quality_stream").collect()}
     assert got == batch
@@ -555,7 +555,7 @@ def test_stream_quality_score_oov_prior(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_oov"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: r["bits_per_token"]
            for r in spark.sql("SELECT * FROM quality_oov").collect()}
     assert got[10] == oov  # all-OOV doc scores the prior exactly
@@ -591,7 +591,7 @@ def test_stream_bigram_score_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_bi"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["n_tokens"], r["bits_total"])
            for r in spark.sql("SELECT * FROM bigram_stream").collect()}
     assert got == batch
@@ -622,7 +622,7 @@ def test_stream_bigram_backoff_and_oov(spark, tmp_path):
         .outputMode("append").trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt_bo")).start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM bigram_backoff").collect()
     assert len(rows) == 1
     r = rows[0]
@@ -658,7 +658,7 @@ def test_stream_lang_classify_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_nb"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["true_lang"], r["pred_lang"],
                          r["best_bits"], r["correct"])
           for r in spark.sql("SELECT * FROM nb_stream").collect()}
@@ -692,7 +692,7 @@ def test_stream_lang_classify_oov_scores_prior(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_nb_oov"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM nb_oov_stream").collect()
     assert len(rows) == 1
     r = rows[0]
@@ -725,7 +725,7 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {(r["event_type"], r["bucket"]): r["m"]
            for r in spark.sql("SELECT * FROM hll_stream").collect()}
     ev = load_tables(spark, SF)["events"].filter("user_id IS NOT NULL")
@@ -764,7 +764,7 @@ def test_stream_scorers_drop_null_rows_jvm_side(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_nb_null"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM nb_null_stream").collect()
     assert [r["doc_id"] for r in rows] == [10]
 
@@ -777,7 +777,7 @@ def test_stream_scorers_drop_null_rows_jvm_side(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_q_null"))
         .start()
     )
-    sq2.awaitTermination(120)
+    assert sq2.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = sorted(r["doc_id"] for r in
                  spark.sql("SELECT * FROM q_null_stream").collect())
     assert got == [10, 13]  # lang irrelevant to the unigram scorer
@@ -805,7 +805,7 @@ def test_stream_cms_counters_match_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {(r["j"], r["c"]): r["cnt"]
            for r in spark.sql("SELECT * FROM cms_stream").collect()}
     toks = (
@@ -845,7 +845,7 @@ def test_stream_bm25_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_bm25"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["n_hits"], r["score"])
            for r in spark.sql("SELECT * FROM bm25_stream").collect()}
     assert got == batch
@@ -874,7 +874,7 @@ def test_stream_phrase_match_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_ph"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {(r["doc_id"], r["n_occurrences"], r["n_tokens"])
            for r in spark.sql("SELECT * FROM phrase_stream").collect()}
     assert got == batch
@@ -923,7 +923,7 @@ def test_stream_corpus_delta_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_delta"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["status"], r["old_md5"], r["new_md5"])
            for r in spark.sql("SELECT * FROM delta_stream").collect()}
     assert got == batch
@@ -968,7 +968,7 @@ def test_stream_embedding_drift_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     rows = spark.sql("SELECT * FROM drift_stream")
     assert rows.count() > 0
 
@@ -1046,7 +1046,7 @@ def test_stream_ivf_topk_matches_batch_indexed(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain (overloaded machine?)"
     got = {}
     for r in spark.sql("SELECT * FROM ivf_stream").collect():
         got[r["query_id"]] = [(n["rank"], n["neighbor_id"], n["score"])
@@ -1080,7 +1080,7 @@ def test_stream_encoding_anomalies_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {tuple(r) for r in spark.sql("SELECT * FROM anom_stream").collect()}
     assert got == batch
 
@@ -1114,7 +1114,7 @@ def test_stream_cdc_flags_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {tuple(r) for r in spark.sql("SELECT * FROM cdc_stream").collect()}
     assert got == batch
 
@@ -1144,7 +1144,7 @@ def test_stream_apply_mixture_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["source"], r["n_copies"])
            for r in spark.sql("SELECT * FROM mix_stream").collect()}
     assert got == batch and got
@@ -1177,7 +1177,7 @@ def test_stream_split_assign_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_split"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["source"], r["split"])
            for r in spark.sql("SELECT * FROM split_stream").collect()}
     assert got == batch and got
@@ -1212,7 +1212,7 @@ def test_stream_mm_meta_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_mm"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["doc_id"]: (r["n_bytes"], r["format"], r["width"],
                          r["height"], r["checksum"])
            for r in spark.sql("SELECT * FROM mm_stream").collect()}
@@ -1254,7 +1254,7 @@ def test_stream_shard_manifest_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_manifest"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_sig"])
            for r in spark.sql("SELECT * FROM manifest_stream").collect()}
     assert got == batch and got
@@ -1416,7 +1416,7 @@ def test_stream_warc_ingest_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not drain (overloaded machine?)"
     got = {r["url"]: (r["doc_id"], r["text"], r["n_chars"], r["source"])
            for r in spark.sql("SELECT * FROM warc_stream").collect()}
     assert got == batch

@@ -138,7 +138,16 @@ def _drain(spark, sdf, name, mode):
     q = (sdf.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True)
          .option("checkpointLocation", ck).start())
-    q.awaitTermination(240)
+    # availableNow self-terminates when caught up, but
+    # awaitTermination(t) returns False on timeout instead of raising —
+    # reading the memory sink then compares a HALF-DRAINED table and
+    # reports a phantom twin divergence (seen once under full-machine
+    # load in the r8 five-harness chain; unreproducible idle). A slow
+    # drain is a harness error, never a twin finding: make it loud.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in 600s "
+                           "(machine overloaded? rerun idle)")
     out = spark.sql(f"SELECT * FROM {name}")
     shutil.rmtree(ck, ignore_errors=True)
     return out
@@ -202,10 +211,22 @@ def main() -> None:  # noqa: C901 — one twin block per pairing, linear
               _rowset(sev.hourly_rollup({"events": ev}), cols))
         n_twins += 1
 
+        # sessionize reads a SINGLE-FILE copy (one micro-batch): with a
+        # random multi-file layout, a later file whose max event time
+        # regresses >1min behind an earlier file's gets its events
+        # DROPPED by the watermark — correct streaming late-data
+        # semantics, but it reshapes sessions (fewer events / later
+        # start) so the ⊆-batch containment contract flakes by design
+        # (seed 14202 under machine load; file→micro-batch assignment
+        # is not deterministic). Multi-batch arrival-order session
+        # semantics are pinned with CONTROLLED per-file triggers in
+        # tests/test_streaming_io.py — the dedup_exact exclusion
+        # rationale applied to late data.
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events_1f")
         cols = ["user_id", "session_start", "n_events"]
         check(seed, "sessionize",
               _rowset(_drain(spark, sev.stream_sessionize(
-                  spark, f"{d}/events", watermark="1 minute"),
+                  spark, f"{d}/events_1f", watermark="1 minute"),
                   f"sess_{tag}", "append"), cols),
               _rowset(sev.sessionize({"events": ev}), cols),
               containment=True)
