@@ -545,7 +545,15 @@ def filter_funnel(t: Tables, min_tokens: int = FUNNEL_MIN_TOKENS,
         .alias("s2"),
     ).select(
         "*",
-        (F.col("s2") & (F.col("pred_lang") == F.col("lang"))).alias("s3"),
+        # coalesce: a NULL recorded lang makes (pred == lang) NULL, and
+        # s2 & NULL stays NULL when s2 is true — the oracle's CASE WHEN
+        # folds that row to 0, but F.sum over an ALL-NULL flag column
+        # returns NULL, so a corpus whose every langid-stage survivor
+        # has NULL lang reported NULL docs_out where the oracle said 0
+        # (multi-line staged fuzz, seed 2604). NULL lang is a langid
+        # FAIL, stated as false.
+        F.coalesce(F.col("s2") & (F.col("pred_lang") == F.col("lang")),
+                   F.lit(False)).alias("s3"),
     )
     w = Window.partitionBy("h")
     d = d.withColumn(

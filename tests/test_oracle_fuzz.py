@@ -385,6 +385,35 @@ def test_mixture_all_null_text_source_plans_zero(spark, tmp_path_factory):
     assert plan["s1"]["n_epochs"] is None
 
 
+def test_funnel_all_null_lang_survivors(spark, tmp_path_factory):
+    """Deep-fuzz seed 2604 regression (multi-line staged fuzz, first
+    run): when EVERY doc reaching the langid stage has NULL lang, the
+    s3 flag column is all-NULL — F.sum over it returned NULL where the
+    oracle's CASE WHEN folds each row to 0, so docs_out/docs_dropped
+    diverged (and dataset_card_typed, which nests the funnel, with
+    them). filter_funnel now coalesces s3 to false: NULL lang is a
+    langid FAIL, stated."""
+    from resin_spark.operators import pipeline
+
+    rows = [
+        # survives length+repetition, lang NULL -> langid must DROP it
+        (65, "... \t x1 &amp;  \t merge window delta café"
+             "\nall rights reserved", None, "s0"),
+    ]
+    _compare_on(spark, tmp_path_factory.mktemp("fz_funnel_nl"), rows,
+                lambda t: pipeline.filter_funnel(t),
+                pipeline.filter_funnel_oracle())
+    _compare_on_chars(spark, tmp_path_factory.mktemp("fz_card_nl"),
+                      rows, pipeline.dataset_card_typed,
+                      pipeline.dataset_card_typed_oracle())
+    t = {"documents": spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")}
+    funnel = {r["stage_name"]: r for r in pipeline.filter_funnel(t).collect()}
+    assert funnel["langid"]["docs_out"] == 0
+    assert funnel["langid"]["docs_dropped"] == 1
+    assert funnel["dedup"]["docs_in"] == 0 and funnel["dedup"]["docs_out"] == 0
+
+
 @given(doc_corpus)
 @settings(max_examples=4, deadline=None)
 def test_fuzz_search_facets_oracle(spark, tmp_path_factory, rows):

@@ -31,6 +31,12 @@ from resin_spark.session import get_spark  # noqa: E402
 _WORDS = ["alpha", "beta", "gamma", "delta", "the", "a", "of", "x1",
           "７漢", "café", "...", "a.b.c", "", "merge", "sort", "window",
           "naïve", "&amp;", "\t", "ZZZ"]
+# shared whole lines for the multi-line shape (r8 overtime — the
+# generated testdata has zero newline-bearing docs, so the driver gate
+# never exercises the line-level paths; mirrors deep_fuzz_staged).
+# Seed streams SHIFTED when this landed; rescan regression seeds.
+_TEMPLATE_LINES = ["Home | About | Contact", "all rights reserved",
+                   "plain repeated line", "  ", "７漢 café"]
 
 
 def _corpus(rng: random.Random):
@@ -47,6 +53,10 @@ def _corpus(rng: random.Random):
             text = (rng.choice(pool) or "") + " " + rng.choice(_WORDS)
         else:
             text = " ".join(rng.choices(_WORDS, k=rng.randint(0, 30)))
+            if rng.random() < 0.35:                # multi-line shape
+                tmpl = rng.choice(_TEMPLATE_LINES)
+                text = (tmpl + "\n" + text if rng.random() < 0.5
+                        else text + "\n" + tmpl)
         if text is not None:
             pool.append(text)
         rows.append((i, text, rng.choice(["en", "de", None]),
