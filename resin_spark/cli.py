@@ -342,14 +342,15 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
     anomalies|overlap|mixture|profile|chunks|divergence|coverage|
-    dupcurve|all (default all), --budget <tokens> (mixture planner,
-    default pipeline.MIX_BUDGET). Prints one line per report row."""
+    dupcurve|agreement|all (default all), --budget <tokens> (mixture
+    planner, default pipeline.MIX_BUDGET). Prints one line per report
+    row."""
     from resin_spark.operators import dedup, health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
     kinds = ("anomalies", "overlap", "mixture", "profile", "chunks",
-             "divergence", "coverage", "dupcurve", "all")
+             "divergence", "coverage", "dupcurve", "agreement", "all")
     if which not in kinds:
         log(f"unknown report: {which} (one of {'|'.join(kinds)})")
         return 0
@@ -399,6 +400,14 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
             log(f"tau {r['threshold']:.1f}: {r['n_pairs']} pairs, "
                 f"{r['n_docs_in_pairs']} docs entangled "
                 f"(share {r['dup_doc_share']:.4f})")
+    if which in ("agreement", "all"):
+        log("-- dedup method agreement --")
+        for r in dedup.dedup_method_agreement(docs).collect():
+            agr = (f"{r['agreement']:.4f}" if r["agreement"] is not None
+                   else "-")
+            log(f"{r['method_a']} ~ {r['method_b']}: {r['pairs_both']} "
+                f"shared of {r['pairs_a']}/{r['pairs_b']} pairs "
+                f"(agreement {agr})")
     if which in ("chunks", "all"):
         log("-- cdc chunk dedup --")
         stats = traindata.cdc_chunk_stats({"documents": docs})

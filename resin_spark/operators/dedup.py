@@ -1458,3 +1458,68 @@ def minhash_banding_report(docs: DataFrame, tau: float = 0.5, n: int = 3,
         "bands int, rows_per_band int, n_candidates long, "
         "n_exact_pairs long, n_found long, recall double, "
         "candidate_precision double")
+
+
+# --- D17 (diagnostics): cross-method agreement card --------------------------
+
+def dedup_method_agreement(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                           num_perm: int = 128, bands: int = 32,
+                           max_hamming: int = 3) -> DataFrame:
+    """Pairwise agreement of the three document near-dup detectors on
+    the SAME corpus — the "which dedup stack do I trust" sheet beside
+    D14's recall/cost trade: (method_a, method_b, pairs_a, pairs_b,
+    pairs_both, pairs_either, agreement) per unordered method pair,
+    agreement = |A∩B| / |A∪B| over the (doc_a, doc_b) pair SETS found
+    by exact n-gram Jaccard (D2), banded minhash-LSH verified at the
+    same tau (D3), and simhash Hamming ≤ k (D4).
+
+    What it tells a 100 TB build: minhash-vs-ngram disagreement is
+    pure banding recall (D3 ⊆ D2 by construction — verified candidates
+    at the same tau; pairs_both == pairs_minhash on that row, asserted
+    in tests), while simhash-vs-ngram disagreement is a genuine
+    SIMILARITY-NOTION gap (60-bit sketch Hamming vs shingle-set
+    Jaccard) that no banding knob closes — if it is large on a sample,
+    the two methods are keeping/killing different documents and the
+    pipeline should pick deliberately, not interchangeably.
+
+    Diagnostics card (the E20/D14 family): its subjects are the
+    checked D2/D3/D4 relations called verbatim, so a SQL oracle would
+    re-state those ops; pytest pins hand-built corpora instead — no
+    driver slot by design. Scale: the three pair relations are already
+    banded/bounded; this adds one union of 20-byte (a, b, method)
+    rows, one groupBy on pair ids, and a single global aggregate —
+    O(methods²) output rows.
+    """
+    pair_rels = (
+        ("ngram_jaccard", ngram_jaccard_pairs(docs, n, tau)),
+        ("minhash_lsh", minhash_lsh_pairs(docs, n, num_perm, bands, tau)),
+        ("simhash", simhash_pairs(docs, max_hamming)),
+    )
+    names = [m for m, _ in pair_rels]
+    tagged = None
+    for m, rel in pair_rels:
+        p = rel.select("doc_a", "doc_b", F.lit(m).alias("method"))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[F.max(F.col("method") == m).alias(m) for m in names])
+    combos = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    agg = flags.agg(
+        *[F.coalesce(F.sum(F.col(m).cast("long")), F.lit(0)).alias(f"n_{m}")
+          for m in names],
+        *[F.coalesce(F.sum((F.col(a) & F.col(b)).cast("long")), F.lit(0))
+          .alias(f"nb_{i}") for i, (a, b) in enumerate(combos)],
+    )
+    rows = []
+    for i, (a, b) in enumerate(combos):
+        both = F.col(f"nb_{i}")
+        either = F.col(f"n_{a}") + F.col(f"n_{b}") - both
+        rows.append(agg.select(
+            F.lit(a).alias("method_a"), F.lit(b).alias("method_b"),
+            F.col(f"n_{a}").alias("pairs_a"), F.col(f"n_{b}").alias("pairs_b"),
+            both.alias("pairs_both"), either.alias("pairs_either"),
+            F.try_divide(both.cast("double"), either).alias("agreement"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method_a", "method_b")

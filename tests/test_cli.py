@@ -316,7 +316,9 @@ def test_cmd_health_reports_all_three(spark, tmp_path):
     assert len([l for l in lines if "distinct, range [" in l]) == 4
     n_sources = docs.select("source").distinct().count()
     assert len([l for l in lines if "docs flagged" in l]) == n_sources
-    assert len([l for l in lines if "jaccard" in l]) \
+    # ': jaccard ' is the overlap-matrix line shape; the agreement
+    # report's method NAMES also contain the bare word 'jaccard'
+    assert len([l for l in lines if ": jaccard " in l]) \
         == n_sources * (n_sources - 1) // 2
     assert len([l for l in lines if "-> plan" in l]) == n_sources
 
