@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CHARSET_RE = re.compile(rb"charset=([A-Za-z0-9_\-]+)", re.I)
+_CHARSET_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 _WS_RE = re.compile(r"\s+")
 
 
@@ -233,12 +233,19 @@ def html_main_text(html: str) -> str:
 
 
 def _decode(body: bytes, header: bytes) -> str:
-    m = _CHARSET_RE.search(header)
-    if m:
-        try:
-            return body.decode(m.group(1).decode("ascii"), errors="replace")
-        except LookupError:
-            pass
+    """Decode an HTTP entity: the Content-Type header's charset wins;
+    absent that, an HTML ``<meta charset=..>`` / http-equiv declaration
+    in the first 1024 bytes (the WHATWG prescan window — real crawls
+    carry the charset there far more often than in the header); else
+    UTF-8. Unknown encoding names fall through rather than raise."""
+    for blob in (header, body[:1024]):
+        m = _CHARSET_RE.search(blob)
+        if m:
+            try:
+                return body.decode(m.group(1).decode("ascii"),
+                                   errors="replace")
+            except LookupError:
+                continue
     return body.decode("utf-8", errors="replace")
 
 

@@ -258,3 +258,43 @@ try:
         assert html_block_text(once.replace("\n", "<br>")) == once
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# --- charset decode: header > meta prescan > utf-8 --------------------------
+
+def test_decode_meta_charset_prescan():
+    from resin_spark.operators.extract import _decode
+
+    latin = '<head><meta charset="iso-8859-1"></head>caf\xe9'.encode("latin-1")
+    assert "café" in _decode(latin, b"Content-Type: text/html")
+    # the HTTP header's charset WINS over a conflicting meta tag
+    utf8 = '<meta charset="iso-8859-1">café'.encode("utf-8")
+    assert "café" in _decode(utf8, b"Content-Type: text/html; charset=utf-8")
+    # http-equiv form, unquoted value
+    he = b'<meta http-equiv="Content-Type" ' \
+         b'content="text/html; charset=latin-1">caf\xe9'
+    assert "café" in _decode(he, b"")
+    # unknown names fall through to utf-8, never raise
+    assert _decode("café".encode(), b"charset=bogus-enc") == "caf\xe9"
+    # declarations beyond the 1024-byte WHATWG prescan window are ignored
+    far = b" " * 1100 + b'<meta charset="latin-1">x'
+    assert _decode(far, b"").endswith("x")
+
+
+def test_decode_end_to_end_meta_charset_page(spark, tmp_path):
+    """A crawl page that declares its encoding ONLY in <meta> decodes
+    correctly through the full WARC ingest path."""
+    import gzip
+
+    from resin_spark.io import read_warc, warc_response_record
+
+    body = ('<html><head><meta charset="iso-8859-1"></head><body>'
+            f"<p>Señor café crème: {PARA1}</p></body></html>")
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # content type WITHOUT a charset — the header would win over meta
+    (d / "seg.warc.gz").write_bytes(gzip.compress(warc_response_record(
+        "https://m.test/p", body.encode("latin-1"),
+        content_type="text/html")))
+    rows = extract.warc_extract_text(read_warc(spark, str(d))).collect()
+    assert len(rows) == 1 and "Señor café crème" in rows[0]["text"]
