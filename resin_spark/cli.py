@@ -475,6 +475,14 @@ def cmd_ingest(flags: dict, spark: SparkSession, log=print) -> int:
     the per-host extraction_compare_card instead of/before writing)."""
     from resin_spark.operators import extract
 
+    # validate the extractor flag FIRST — a typo must not burn the two
+    # full extraction passes the --compare card costs (ADVICE r8)
+    kind = (flags.get("extractor") or "full").lower()
+    fns = {"full": None, "blocks": extract.html_block_text,
+           "main": extract.html_main_text}
+    if kind not in fns:
+        log(f"unknown extractor: {kind} (one of {'|'.join(fns)})")
+        return 0
     warc = rio.read_warc(spark, flags["warc"])
     if "compare" in flags:
         log("-- extraction compare (full vs main, per host) --")
@@ -483,12 +491,6 @@ def cmd_ingest(flags: dict, spark: SparkSession, log=print) -> int:
                      if r["main_kept_share"] is not None else "-")
             log(f"{r['host']}: {r['n_docs']} docs, {r['chars_all']} chars "
                 f"-> {r['chars_main']} main (kept {share})")
-    kind = (flags.get("extractor") or "full").lower()
-    fns = {"full": None, "blocks": extract.html_block_text,
-           "main": extract.html_main_text}
-    if kind not in fns:
-        log(f"unknown extractor: {kind} (one of {'|'.join(fns)})")
-        return 0
     docs = extract.warc_extract_text(warc, extractor=fns[kind])
     out = flags.get("out")
     if out:

@@ -905,10 +905,21 @@ def read_dedup_index(spark, path: str):
     Stats is read FIRST (when present — pre-r7 stores carry none): an
     index over zero shingle-able docs wrote no part files, so reading
     it before checking n_docs would die in schema inference; such a
-    store round-trips as typed empty frames instead."""
+    store round-trips as typed empty frames instead. Only the
+    PATH-MISSING analysis error is treated as "pre-r7 store"; a stats
+    directory that exists but fails to read (corrupt parquet, perms)
+    propagates loudly instead of silently passing as healthy (ADVICE
+    r8 deferral, landed in its due r9 slot)."""
+    from pyspark.errors import AnalysisException
+
     try:
         stats = spark.read.parquet(f"{path}/stats").first()
-    except Exception:
+    except AnalysisException as e:
+        # PATH_NOT_FOUND / legacy "Path does not exist" → pre-r7 store
+        name = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" not in name and \
+                "Path does not exist" not in str(e):
+            raise
         stats = None  # pre-r7 store: no stats file, assume non-empty
     if stats is not None and not stats["n_docs"]:
         return (spark.createDataFrame([], DEDUP_HASHES_SCHEMA),
@@ -1509,17 +1520,21 @@ def dedup_method_agreement(docs: DataFrame, n: int = 3, tau: float = 0.5,
         *[F.coalesce(F.sum((F.col(a) & F.col(b)).cast("long")), F.lit(0))
           .alias(f"nb_{i}") for i, (a, b) in enumerate(combos)],
     )
-    rows = []
+    # one projection + F.inline, NOT a union of per-combo selects: the
+    # union form relied on ReuseExchange spotting three identical agg
+    # subtrees (AQE re-planning can defeat it and run the whole D2/D3/D4
+    # pipeline 3x — ADVICE r8); inlining an array of structs over the
+    # single agg row puts the aggregate in the plan exactly once by
+    # construction.
+    structs = []
     for i, (a, b) in enumerate(combos):
         both = F.col(f"nb_{i}")
         either = F.col(f"n_{a}") + F.col(f"n_{b}") - both
-        rows.append(agg.select(
+        structs.append(F.struct(
             F.lit(a).alias("method_a"), F.lit(b).alias("method_b"),
             F.col(f"n_{a}").alias("pairs_a"), F.col(f"n_{b}").alias("pairs_b"),
             both.alias("pairs_both"), either.alias("pairs_either"),
             F.try_divide(both.cast("double"), either).alias("agreement"),
         ))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method_a", "method_b")
+    return (agg.select(F.inline(F.array(*structs)))
+            .orderBy("method_a", "method_b"))

@@ -26,7 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _CHARSET_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
+_META_TAG_RE = re.compile(rb"<meta[^>]*>", re.I)
 _WS_RE = re.compile(r"\s+")
+# WHATWG encoding sniffing: a byte-order mark outranks BOTH the
+# transport header and the in-document meta declaration. Order matters:
+# UTF-16LE's BOM (ff fe) is a prefix-sibling of UTF-32LE's, but UTF-32
+# isn't in the WHATWG encoding set, so the three below are the whole
+# table.
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
 
 
 def http_split(payload: bytes) -> tuple[bytes, bytes]:
@@ -233,13 +244,31 @@ def html_main_text(html: str) -> str:
 
 
 def _decode(body: bytes, header: bytes) -> str:
-    """Decode an HTTP entity: the Content-Type header's charset wins;
-    absent that, an HTML ``<meta charset=..>`` / http-equiv declaration
-    in the first 1024 bytes (the WHATWG prescan window — real crawls
-    carry the charset there far more often than in the header); else
-    UTF-8. Unknown encoding names fall through rather than raise."""
-    for blob in (header, body[:1024]):
-        m = _CHARSET_RE.search(blob)
+    """Decode an HTTP entity with WHATWG-ordered encoding sniffing:
+
+    1. a UTF-8 / UTF-16 byte-order mark wins outright (the WHATWG spec
+       ranks the BOM above the transport header AND the meta prescan —
+       a BOM'd UTF-16 page used to mojibake here);
+    2. else the Content-Type header's charset;
+    3. else an HTML ``<meta charset=..>`` / http-equiv declaration in
+       the first 1024 body bytes (the WHATWG prescan window) — scanned
+       only INSIDE ``<meta ...>`` tags, so a ``?charset=gbk`` query
+       string in a script/link src can't hijack the page (ADVICE r8);
+    4. else UTF-8.
+
+    Unknown encoding names fall through to the next candidate rather
+    than raise (later valid declarations are no longer shadowed by an
+    earlier unknown one)."""
+    for bom, enc in _BOMS:
+        if body.startswith(bom):
+            return body[len(bom):].decode(enc, errors="replace")
+    for m in _CHARSET_RE.finditer(header):
+        try:
+            return body.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            continue
+    for tag in _META_TAG_RE.finditer(body[:1024]):
+        m = _CHARSET_RE.search(tag.group(0))
         if m:
             try:
                 return body.decode(m.group(1).decode("ascii"),
@@ -502,6 +531,12 @@ def extraction_compare_card(warc: DataFrame) -> DataFrame:
     farm, and the card is the evidence for routing it through
     ``html_main_text`` (or skipping it entirely) before a 100 TB build.
 
+    The denominator is ``html_block_text`` — the lossless extractor
+    sharing the main classifier's skip set (title suppressed in both) —
+    so an all-prose titled page reads exactly 1.0; ``html_to_text``
+    would count the title into chars_all and systematically understate
+    the share (ADVICE r8).
+
     Both extractions run in ONE Arrow pass per batch (the page is
     parsed twice but fetched/decoded once, and the payload dies inside
     the pass); the only shuffle is the |hosts|-group aggregate over
@@ -516,7 +551,7 @@ def extraction_compare_card(warc: DataFrame) -> DataFrame:
                 header, body = http_split(bytes(blob))
                 html = _decode(body, header)
                 urls.append(uri)
-                ca.append(len(html_to_text(html)))
+                ca.append(len(html_block_text(html)))
                 cm.append(len(html_main_text(html)))
             yield pd.DataFrame(
                 {"url": urls, "chars_all": ca, "chars_main": cm})

@@ -192,10 +192,31 @@ def test_extraction_compare_card(spark, tmp_path):
     # article pages keep most of their text; the link farm keeps none
     assert 0.5 < a["main_kept_share"] < 1.0
     assert farm["chars_main"] == 0 and farm["main_kept_share"] == 0.0
-    # chars_all equals the default extractor's output length, per host
-    full = extract.warc_extract_text(warc).collect()
+    # chars_all equals the LOSSLESS block extractor's output length per
+    # host (html_block_text shares html_main_text's skip set — title
+    # suppressed both sides — so the share can reach 1.0; ADVICE r8)
+    full = extract.warc_extract_text(
+        warc, extractor=extract.html_block_text).collect()
     exp_a = sum(r["n_chars"] for r in full if "site-a" in r["url"])
     assert a["chars_all"] == exp_a
+
+
+def test_compare_card_all_prose_page_reads_one(spark, tmp_path):
+    """A titled, chrome-free prose page keeps share exactly 1.0 — the
+    regression the html_to_text denominator made impossible."""
+    import gzip
+
+    from resin_spark.io import read_warc, warc_response_record
+
+    body = ("<html><head><title>My Title</title></head><body>"
+            f"<p>{PARA1}</p><p>{PARA1}</p></body></html>")
+    d = tmp_path / "prose"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(gzip.compress(warc_response_record(
+        "https://prose.test/a", body.encode())))
+    [row] = extract.extraction_compare_card(read_warc(spark, str(d))).collect()
+    assert row["chars_main"] == row["chars_all"] > 0
+    assert row["main_kept_share"] == 1.0
 
 
 # --- hypothesis fuzz (pure Python, structural invariants) -------------------
@@ -279,6 +300,42 @@ def test_decode_meta_charset_prescan():
     # declarations beyond the 1024-byte WHATWG prescan window are ignored
     far = b" " * 1100 + b'<meta charset="latin-1">x'
     assert _decode(far, b"").endswith("x")
+
+
+def test_decode_bom_outranks_header_and_meta():
+    """Per WHATWG a UTF-8/UTF-16 BOM outranks BOTH the Content-Type
+    header and the meta prescan (ADVICE r8 / VERDICT r8 nit: a BOM'd
+    UTF-16 page used to mojibake through the old precedence)."""
+    from resin_spark.operators.extract import _decode
+
+    text = '<meta charset="iso-8859-1">café'
+    le = b"\xff\xfe" + text.encode("utf-16-le")
+    be = b"\xfe\xff" + text.encode("utf-16-be")
+    assert "café" in _decode(le, b"Content-Type: text/html; charset=latin-1")
+    assert "café" in _decode(be, b"")
+    # UTF-8 BOM: stripped, and wins over a lying latin-1 meta tag
+    u8 = b"\xef\xbb\xbf" + text.encode("utf-8")
+    out = _decode(u8, b"")
+    assert "café" in out and not out.startswith("﻿")
+    # no BOM → the old precedence is untouched
+    assert "café" in _decode(text.encode("latin-1"), b"")
+
+
+def test_decode_prescan_meta_tags_only():
+    """The prescan matches charset= only INSIDE <meta ...> tags: a
+    ?charset= query string in a script/link src must not hijack the
+    decode (ADVICE r8 medium), and an unknown meta codec name must not
+    shadow a later valid declaration."""
+    from resin_spark.operators.extract import _decode
+
+    # charset=gbk in a script src query string — page stays utf-8
+    hijack = ('<script src="x.js?charset=iso-8859-1"></script>café'
+              ).encode("utf-8")
+    assert "café" in _decode(hijack, b"")
+    # unknown name in the FIRST meta, valid name in the second
+    two = ('<meta charset="x-bogus"><meta charset="iso-8859-1">caf\xe9'
+           ).encode("latin-1")
+    assert "café" in _decode(two, b"")
 
 
 def test_decode_end_to_end_meta_charset_page(spark, tmp_path):

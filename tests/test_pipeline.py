@@ -135,6 +135,38 @@ def test_incremental_dedup_indexed_matches_inmemory(spark, tmp_path):
     assert final.count("Scan ExistingRDD") == 2, final[:3000]
 
 
+def test_read_dedup_index_corrupt_stats_raises(spark, tmp_path):
+    """A stats directory that EXISTS but cannot be read propagates
+    loudly; only a MISSING stats dir (pre-r7 store) is treated as
+    no-stats (ADVICE r8: the bare `except Exception` used to pass a
+    corrupted store off as healthy)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"] \
+        .filter(F.col("doc_id") < 40)
+    path = str(tmp_path / "didx")
+    dedup.write_dedup_index(docs, path)
+    # corrupt every stats part file: exists, unreadable
+    sdir = os.path.join(path, "stats")
+    for fn in os.listdir(sdir):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(sdir, fn), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        hf, bf = dedup.read_dedup_index(spark, path)
+        hf.count()
+    # missing stats dir still reads (pre-r7 store contract)
+    import shutil
+    shutil.rmtree(sdir)
+    hf, bf = dedup.read_dedup_index(spark, path)
+    assert hf.count() > 0 and bf.count() > 0
+
+
 def test_filter_funnel_stage_accounting(spark):
     """Crafted corpus exercising every stage: a short doc (length),
     a degenerate doc (repetition), a wrong-language doc (langid), an
