@@ -710,6 +710,116 @@ def length_histogram_demo(t: Tables) -> DataFrame:
     return length_histogram(t["documents"])
 
 
+# --- health_card_typed: one driver slot pinning the six health cards ----------
+
+# Lockstep layout shared by health_card_typed and its oracle — the
+# dataset_card_typed precedent (pipeline.CARD_SECTIONS): section ->
+# (key cols, numeric cols, string cols). Changing any underlying
+# card's columns means changing BOTH the engine relation and this
+# table together.
+HEALTH_SECTIONS = (
+    ("encoding", ["source"], ["n_docs", "n_flagged", "repl_chars",
+                              "ctrl_chars", "moji_marks", "flagged_share"],
+     []),
+    ("overlap", ["source_a", "source_b"], ["n_a", "n_b", "n_shared",
+                                           "jaccard"], []),
+    ("profile", ["col_name"], ["n_rows", "n_null", "n_distinct"],
+     ["dtype", "min_value", "max_value"]),
+    ("drift", ["col_name"], ["n_rows_old", "n_rows_new", "n_null_old",
+                             "n_null_new", "n_distinct_old",
+                             "n_distinct_new", "null_share_delta"],
+     ["dtype"]),
+    ("coverage", ["source"], ["n_tokens", "covered_tokens",
+                              "coverage_share", "distinct_terms",
+                              "oov_terms", "oov_share",
+                              "mean_token_chars"], []),
+    ("lengths", ["source", "bucket"], ["bucket_lo", "bucket_hi", "n_docs",
+                                       "n_tokens", "doc_share",
+                                       "cum_doc_share"], []),
+)
+
+
+def health_card_typed(t: Tables) -> DataFrame:
+    """One-page corpus-health sheet: (section, metric, value_num,
+    value_str) melting the SIX audited health cards — encoding damage
+    (C43), cross-source overlap (C44), per-column profile (C48),
+    snapshot drift (C49), vocabulary coverage (C52) and the length
+    histogram (C55) — into ONE flat relation, each section calling the
+    corresponding demo operator VERBATIM (section-equality pinned in
+    tests). The dataset_card_typed compression precedent applied to
+    the health block: one driver slot transitively pins six staged
+    operators, because every number in the melt IS the nested card's
+    number by construction.
+
+    Exactness: numeric cells stay DOUBLE (no engine-specific
+    float→string formatting); each cell is the underlying
+    parity-green card's value unchanged. min/max profile strings are
+    exact for the documents table's bigint/string columns. Scale:
+    every source relation is already a bounded card; the melt adds a
+    row-local explode and a six-way union of card-sized frames.
+    """
+    from resin_spark.operators.pipeline import _melt_typed
+
+    sections = {
+        "encoding": encoding_anomalies_demo(t),
+        "overlap": source_overlap_demo(t),
+        "profile": table_profile_demo(t),
+        "drift": profile_drift_demo(t),
+        "coverage": vocab_coverage_demo(t),
+        "lengths": length_histogram_demo(t),
+    }
+    parts = [_melt_typed(sections[name], name, keys)
+             for name, keys, _, _ in HEALTH_SECTIONS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric", "value_num")
+
+
+def _typed_melt_sql(section: str, keys: list[str], nums: list[str],
+                    strs: list[str]) -> str:
+    """The SQL half of :func:`resin_spark.operators.pipeline._melt_typed`
+    for one section CTE named ``card_<section>`` (concat_ws skips NULL
+    key values identically in both engines)."""
+    prefix = ("concat_ws('/', " + ", ".join(
+        f"concat_ws('=', '{k}', CAST({k} AS VARCHAR))" for k in keys)
+        + ")")
+
+    def metric(c):
+        return f"concat_ws('/', {prefix}, '{c}')" if keys else f"'{c}'"
+
+    sels = [
+        f"SELECT '{section}' AS section, {metric(c)} AS metric, "
+        f"CAST({c} AS DOUBLE) AS value_num, "
+        f"CAST(NULL AS VARCHAR) AS value_str FROM card_{section}"
+        for c in nums
+    ] + [
+        f"SELECT '{section}', {metric(c)}, CAST(NULL AS DOUBLE), "
+        f"CAST({c} AS VARCHAR) FROM card_{section}"
+        for c in strs
+    ]
+    return "\nUNION ALL\n".join(sels)
+
+
+def health_card_typed_oracle() -> str:
+    """One SQL statement nesting the six health demos' oracle CTEs and
+    melting them with the same metric-name scheme as the engine card."""
+    bodies = {
+        "encoding": encoding_anomalies_demo_oracle(),
+        "overlap": source_overlap_demo_oracle(),
+        "profile": table_profile_demo_oracle(),
+        "drift": profile_drift_demo_oracle(),
+        "coverage": vocab_coverage_demo_oracle(),
+        "lengths": length_histogram_demo_oracle(),
+    }
+    ctes = ",\n".join(f"card_{s} AS (\n{bodies[s]}\n)" for s in bodies)
+    melts = "\nUNION ALL\n".join(_typed_melt_sql(*spec)
+                                 for spec in HEALTH_SECTIONS)
+    return (f"WITH {ctes}\n"
+            f"SELECT * FROM (\n{melts}\n)\n"
+            f"ORDER BY section, metric, value_num")
+
+
 def length_histogram_demo_oracle() -> str:
     toks = T.tokens_sql("text")
     return f"""

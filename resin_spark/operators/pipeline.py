@@ -1767,6 +1767,91 @@ def semantic_split_leakage_oracle(tau: float = SEM_LEAK_TAU) -> str:
     """
 
 
+# --- split_governance_card: one driver slot pinning the split/leakage block -----
+
+# Lockstep layout shared by split_governance_card and its oracle (the
+# dataset_card_typed precedent): section -> (key cols, numeric cols,
+# string cols). Changing any nested card's columns means changing BOTH
+# the engine relation and this table together.
+GOV_SECTIONS = (
+    ("splits", ["source", "split"], ["n_docs", "n_chars", "doc_share",
+                                     "target_frac"], []),
+    ("leakage", ["split_lo", "split_hi"], ["n_pairs", "pair_share"], []),
+    ("cluster_splits", ["source", "split"], ["n_docs", "n_moved",
+                                             "doc_share", "target_frac"],
+     []),
+    ("semantic_leakage", ["split_lo", "split_hi"], ["n_pairs",
+                                                    "pair_share"], []),
+    ("perplexity_curve", ["threshold"], ["n_docs_kept", "n_tokens_kept",
+                                         "doc_share", "token_share"], []),
+)
+
+
+def split_governance_card(t: Tables) -> DataFrame:
+    """One-page split-governance sheet: (section, metric, value_num,
+    value_str) melting the FIVE audited governance cards — realised
+    split shares (C59), cross-split near-dup leakage (D15), the
+    leakage-free cluster split (C60), semantic cross-split leakage
+    (D16), and the perplexity-cut retention curve (C61) — into ONE
+    flat relation, each section calling the corresponding demo
+    operator VERBATIM (section-equality pinned in tests). The
+    dataset_card_typed compression precedent applied to the
+    split-governance block: one driver slot transitively pins five
+    staged operators because every number IS the nested card's number
+    by construction.
+
+    This is the sheet a training run signs off before touching a
+    held-out loss: what the splits look like, how much near-dup and
+    paraphrase mass crosses them, what the cluster-split rule had to
+    move, and what every candidate perplexity cut would keep.
+
+    Exactness: numeric cells stay DOUBLE; every cell is the nested
+    parity-green card's value unchanged. The threshold key renders
+    identically in both engines (shortest-repr doubles in the plain
+    decimal range). Scale: pair stages are the proven PPJoin /
+    gated-matmul shapes; each card is bounded; the melt adds a
+    row-local explode and a five-way union.
+    """
+    from resin_spark.operators.traindata import perplexity_threshold_curve
+
+    sections = {
+        "splits": dataset_split_demo(t),
+        "leakage": split_leakage_demo(t),
+        "cluster_splits": cluster_split_demo(t),
+        "semantic_leakage": semantic_split_leakage_demo(t),
+        "perplexity_curve": perplexity_threshold_curve(t),
+    }
+    parts = [_melt_typed(sections[name], name, keys)
+             for name, keys, _, _ in GOV_SECTIONS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric", "value_num")
+
+
+def split_governance_card_oracle() -> str:
+    """One SQL statement nesting the five governance demos' oracle CTEs
+    and melting them with the same metric-name scheme as the engine
+    card (the health_card_typed machinery, shared)."""
+    from resin_spark.operators.health import _typed_melt_sql
+    from resin_spark.operators.traindata import (
+        perplexity_threshold_curve_oracle)
+
+    bodies = {
+        "splits": dataset_split_demo_oracle(),
+        "leakage": split_leakage_demo_oracle(),
+        "cluster_splits": cluster_split_demo_oracle(),
+        "semantic_leakage": semantic_split_leakage_oracle(),
+        "perplexity_curve": perplexity_threshold_curve_oracle(),
+    }
+    ctes = ",\n".join(f"card_{s} AS (\n{bodies[s]}\n)" for s in bodies)
+    melts = "\nUNION ALL\n".join(_typed_melt_sql(*spec)
+                                 for spec in GOV_SECTIONS)
+    return (f"WITH RECURSIVE {ctes}\n"
+            f"SELECT * FROM (\n{melts}\n)\n"
+            f"ORDER BY section, metric, value_num")
+
+
 # --- dataset_card: the one-page release data sheet ------------------------------
 
 def _melt(df: DataFrame, section: str, key_cols: list[str]) -> DataFrame:

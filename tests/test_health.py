@@ -242,3 +242,58 @@ def test_length_histogram_buckets_and_cumshare(spark):
 def test_length_histogram_demo_matches_oracle(tables):
     compare(health.length_histogram_demo(tables),
             health.length_histogram_demo_oracle(), SF_SMALL)
+
+
+# --- health_card_typed: the six-card melt ------------------------------------
+
+def test_health_card_typed_sections_pin_members(tables):
+    """Every section of the melt IS the member card's relation: the
+    melted cells reproduce each member operator's collected values
+    (the C63 section-equality license — one driver slot transitively
+    pins C43/C44/C48/C49/C52/C55)."""
+    typed = health.health_card_typed(tables).collect()
+    cells = {(r["section"], r["metric"]): r for r in typed}
+
+    enc = health.encoding_anomalies_demo(tables).collect()[0]
+    r = cells[("encoding", f"source={enc['source']}/repl_chars")]
+    assert r["value_num"] == float(enc["repl_chars"])
+
+    ov = health.source_overlap_demo(tables).collect()[0]
+    r = cells[("overlap", f"source_a={ov['source_a']}/"
+               f"source_b={ov['source_b']}/n_shared")]
+    assert r["value_num"] == float(ov["n_shared"])
+
+    prof = {p["col_name"]: p
+            for p in health.table_profile_demo(tables).collect()}
+    r = cells[("profile", "col_name=doc_id/n_distinct")]
+    assert r["value_num"] == float(prof["doc_id"]["n_distinct"])
+    r = cells[("profile", "col_name=lang/dtype")]
+    assert r["value_str"] == prof["lang"]["dtype"] and r["value_num"] is None
+
+    drift = {d["col_name"]: d
+             for d in health.profile_drift_demo(tables).collect()}
+    # the dropped n_chars column keeps its row with a loud NULL new side
+    r = cells[("drift", "col_name=n_chars/n_rows_new")]
+    assert r["value_num"] is None
+    assert drift["n_chars"]["n_rows_new"] is None
+
+    cov = health.vocab_coverage_demo(tables).collect()[0]
+    r = cells[("coverage", f"source={cov['source']}/coverage_share")]
+    assert r["value_num"] == cov["coverage_share"]
+
+    lh = health.length_histogram_demo(tables).collect()[0]
+    r = cells[("lengths", f"source={lh['source']}/bucket={lh['bucket']}"
+               "/cum_doc_share")]
+    assert r["value_num"] == lh["cum_doc_share"]
+
+    # scalar driver-safe schema + one face per cell
+    df = health.health_card_typed(tables)
+    assert [f.dataType.simpleString() for f in df.schema.fields] \
+        == ["string", "string", "double", "string"]
+    for row in typed:
+        assert (row["value_num"] is None) or (row["value_str"] is None)
+
+
+def test_health_card_typed_matches_oracle(tables):
+    compare(health.health_card_typed(tables),
+            health.health_card_typed_oracle(), SF_SMALL)

@@ -697,3 +697,55 @@ def test_dataset_card_typed_matches_display_card(spark):
     compare(pipeline.dataset_card_typed(t),
             pipeline.dataset_card_typed_oracle(),
             "/root/testdata/sf0.001")
+
+
+def test_split_governance_card_sections_pin_members(spark):
+    """Every section of the governance melt IS the member card's
+    relation (the C63 section-equality license — one driver slot
+    transitively pins C59/D15/C60/D16/C61)."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import traindata
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    typed = pipeline.split_governance_card(t).collect()
+    cells = {(r["section"], r["metric"]): r for r in typed}
+
+    sp = pipeline.dataset_split_demo(t).collect()[0]
+    r = cells[("splits", f"source={sp['source']}/split={sp['split']}/n_docs")]
+    assert r["value_num"] == float(sp["n_docs"])
+
+    for lk in pipeline.split_leakage_demo(t).collect():
+        r = cells[("leakage", f"split_lo={lk['split_lo']}/"
+                   f"split_hi={lk['split_hi']}/n_pairs")]
+        assert r["value_num"] == float(lk["n_pairs"])
+
+    cs = pipeline.cluster_split_demo(t).collect()[0]
+    r = cells[("cluster_splits",
+               f"source={cs['source']}/split={cs['split']}/n_moved")]
+    assert r["value_num"] == float(cs["n_moved"])
+
+    for sl in pipeline.semantic_split_leakage_demo(t).collect():
+        r = cells[("semantic_leakage", f"split_lo={sl['split_lo']}/"
+                   f"split_hi={sl['split_hi']}/pair_share")]
+        assert r["value_num"] == sl["pair_share"]
+
+    for pc in traindata.perplexity_threshold_curve(t).collect():
+        key = ("perplexity_curve",
+               f"threshold={pc['threshold']}/n_docs_kept")
+        assert cells[key]["value_num"] == float(pc["n_docs_kept"])
+
+    df = pipeline.split_governance_card(t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] \
+        == ["string", "string", "double", "string"]
+    for row in typed:
+        assert (row["value_num"] is None) or (row["value_str"] is None)
+
+
+def test_split_governance_card_matches_oracle(spark):
+    from resin_spark.io import load_tables
+    from tests.oracle_util import compare
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    compare(pipeline.split_governance_card(t),
+            pipeline.split_governance_card_oracle(),
+            "/root/testdata/sf0.001")
