@@ -18,8 +18,8 @@ from resin_spark import io as rio
 from resin_spark.functions import hashing, vectors
 from resin_spark.io import load_tables
 from resin_spark.operators import (
-    dedup, graph, kv, multimodal, pipeline, retrieval, similarity, sketch,
-    textindex, textops, timeseries, tokenizer, traindata,
+    dedup, extract, graph, health, kv, multimodal, pipeline, retrieval,
+    similarity, sketch, textindex, textops, timeseries, tokenizer, traindata,
 )
 from resin_spark.plans import tpch
 from resin_spark.streaming import events as ev
@@ -53,6 +53,14 @@ def _topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.agg_rollup(load_tables(spark, sf_dir))
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q4_order_priority(load_tables(spark, sf_dir))
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.q22_idle_customers(load_tables(spark, sf_dir))
 
 
 # --- block B: KV column semantics --------------------------------------------
@@ -381,6 +389,25 @@ def _ann_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       emb, rerank=1_000_000)
 
 
+def _ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-IVF production path (E21), driver-checked
+    end-to-end: write_ivf_index (train + cell-partitioned entries) to a
+    scratch dir, read it back, probe at the COMPLETE operating point
+    (n_probe = n_cells = 64 — candidates provably cover the corpus, the
+    _ann_topk_ivf precedent), so the exact-rescored output equals
+    brute_topk and shares its oracle. The build runs once per process
+    (_build_once); bench reruns time the cell-pruned probe. Lean-probe
+    equality to the in-memory operator and the partition-pruning plan
+    pin live in tests/test_ann.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch("ivfidx", sf_dir) + "/ivf"
+    _build_once(("ivfidx", sf_dir),
+                lambda: similarity.write_ivf_index(emb, path, n_cells=64))
+    entries, cent = similarity.read_ivf_index(spark, path)
+    return similarity.ivf_topk_indexed(entries, cent, _query_vectors(emb),
+                                       n_probe=64)
+
+
 def _dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted continuous-ingest dedup: bootstrap the band-postings
     index over the even-id half of the corpus (write_dedup_index), then
@@ -582,77 +609,22 @@ def queries() -> dict[str, Query]:
     # level (docstrings stripped), not by prose (the r4
     # dedup_embedding lesson).
     #
-    # r8 (computed by tools/plan_window.py 3e9d983): 0 red + 3 edited
-    # + 45 due + 2 promotions = 50. Edited: lexicon_angle /
-    # lexicon_validate (numeric/geo parser cutover in hashing.py —
-    # both r7-checked) and price_quantiles (NULL-safe group join,
-    # ADVICE r7). Due: the full r6-checked cohort minus
-    # phrase_topk_indexed, which retires per §6 (pinned row-identical
-    # twin phrase_search is IN this window). Promotions (§6 queue
-    # order into true slack): dataset_card_typed (one slot
-    # transitively pins the five checked cards), hybrid_search_rrf
-    # (composes the C38 BM25 + E1 cosine oracles).
+    # r9 (computed by tools/plan_window.py 51cbb82): 0 red + 0 edited
+    # + 43 due − 2 due-cohort retirements + 9 promotions = 50.
+    # Retired per §6 (written adjudication in SURVEY §6): corpus_stats
+    # + lang_stats + filter_funnel — all r7/r8 driver-green, all three
+    # nested VERBATIM in dataset_card_typed's r8-green slot with
+    # section-equality pins, oracles pytest-kept (test_retired_parity).
+    # Promotions (§6 queue order into true slack): cluster_split,
+    # shard_manifest, warc_ingest (rows-only), ann_topk_ivf_indexed,
+    # q4_order_priority + q22_idle_customers (VERDICT r7 item 5 — the
+    # LeftSemi and LeftAnti+broadcast-scalar join shapes), plus the two
+    # composite melts health_card_typed (transitively pins
+    # C43/C44/C48/C49/C52/C55) and split_governance_card (pins
+    # C59/D15/C60/D16/C61), and boilerplate_card. encoding_anomalies &
+    # co. ride inside the melts instead of holding their own slots.
     return {
-        # -- (b) edited this round
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
-        "lexicon_validate": _mk_text(textops.lexicon_validate),
-        "price_quantiles": _mk_text(sketch.price_quantiles),
-        # -- (c) the r6-checked cohort — two rounds old, re-checks now
-        "corpus_delta": _corpus_delta,
-        "embedding_drift": _embedding_drift,
-        "phrase_search": _mk_text(textops.phrase_search),
-        "bpe_encode": _bpe_encode,
-        "bm25_indexed": _bm25_indexed,
-        "ann_topk_pq_indexed": _ann_topk_pq_indexed,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_components": _dedup_components,
-        "ann_topk_pq": _ann_topk_pq,
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
-        "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "vector_analyze": _vector_analyze,
-        "label_centroids": _label_centroids,
-        "closest_match": _closest_match,
-        "embedding_quantize": _embedding_quantize,
-        "filter_funnel": _mk_text(pipeline.filter_funnel),
-        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
-        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
-        "ngram_novelty": _mk_text(traindata.ngram_novelty),
-        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
-        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
-        "shard_export": _mk_text(traindata.shard_export),
-        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
-        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
-        "split_words_stats": _mk_text(textops.split_words_stats),
-        "term_frequencies": _mk_text(textops.term_frequencies),
-        "pii_redact": _mk_text(pipeline.pii_redact),
-        "hll_distinct": _mk_text(sketch.hll_distinct),
-        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
-        "agg_rollup": _rollup,
-        "q1_pricing_summary": _q1,
-        "kv_get_many": _kv_get_many,
-        "kv_set_ops": _kv_set_ops,
-        "kv_key_join": _kv_key_join,
-        "kv_paginate": _kv_paginate,
-        "events_hourly_rollup": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        "events_props_json": _events_props,
-        "events_asof_join": _mk_text(timeseries.asof_join),
-        "session_overlap": _mk_text(timeseries.session_overlap),
-        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
-        "events_funnel": _mk_text(timeseries.funnel),
-        "synthesize_tokens": _synthesize_tokens,
-        "string_compare": _string_compare,
-        # -- (d) promotions into true slack (§6 queue order)
-        "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
-        "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
-        # ---- tail: past the 50-entry window from here down ----
-        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r07
-        # and its reachable functions + oracle are AST-identical to
-        # that checked form: verified by tools/audit_window.py (run it
-        # against the r7 final commit 3e9d983; warnings==0 is the
-        # contract).
-        "corpus_stats": _mk_text(traindata.corpus_stats),
+        # -- (c) the r7-checked cohort — two rounds old, re-checks now
         "domain_mix": _mk_text(pipeline.domain_mix),
         "dedup_embedding": _dedup_embedding,
         "semantic_dedup": _semantic_dedup,
@@ -665,7 +637,6 @@ def queries() -> dict[str, Query]:
         "knn_classify": _knn_classify,
         "quality_perplexity": _mk_text(traindata.quality_perplexity),
         "importance_weights": _mk_text(traindata.importance_weights),
-        "lang_stats": _mk_text(traindata.lang_stats),
         "centroid_assign": _centroid_assign,
         "bpe_merge_step": _bpe_merge_step,
         "bm25_search": _mk_text(textops.bm25_search),
@@ -695,6 +666,71 @@ def queries() -> dict[str, Query]:
         "kv_try_put": _kv_try_put,
         "dedup_incremental": _dedup_incremental,
         "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
+        # -- (d) promotions into true slack (§6 queue order)
+        "cluster_split": _mk_text(pipeline.cluster_split_demo),
+        "shard_manifest": _mk_text(traindata.shard_manifest),
+        "warc_ingest": _warc_ingest,
+        "ann_topk_ivf_indexed": _ann_topk_ivf_indexed,
+        "q4_order_priority": _q4,
+        "q22_idle_customers": _q22,
+        "health_card_typed": _mk_text(health.health_card_typed),
+        "split_governance_card": _mk_text(pipeline.split_governance_card),
+        "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
+        # ---- tail: past the 50-entry window from here down ----
+        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r08
+        # and its reachable functions + oracle are AST-identical to
+        # that checked form: verified by tools/audit_window.py (run it
+        # against the r8 final commit 51cbb82; warnings==0 is the
+        # contract).
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
+        "price_quantiles": _mk_text(sketch.price_quantiles),
+        "corpus_delta": _corpus_delta,
+        "embedding_drift": _embedding_drift,
+        "phrase_search": _mk_text(textops.phrase_search),
+        "bpe_encode": _bpe_encode,
+        "bm25_indexed": _bm25_indexed,
+        "ann_topk_pq_indexed": _ann_topk_pq_indexed,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_components": _dedup_components,
+        "ann_topk_pq": _ann_topk_pq,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "vector_analyze": _vector_analyze,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "embedding_quantize": _embedding_quantize,
+        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
+        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
+        "ngram_novelty": _mk_text(traindata.ngram_novelty),
+        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
+        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
+        "shard_export": _mk_text(traindata.shard_export),
+        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
+        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
+        "split_words_stats": _mk_text(textops.split_words_stats),
+        "term_frequencies": _mk_text(textops.term_frequencies),
+        "pii_redact": _mk_text(pipeline.pii_redact),
+        "hll_distinct": _mk_text(sketch.hll_distinct),
+        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
+        "agg_rollup": _rollup,
+        "q1_pricing_summary": _q1,
+        "kv_get_many": _kv_get_many,
+        "kv_set_ops": _kv_set_ops,
+        "kv_key_join": _kv_key_join,
+        "kv_paginate": _kv_paginate,
+        "events_hourly_rollup": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_props_json": _events_props,
+        "events_asof_join": _mk_text(timeseries.asof_join),
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
+        "events_funnel": _mk_text(timeseries.funnel),
+        "synthesize_tokens": _synthesize_tokens,
+        "string_compare": _string_compare,
+        "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
+        "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
     }
 
 
@@ -844,13 +880,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_bigram": traindata.quality_perplexity_bigram_oracle(),
         "ngram_novelty": traindata.ngram_novelty_oracle(),
         "dup_span_coverage": traindata.dup_span_coverage_oracle(),
-        "filter_funnel": pipeline.filter_funnel_oracle(),
         "kmeans_refine": traindata.kmeans_refine_oracle(),
         "hll_distinct": sketch.hll_distinct_oracle(),
         "bloom_contamination": pipeline.bloom_contamination_oracle(),
         "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle(),
-        "corpus_stats": traindata.corpus_stats_oracle(),
-        "lang_stats": traindata.lang_stats_oracle(),
         "nb_lang_classify": traindata.nb_lang_classify_oracle(),
         "importance_weights": traindata.importance_weights_oracle(),
         "epoch_shuffle": traindata.epoch_shuffle_oracle(),
@@ -868,6 +901,22 @@ def oracle_sql() -> dict[str, str]:
         # BM25 and E1 cosine oracles (HYBRID_*/RRF_K lockstep knobs)
         "dataset_card_typed": pipeline.dataset_card_typed_oracle(),
         "hybrid_search_rrf": retrieval.hybrid_search_oracle(),
+        # r9 promotions (§6 queue): the two TPC-H join shapes, the
+        # governance/health composite melts (each nests its member
+        # demos' oracle CTEs — one slot transitively pins the block),
+        # the persisted-IVF complete probe (provably equals brute, the
+        # _ann_topk_ivf precedent), cluster_split's recursive-CTE
+        # transitive closure over the D2 pair CTE, the XOR-fold shard
+        # manifest, and the H15 boilerplate measurement card.
+        # warc_ingest is rows-only by design (binary WARC source).
+        "q4_order_priority": tpch.q4_oracle(),
+        "q22_idle_customers": tpch.q22_oracle(),
+        "cluster_split": pipeline.cluster_split_demo_oracle(),
+        "shard_manifest": traindata.shard_manifest_oracle(),
+        "ann_topk_ivf_indexed": similarity.brute_topk_oracle(),
+        "health_card_typed": health.health_card_typed_oracle(),
+        "split_governance_card": pipeline.split_governance_card_oracle(),
+        "boilerplate_card": extract.boilerplate_card_oracle(),
     }
 
 
@@ -885,13 +934,24 @@ def retired_queries() -> dict[str, Query]:
     information the pytest parity doesn't. Plus phrase_topk_indexed
     (the §6-named twin retirement): pytest pins it row-identical to
     phrase_search, which holds an r8 window slot, and its r6 driver
-    row was green — retiring it funds a promotion slot."""
+    row was green — retiring it funds a promotion slot.
+
+    r9 slate (VERDICT r8 item 9): corpus_stats + lang_stats +
+    filter_funnel — each r7/r8 driver-green, each nested VERBATIM as a
+    section of dataset_card_typed (whose r8 slot is hash-green and
+    whose section-equality pins in tests/test_pipeline.py are the
+    row-identity license), and each keeps its ORIGINAL oracle here.
+    Their driver slots bought no information the melt's slot +
+    test_retired_parity don't."""
     return {
         "mm_binary_meta": _mm_binary_meta,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize_plan": _mm_resize_plan,
         "mm_feature_extract": _mm_feature_extract,
         "phrase_topk_indexed": _phrase_topk_indexed,
+        "corpus_stats": _mk_text(traindata.corpus_stats),
+        "lang_stats": _mk_text(traindata.lang_stats),
+        "filter_funnel": _mk_text(pipeline.filter_funnel),
     }
 
 
@@ -903,4 +963,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "mm_resize_plan": multimodal.resize_plan_oracle(),
         "mm_feature_extract": multimodal.feature_extract_flat_oracle(),
         "phrase_topk_indexed": textops.phrase_search_oracle(),
+        "corpus_stats": traindata.corpus_stats_oracle(),
+        "lang_stats": traindata.lang_stats_oracle(),
+        "filter_funnel": pipeline.filter_funnel_oracle(),
     }

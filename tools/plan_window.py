@@ -45,30 +45,29 @@ from audit_window import (  # noqa: E402
 # --- §6 policy state (SURVEY.md; edit HERE when the policy changes) ----------
 
 # Judge-ranked promotion queue, highest verified-surface-per-slot first.
-# r8 promoted dataset_card_typed + hybrid_search_rrf (slack 1 + the
-# phrase_topk_indexed twin retirement); the queue below is the r9+
-# order. boilerplate_card appended (new r8 staged op, SURVEY H15).
+# r9 registered cluster_split / shard_manifest / warc_ingest /
+# ann_topk_ivf_indexed / q4 / q22 / health_card_typed /
+# split_governance_card / boilerplate_card. The health and governance
+# melts transitively pin encoding_anomalies, source_overlap_matrix,
+# table_profile, profile_drift, vocab_coverage, length_histogram,
+# dataset_split, split_leakage, semantic_split_leakage and
+# perplexity_threshold_curve — those stay parity-green in pytest and
+# no longer need their own slots. The queue below is the r10+ order
+# over the remaining truly-unpinned staged ops.
 PROMOTION_QUEUE = [
-    "cluster_split", "shard_manifest", "warc_ingest",
-    "ann_topk_ivf_indexed",
-    # q4/q22 bumped to the r9-reachable band (VERDICT r7 item 5 named
-    # them): the only A-block rows never driver-checked, pinning the
-    # LeftSemi and LeftAnti+broadcast-scalar join shapes
-    "q4_order_priority", "q22_idle_customers",
-    "encoding_anomalies", "source_overlap_matrix",
-    "mixture_plan", "lang_confusion", "cdc_chunk_stats", "table_profile",
-    "dup_cluster_histogram", "profile_drift", "source_divergence",
-    "vocab_coverage", "dedup_threshold_curve", "apply_mixture",
-    "length_histogram", "chunk_documents", "search_snippets",
-    "dataset_split", "split_leakage", "perplexity_threshold_curve",
-    "semantic_split_leakage", "search_facets", "boilerplate_card",
+    "mixture_plan", "lang_confusion", "cdc_chunk_stats",
+    "source_divergence", "dup_cluster_histogram",
+    "dedup_threshold_curve", "apply_mixture",
+    "chunk_documents", "search_snippets", "search_facets",
 ]
 
 # Entries that retire to retired_queries() once the latest artifact
 # shows them green (§6 item 3: their fix/verification condition met).
-# The r8 slate (four mm_* + phrase_topk_indexed) executed in r8; no
-# retirement is currently slated — §6 allows a new entry here only
-# with a pinned row-identical twin already driver-checked.
+# r8 retired four mm_* + phrase_topk_indexed; r9 retired corpus_stats
+# + lang_stats + filter_funnel (nested verbatim in dataset_card_typed's
+# r8-green slot, section-equality pins as the row-identity license).
+# §6 allows a new entry here only with a pinned row-identical twin (or
+# verbatim-nesting melt) already driver-checked.
 RETIREMENT_SLATE: list[str] = []
 
 
