@@ -72,6 +72,12 @@ def main() -> None:
     # tax at up to 2.8x (dedup_minhash_lsh: 7.7s first-ever run vs 2.74s
     # steady; ann_topk_lsh 2.4s early-position vs 1.6s warm), so without
     # the discarded run the numbers rank queries by position, not cost.
+    # Sub-3s entries take a THIRD timed run (VERDICT r8 item 5): the
+    # r7/r8 driver artifacts show min-of-2 does not bound the GC/position
+    # noise class on cheap entries (kv_paginate 0.79->7.98 s driver-side
+    # vs 1.22 s isolated), and a third sample is cheap exactly where the
+    # noise is worst.
+    EXTRA_RUN_UNDER = 3.0
     for name, fn in queries.items():
         # Release the previous query's lineage before timing this one:
         # localCheckpoint RDDs (dedup loops, PPJoin index) stay pinned in
@@ -79,7 +85,8 @@ def main() -> None:
         # that accumulated state was measurably slowing late queries.
         gc.collect()
         best = None
-        for run in range(RUNS + 1):
+        run, n_timed = 0, RUNS
+        while run <= n_timed:
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
@@ -87,10 +94,13 @@ def main() -> None:
                 el = time.monotonic() - t0
                 if run > 0:  # run 0 is the discarded warm run
                     best = el if best is None else min(best, el)
+                    if best < EXTRA_RUN_UNDER:
+                        n_timed = RUNS + 1
             except Exception as e:  # keep benching; a failed query reports -1
                 sys.stderr.write(f"{name} FAILED: {e}\n")
                 best = -1.0
                 break
+            run += 1
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -102,17 +112,27 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS,
         "aggregation": "min",
-        "methodology": "per-query min of 2 timed runs after 1 discarded "
-                       "warm run; noop-format write forces full "
-                       "materialisation",
+        "methodology": "per-query min of 2 timed runs (3 when the best "
+                       "is under 3 s) after 1 discarded warm run; "
+                       "noop-format write forces full materialisation",
     })
-    # Sidecar copy first (survives any stdout truncation — the r4 round
-    # artifact lost its head to captured-tail clipping), then stop Spark
-    # BEFORE printing so no shutdown noise follows the one JSON line.
+    # Artifacts are WRITE-ONCE per run (VERDICT r8 item 5): every run
+    # writes a run-stamped sidecar BENCH_LOCAL.<epoch>.json, and
+    # BENCH_LOCAL.json is only written when absent — so a later noisy
+    # session (the r8 driver run) can never clobber the committed
+    # round-end artifact in the working tree. Refresh deliberately by
+    # deleting BENCH_LOCAL.json first (tools/update_baseline.py names
+    # the stamped sidecar it consumed).
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
+        with open(os.path.join(here,
+                               f"BENCH_LOCAL.{int(time.time())}.json"),
+                  "w") as fh:
             fh.write(line + "\n")
+        canonical = os.path.join(here, "BENCH_LOCAL.json")
+        if not os.path.exists(canonical):
+            with open(canonical, "w") as fh:
+                fh.write(line + "\n")
     except OSError:
         pass
     spark.stop()

@@ -71,13 +71,16 @@ def test_oracle_callables_resolves_call_and_literal():
     assert len(out) >= 80
 
 
-def test_staleness_flags_unchecked_tail_entry():
-    """r6 rotation guarantee: a tail entry absent from the latest
-    CORRECTNESS artifact (so >1 round stale after the coming round)
-    must warn; tail entries present there must not.
+def test_staleness_distinguishes_due_from_violation():
+    """r6 rotation guarantee + r9 exit-semantics split (VERDICT r8
+    item 6): a tail entry NEVER driver-checked is a contract VIOLATION
+    (exit 1); a tail entry green in an OLDER artifact but rotated out
+    of the latest is the expected post-close rotation-DUE planning
+    signal (reported, exit 0); tail entries in the latest artifact are
+    clean.
 
-    `fresh` is derived from the NEWEST artifact at runtime — hardcoding
-    a specific entry breaks the moment a driver round rotates it out
+    Entries are derived from the artifacts at runtime — hardcoding a
+    specific entry breaks the moment a driver round rotates it out
     (the r6 'corpus_stats' incident)."""
     import glob
     import json
@@ -90,8 +93,14 @@ def test_staleness_flags_unchecked_tail_entry():
         key=lambda p: int(re.search(r"r(\d+)",
                                     os.path.basename(p)).group(1)))
     with open(arts[-1]) as fh:
-        fresh = sorted(json.load(fh))[0]  # any entry green in the latest
+        latest = set(json.load(fh))
+    fresh = sorted(latest)[0]            # green in the latest artifact
+    with open(arts[-2]) as fh:
+        older = set(json.load(fh))
+    # an entry checked in the previous round but rotated out since
+    rotated = sorted(older - latest)[0]
     pad = {f"w{i}": None for i in range(aw.WINDOW)}
-    assert aw._staleness_warnings({**pad, fresh: None}) == 0
+    assert aw._staleness_warnings({**pad, fresh: None}) == (0, 0)
+    assert aw._staleness_warnings({**pad, rotated: None}) == (0, 1)
     assert aw._staleness_warnings(
-        {**pad, "never_checked_entry": None}) == 1
+        {**pad, "never_checked_entry": None}) == (1, 0)

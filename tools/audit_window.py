@@ -299,11 +299,20 @@ def main() -> int:
             warned += 1
             print(f"WARNING tail[{i}] {name}: changed since {base}: "
                   f"{', '.join(diffs)} — re-window")
-    warned += _staleness_warnings(q)
+    stale_viol, due_notices = _staleness_warnings(q)
+    warned += stale_viol
     print(f"audited {len(q)} entries, window={WINDOW}, "
-          f"tail={len(q) - WINDOW}, warnings={warned} "
+          f"tail={len(q) - WINDOW}, warnings={warned}, due={due_notices} "
           f"(function-level, docstring-stripped; "
           f"max tail staleness {MAX_TAIL_STALENESS} round)")
+    # Exit 1 only on CONTRACT VIOLATIONS (AST drift in the tail, a
+    # never-checked tail entry, an unreadable artifact). Due-cohort
+    # staleness — tail entries green in an OLDER artifact but rotated
+    # out of the latest — is the expected "plan the next window" signal
+    # after every round close and exits 0 with the distinct DUE prefix
+    # (VERDICT r8 item 6: a clean post-close tree used to exit 1 on 43
+    # expected notices, so exit-code consumers couldn't tell planning
+    # from violation).
     return 1 if warned else 0
 
 
@@ -316,7 +325,14 @@ def main() -> int:
 MAX_TAIL_STALENESS = 1
 
 
-def _staleness_warnings(q) -> int:
+def _staleness_warnings(q) -> tuple[int, int]:
+    """(violations, due_notices) over the tail.
+
+    A tail entry NEVER present in any artifact is a contract VIOLATION
+    (it cannot legally skip the coming round). A tail entry green in an
+    older artifact but absent from the latest is the rotation-DUE
+    planning signal every round close produces — reported with the
+    distinct DUE prefix, not counted as a violation."""
     import glob
     import json
     import re
@@ -325,26 +341,41 @@ def _staleness_warnings(q) -> int:
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
     if not arts:
-        return 0
+        return 0, 0
     latest = arts[-1]
     rnd = re.search(r"r(\d+)", os.path.basename(latest)).group(1)
+    checked: set = set()
+    ever: set = set()
+    viol, due = 0, 0
     try:
         with open(latest) as fh:
             checked = set(json.load(fh))
     except (OSError, ValueError):
         print(f"WARNING cannot read {latest} for the staleness check")
-        return 1
-    warned = 0
+        return 1, 0
+    for p in arts[:-1]:
+        try:
+            with open(p) as fh:
+                ever |= set(json.load(fh))
+        except (OSError, ValueError):
+            continue
     for i, name in enumerate(q):
         if i < WINDOW:
             continue
-        if name not in checked:
-            warned += 1
-            print(f"WARNING tail[{i}] {name}: not checked in r{rnd} "
-                  f"(latest artifact) — a tail slot would make it "
-                  f">{MAX_TAIL_STALENESS} round stale; move it into "
-                  f"the window")
-    return warned
+        if name in checked:
+            continue
+        if name in ever:
+            due += 1
+            print(f"DUE tail[{i}] {name}: green in an earlier round but "
+                  f"not in r{rnd} (latest artifact) — rotation-due; put "
+                  f"it in the next window (planning signal, not a "
+                  f"violation)")
+        else:
+            viol += 1
+            print(f"WARNING tail[{i}] {name}: never driver-checked — a "
+                  f"tail slot would make it >{MAX_TAIL_STALENESS} round "
+                  f"stale; move it into the window")
+    return viol, due
 
 
 if __name__ == "__main__":
