@@ -47,7 +47,11 @@ def _page(seg: int, i: int) -> bytes:
             "<style>p{margin:0}</style><script>var x=%d;</script></head>"
             "<body>%s%s%s</body></html>" % (
                 seg, i, i, _CHROME,
-                "".join(f"<p>{_PARA * 3} #{i}-{k}</p>" for k in range(8)),
+                # page-unique prose (seg in the suffix): cross-doc
+                # repeated lines must be the nav/footer CHROME only, or
+                # the boilerplate A/B below degenerates to 100% template
+                "".join(f"<p>{_PARA * 3} #{seg}-{i}-{k}</p>"
+                        for k in range(8)),
                 _FOOTER))
     payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
                b"\r\n\r\n" + body.encode())
@@ -114,6 +118,40 @@ def main() -> None:
           f"{mb / t4:7.1f} MB/s  {n_pages / t4:8.0f} pages/s  "
           f"({chars_main / 1e6:.0f} M chars out, "
           f"kept {chars_main / chars_blk:.3f} of block text)")
+
+    # --- the measured extractor TRADE (VERDICT r8 item 3): how much a
+    # 100 TB build saves by main-content extraction, priced by the same
+    # cards a production pipeline runs. extraction_compare_card gives
+    # per-host kept share; boilerplate_card over block-vs-main corpora
+    # gives the template/keyword line-mass each extractor leaves in the
+    # corpus downstream gates would otherwise have to catch.
+    from resin_spark.operators.extract import (boilerplate_card,
+                                               extraction_compare_card)
+    warc = read_warc(spark, d)
+
+    def timed_rows(make_df):
+        best, rows = float("inf"), None
+        for _ in range(2):           # min-of-2, like the stage timings
+            t0 = time.time()
+            rows = make_df().collect()
+            best = min(best, time.time() - t0)
+        return best, rows
+
+    t5, cc = timed_rows(lambda: extraction_compare_card(warc))
+    tot_all = sum(r["chars_all"] for r in cc)
+    tot_main = sum(r["chars_main"] for r in cc)
+    print(f"extraction_compare_card:       {t5:6.2f}s  "
+          f"{len(cc)} hosts, corpus kept share "
+          f"{tot_main / tot_all:.3f}")
+    for name, extractor in (("block", html_block_text),
+                            ("main", html_main_text)):
+        t6, rows = timed_rows(lambda: boilerplate_card(
+            warc_extract_text(warc, extractor=extractor)))
+        [bc] = rows
+        print(f"boilerplate_card[{name:5s}]:      {t6:6.2f}s  "
+              f"template_char_share {bc['template_char_share']:.3f}  "
+              f"keyword_char_share {bc['keyword_char_share']:.3f}  "
+              f"({bc['n_lines']} lines)")
     spark.stop()
     shutil.rmtree(d, ignore_errors=True)
 
