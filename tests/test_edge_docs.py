@@ -93,7 +93,9 @@ def _norm(v):
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_edge_docs_parity(spark, edge_dir, name):
-    sql = entry_mod.oracle_sql()[name]
+    # retired entries keep their original oracles and stay in the edge
+    # battery (retirement trades driver slots, never coverage)
+    sql = {**entry_mod.oracle_sql(), **entry_mod.retired_oracle_sql()}[name]
     con = duckdb.connect()
     try:
         con.execute(
@@ -105,7 +107,8 @@ def test_edge_docs_parity(spark, edge_dir, name):
     finally:
         con.close()
 
-    df = entry_mod.queries()[name](spark, edge_dir)
+    df = {**entry_mod.queries(),
+          **entry_mod.retired_queries()}[name](spark, edge_dir)
     srows = df.collect()
     assert sorted(df.columns) == sorted(ocols)
     assert len(srows) == len(orows), f"rowcount: {len(srows)} vs {len(orows)}"

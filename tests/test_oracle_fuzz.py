@@ -193,7 +193,9 @@ def test_fuzz_driver_entry_oracle(spark, tmp_path_factory, name, rows):
     path = f"{tmpdir}/documents.parquet"
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
-    sql = entry_mod.oracle_sql()[name]
+    # merged with the retired registries: retirement trades driver
+    # slots, never fuzz coverage (filter_funnel/lang_stats retired r9)
+    sql = {**entry_mod.oracle_sql(), **entry_mod.retired_oracle_sql()}[name]
     con = duckdb.connect()
     try:
         con.execute(f"CREATE VIEW documents AS SELECT * FROM "
@@ -204,7 +206,8 @@ def test_fuzz_driver_entry_oracle(spark, tmp_path_factory, name, rows):
     finally:
         con.close()
 
-    out = entry_mod.queries()[name](spark, str(tmpdir))
+    out = {**entry_mod.queries(),
+           **entry_mod.retired_queries()}[name](spark, str(tmpdir))
     srows = out.collect()
     assert sorted(out.columns) == sorted(ocols)
     assert len(srows) == len(orows)
@@ -233,7 +236,7 @@ def test_corpus_stats_zero_token_corpus_survives(spark, tmp_path_factory):
         [(0, None, "en", "s0", 0)],
         "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(f"{tmpdir}/documents.parquet")
-    entry_mod.queries()["corpus_stats"](spark, str(tmpdir)).collect()
+    entry_mod.retired_queries()["corpus_stats"](spark, str(tmpdir)).collect()
 
 
 # --- degenerate full-dataset holes (all tail entries; fixes come due

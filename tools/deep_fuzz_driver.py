@@ -84,8 +84,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from test_edge_docs import DOC_QUERIES
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # retirement trades driver slots, never coverage: retired entries
+    # keep their original oracles and stay in the fuzz gate (the r9
+    # corpus_stats/lang_stats/filter_funnel retirement made the live
+    # dicts alone drop 18 checks)
+    queries = {**entry_mod.queries(), **entry_mod.retired_queries()}
+    oracles = {**entry_mod.oracle_sql(), **entry_mod.retired_oracle_sql()}
     # no pinned-class exclusions remain: the r6 holes (round(davg)
     # decimal ties, zero-token ANSI aborts, mm NULL payloads) are all
     # fixed and regression-pinned in tests/test_oracle_fuzz.py
