@@ -37,6 +37,14 @@ DOC_QUERIES = [
     # r5 search block (bm25_indexed shares bm25's oracle but writes a
     # scratch index — the edge corpus exercises its write+prune path too)
     "bm25_search", "bm25_indexed", "phrase_search",
+    # r9 documents-only registrations: the two composite melts (their
+    # metric-name melting over NULL key values is a cross-engine risk
+    # class of its own), the boilerplate card, and the two governance
+    # ops (split_governance_card needs embeddings, so it lives in the
+    # staged battery instead). dataset_card_typed joins for the same
+    # NULL-key-melt reason.
+    "health_card_typed", "boilerplate_card", "cluster_split",
+    "shard_manifest", "dataset_card_typed",
 ]
 
 EDGE_DOCS = [
