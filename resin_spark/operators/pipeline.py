@@ -1852,6 +1852,106 @@ def split_governance_card_oracle() -> str:
             f"ORDER BY section, metric, value_num")
 
 
+# --- curation_tuning_card: one slot for the ENTIRE remaining staged queue -------
+
+# Lockstep layout shared by curation_tuning_card and its oracle:
+# section -> (key cols, numeric cols, string cols).
+TUNE_SECTIONS = (
+    ("mixture", ["source"], ["n_docs", "n_tokens", "token_share",
+                             "temp_share", "planned_tokens",
+                             "sampling_rate", "n_epochs"], []),
+    ("mixture_applied", ["source"], ["n_docs", "realized_docs",
+                                     "realized_tokens", "planned_tokens",
+                                     "realization_ratio"], []),
+    ("divergence", ["source"], ["n_tokens", "n_distinct", "kl_bits"], []),
+    ("lang_confusion", ["true_lang", "pred_lang"], ["n_docs",
+                                                    "share_of_true"], []),
+    ("cdc_chunks", ["doc_id"], ["n_tokens", "n_chunks", "n_dup_chunks",
+                                "dup_chunk_share"], []),
+    ("dedup_curve", ["threshold"], ["n_pairs", "n_docs_in_pairs",
+                                    "dup_doc_share"], []),
+    ("snippets", ["rank"], ["doc_id", "pos"], ["snippet"]),
+    ("facets", ["facet", "value"], ["n_hits", "hit_share"], []),
+    ("chunks", ["doc_id", "chunk_id"], ["start_pos", "n_tokens"],
+     ["chunk_text"]),
+)
+
+
+def curation_tuning_card(t: Tables) -> DataFrame:
+    """One-page curation-tuning sheet: (section, metric, value_num,
+    value_str) melting the NINE remaining staged operators — mixture
+    plan (C45) + its realised execution (C53), per-source KL divergence
+    (C50), the language-label confusion matrix (C46), CDC chunk dedup
+    accounting (C47), the dedup-threshold retention curve (D13), BM25
+    result snippets (C56) and facets (C62), and the RAG chunk layout
+    (C58) — each section calling the member demo operator VERBATIM
+    (section-equality pinned in tests). The third application of the
+    dataset_card_typed compression precedent: with this slot green, the
+    staged-ops queue is EMPTY — every oracle-backed operator in the
+    repo is either driver-checked directly or nested verbatim in a
+    driver-checked melt.
+
+    Exactness: numeric cells stay DOUBLE; every cell is the nested
+    parity-green member's value unchanged; key columns render
+    identically (strings/bigints, plus plain-decimal-range doubles for
+    the threshold grid). Scale: members are the audited bounded plans
+    (broadcast grids, k-bounded pages, per-doc row-local chunking);
+    the melt adds a row-local explode and a nine-way union.
+    """
+    from resin_spark.operators.dedup import dedup_threshold_curve_demo
+    from resin_spark.operators.textops import search_facets, search_snippets
+    from resin_spark.operators.traindata import cdc_chunk_stats, lang_confusion
+
+    docs = t["documents"]
+    sections = {
+        "mixture": mixture_plan_demo(t),
+        "mixture_applied": apply_mixture_demo(t),
+        "divergence": source_divergence(docs),
+        "lang_confusion": lang_confusion(t),
+        "cdc_chunks": cdc_chunk_stats(t),
+        "dedup_curve": dedup_threshold_curve_demo(t),
+        "snippets": search_snippets(t),
+        "facets": search_facets(t),
+        "chunks": chunk_documents_demo(t),
+    }
+    parts = [_melt_typed(sections[name], name, keys)
+             for name, keys, _, _ in TUNE_SECTIONS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric", "value_num", "value_str")
+
+
+def curation_tuning_card_oracle() -> str:
+    """One SQL statement nesting the nine members' oracle CTEs and
+    melting them with the same metric-name scheme (the
+    health_card_typed machinery, shared)."""
+    from resin_spark.operators.dedup import dedup_threshold_curve_oracle
+    from resin_spark.operators.health import _typed_melt_sql
+    from resin_spark.operators.textops import (search_facets_oracle,
+                                               search_snippets_oracle)
+    from resin_spark.operators.traindata import (cdc_chunk_stats_oracle,
+                                                 lang_confusion_oracle)
+
+    bodies = {
+        "mixture": mixture_plan_demo_oracle(),
+        "mixture_applied": apply_mixture_demo_oracle(),
+        "divergence": source_divergence_oracle(),
+        "lang_confusion": lang_confusion_oracle(),
+        "cdc_chunks": cdc_chunk_stats_oracle(),
+        "dedup_curve": dedup_threshold_curve_oracle(),
+        "snippets": search_snippets_oracle(),
+        "facets": search_facets_oracle(),
+        "chunks": chunk_documents_oracle(),
+    }
+    ctes = ",\n".join(f"card_{s} AS (\n{bodies[s]}\n)" for s in bodies)
+    melts = "\nUNION ALL\n".join(_typed_melt_sql(*spec)
+                                 for spec in TUNE_SECTIONS)
+    return (f"WITH {ctes}\n"
+            f"SELECT * FROM (\n{melts}\n)\n"
+            f"ORDER BY section, metric, value_num, value_str")
+
+
 # --- dataset_card: the one-page release data sheet ------------------------------
 
 def _melt(df: DataFrame, section: str, key_cols: list[str]) -> DataFrame:

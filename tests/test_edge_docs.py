@@ -208,6 +208,11 @@ def _staged_pairs():
         ("source_divergence",
          lambda t: pipeline.source_divergence(t["documents"]),
          pipeline.source_divergence_oracle(), False),
+        # r9: the r10-slotted composite melt of the nine remaining
+        # staged ops — its NULL-key metric melting is its own
+        # cross-engine class, gated here and in deep_fuzz_staged
+        ("curation_tuning_card", pipeline.curation_tuning_card,
+         pipeline.curation_tuning_card_oracle(), False),
     ]
 
 

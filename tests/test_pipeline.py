@@ -749,3 +749,51 @@ def test_split_governance_card_matches_oracle(spark):
     compare(pipeline.split_governance_card(t),
             pipeline.split_governance_card_oracle(),
             "/root/testdata/sf0.001")
+
+
+def test_curation_tuning_card_sections_pin_members(spark):
+    """Every section of the tuning melt IS the member's relation (the
+    C63 section-equality license — one r10 slot empties the staged
+    queue: C45/C53/C50/C46/C47/D13/C56/C62/C58)."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup, textops, traindata
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    typed = pipeline.curation_tuning_card(t).collect()
+    cells = {(r["section"], r["metric"]): r for r in typed}
+
+    mp = pipeline.mixture_plan_demo(t).collect()[0]
+    assert cells[("mixture", f"source={mp['source']}/planned_tokens")
+                 ]["value_num"] == float(mp["planned_tokens"])
+    am = pipeline.apply_mixture_demo(t).collect()[0]
+    assert cells[("mixture_applied",
+                  f"source={am['source']}/realization_ratio")
+                 ]["value_num"] == am["realization_ratio"]
+    dv = pipeline.source_divergence(t["documents"]).collect()[0]
+    assert cells[("divergence", f"source={dv['source']}/kl_bits")
+                 ]["value_num"] == dv["kl_bits"]
+    lc = traindata.lang_confusion(t).collect()[0]
+    assert cells[("lang_confusion",
+                  f"true_lang={lc['true_lang']}/pred_lang={lc['pred_lang']}"
+                  "/n_docs")]["value_num"] == float(lc["n_docs"])
+    cd = traindata.cdc_chunk_stats(t).collect()[0]
+    assert cells[("cdc_chunks", f"doc_id={cd['doc_id']}/dup_chunk_share")
+                 ]["value_num"] == cd["dup_chunk_share"]
+    for dc in dedup.dedup_threshold_curve_demo(t).collect():
+        assert cells[("dedup_curve", f"threshold={dc['threshold']}/n_pairs")
+                     ]["value_num"] == float(dc["n_pairs"])
+    sn = textops.search_snippets(t).collect()[0]
+    r = cells[("snippets", f"rank={sn['rank']}/snippet")]
+    assert r["value_str"] == sn["snippet"] and r["value_num"] is None
+    for fc in textops.search_facets(t).collect():
+        assert cells[("facets", f"facet={fc['facet']}/value={fc['value']}"
+                      "/n_hits")]["value_num"] == float(fc["n_hits"])
+    ch = pipeline.chunk_documents_demo(t).collect()[0]
+    assert cells[("chunks", f"doc_id={ch['doc_id']}/chunk_id={ch['chunk_id']}"
+                  "/chunk_text")]["value_str"] == ch["chunk_text"]
+
+    df = pipeline.curation_tuning_card(t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] \
+        == ["string", "string", "double", "string"]
+    for row in typed:
+        assert (row["value_num"] is None) or (row["value_str"] is None)
