@@ -41,7 +41,11 @@ LI_OFFSET = 100_000_000
 def main() -> None:
     spark = get_spark("sweep-sf1-r9")
     spark.sparkContext.setLogLevel("ERROR")
-    t1 = dict(load_tables(spark, "/root/testdata/sf0.1"))
+    lt = load_tables(spark, "/root/testdata/sf0.1")
+    # LazyTables is not a plain dict — materialise the tables the card
+    # members read
+    t1 = {name: lt[name] for name in
+          ("documents", "embeddings", "lineitem")}
     d1 = t1["documents"].filter(F.col("doc_id").isNotNull()) \
         .localCheckpoint(eager=True)
     e1 = t1["embeddings"].localCheckpoint(eager=True)
