@@ -342,17 +342,29 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
     anomalies|overlap|mixture|profile|chunks|divergence|coverage|
-    dupcurve|agreement|all (default all), --budget <tokens> (mixture
-    planner, default pipeline.MIX_BUDGET). Prints one line per report
-    row."""
+    dupcurve|agreement|healthcard|all (default all; healthcard prints
+    the C64 typed melt instead of the member reports), --budget
+    <tokens> (mixture planner, default pipeline.MIX_BUDGET). Prints
+    one line per report row."""
     from resin_spark.operators import dedup, health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
     kinds = ("anomalies", "overlap", "mixture", "profile", "chunks",
-             "divergence", "coverage", "dupcurve", "agreement", "all")
+             "divergence", "coverage", "dupcurve", "agreement",
+             "healthcard", "all")
     if which not in kinds:
         log(f"unknown report: {which} (one of {'|'.join(kinds)})")
+        return 0
+    if which == "healthcard":
+        # the one-page typed melt (C64) — the six health cards in one
+        # relation, exactly what the driver hash-checks; not part of
+        # `all` (which prints the member reports individually)
+        log("-- health card (typed melt) --")
+        for r in health.health_card_typed({"documents": docs}).collect():
+            v = (r["value_str"] if r["value_num"] is None
+                 else f"{r['value_num']:g}")
+            log(f"{r['section']}/{r['metric']} = {v}")
         return 0
     if which in ("anomalies", "all"):
         log("-- encoding anomalies --")

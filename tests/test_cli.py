@@ -458,3 +458,28 @@ def test_cmd_ingest_extractors_and_compare(spark, tmp_path):
     assert cli.main(["ingest", "--warc", str(d), "--extractor", "nope"],
                     spark=spark, log=out3.append) == 0
     assert any("unknown extractor" in line for line in out3)
+
+
+def test_cmd_health_healthcard_melt(spark, tmp_path):
+    """health --report healthcard prints the C64 typed melt, one line
+    per (section, metric) cell, matching the library relation's row
+    count."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import health
+
+    docs = load_tables(spark, SF_DIR)["documents"] \
+        .filter(F.col("doc_id").isNotNull())
+    path = str(tmp_path / "docs_pq")
+    docs.write.parquet(path)
+
+    lines: list[str] = []
+    assert cli.main(["health", "--docs", path, "--report", "healthcard"],
+                    spark=spark, log=lines.append) == 0
+    n_cells = health.health_card_typed(
+        {"documents": spark.read.parquet(path)}).count()
+    cell_lines = [l for l in lines if " = " in l]
+    assert len(cell_lines) == n_cells
+    assert any(l.startswith("coverage/") for l in cell_lines)
+    assert any(l.startswith("lengths/") for l in cell_lines)
