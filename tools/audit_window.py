@@ -108,6 +108,23 @@ def _unwrap(fn):
     return fn
 
 
+def _relpath_of(mod) -> str | None:
+    path = getattr(mod, "__file__", None)
+    if path and ("resin_spark" in path
+                 or path.endswith("__spark_entry__.py")):
+        return os.path.relpath(path, REPO)
+    return None
+
+
+# Per-function contribution memo: a function's own (funcs, consts,
+# successor callables) depend only on the function object, never on
+# which entry's walk reached it — so the 99 entries' walks share one
+# computation per function instead of re-parsing its source 99 times
+# (the full audit dropped from ~15 min to seconds). The memo holds a
+# strong reference to the function so a gc'd id can never alias.
+_CONTRIB_MEMO: dict[int, tuple] = {}
+
+
 def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
     """(functions, constants): repo-relative (file, top-level-name)
     pairs reachable from a callable — its own def, every resin_spark
@@ -118,19 +135,31 @@ def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
     funcs: set[tuple[str, str]] = set()
     consts: set[tuple[str, str]] = set()
     stack, seen = [fn], set()
-
-    def relpath_of(mod) -> str | None:
-        path = getattr(mod, "__file__", None)
-        if path and ("resin_spark" in path
-                     or path.endswith("__spark_entry__.py")):
-            return os.path.relpath(path, REPO)
-        return None
-
     while stack:
         f = _unwrap(stack.pop())
         if id(f) in seen or not callable(f):
             continue
         seen.add(id(f))
+        memo = _CONTRIB_MEMO.get(id(f))
+        if memo is None:
+            memo = (*_contrib(f), f)
+            _CONTRIB_MEMO[id(f)] = memo
+        c_funcs, c_consts, succ, _ref = memo
+        funcs |= c_funcs
+        consts |= c_consts
+        stack.extend(succ)
+    return funcs, consts
+
+
+def _contrib(f) -> tuple[set, set, list]:
+    """One function's OWN contribution: (funcs, consts, successor
+    callables to keep walking). Exactly the former per-node body of
+    reachable(), factored out so it can be memoized per function."""
+    funcs: set[tuple[str, str]] = set()
+    consts: set[tuple[str, str]] = set()
+    stack: list = []
+    relpath_of = _relpath_of
+    if True:  # keep the original body's indentation/diff minimal
         code = getattr(f, "__code__", None)
         mod = sys.modules.get(getattr(f, "__module__", ""))
         rel = relpath_of(mod)
@@ -220,7 +249,7 @@ def reachable(fn) -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
                 stack.append(v)
             elif v is not None and rel and name in gl:
                 consts.add((rel, name))
-    return funcs, consts
+    return funcs, consts, stack
 
 
 # --- oracle resolution from __spark_entry__'s own AST ------------------------
