@@ -342,30 +342,49 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     """Corpus-health reports over a documents-shaped parquet store
     (doc_id, text, source): --docs <parquet>, --report
     anomalies|overlap|mixture|profile|chunks|divergence|coverage|
-    dupcurve|agreement|healthcard|all (default all; healthcard prints
-    the C64 typed melt instead of the member reports), --budget
-    <tokens> (mixture planner, default pipeline.MIX_BUDGET). Prints
-    one line per report row."""
+    dupcurve|agreement|healthcard|govcard|tuningcard|all (default all;
+    the three *card reports print the C64/C65/C66 typed melts instead
+    of the member reports; govcard also needs --emb <embeddings
+    parquet>), --budget <tokens> (mixture planner, default
+    pipeline.MIX_BUDGET). Prints one line per report row."""
     from resin_spark.operators import dedup, health, pipeline, traindata
 
     docs = spark.read.parquet(flags["docs"])
     which = (flags.get("report") or "all").lower()
     kinds = ("anomalies", "overlap", "mixture", "profile", "chunks",
              "divergence", "coverage", "dupcurve", "agreement",
-             "healthcard", "all")
+             "healthcard", "govcard", "tuningcard", "all")
     if which not in kinds:
         log(f"unknown report: {which} (one of {'|'.join(kinds)})")
         return 0
-    if which == "healthcard":
-        # the one-page typed melt (C64) — the six health cards in one
-        # relation, exactly what the driver hash-checks; not part of
-        # `all` (which prints the member reports individually)
-        log("-- health card (typed melt) --")
-        for r in health.health_card_typed({"documents": docs}).collect():
+
+    def print_melt(title, df):
+        log(f"-- {title} --")
+        for r in df.collect():
             v = (r["value_str"] if r["value_num"] is None
                  else f"{r['value_num']:g}")
             log(f"{r['section']}/{r['metric']} = {v}")
         return 0
+
+    # the one-page typed melts (C64/C65/C66) — exactly the relations
+    # the driver hash-checks; not part of `all` (which prints the
+    # member reports individually)
+    if which == "healthcard":
+        return print_melt("health card (typed melt)",
+                          health.health_card_typed({"documents": docs}))
+    if which == "tuningcard":
+        return print_melt("curation tuning card (typed melt)",
+                          pipeline.curation_tuning_card(
+                              {"documents": docs}))
+    if which == "govcard":
+        emb_path = flags.get("emb")
+        if not emb_path:
+            log("govcard needs --emb <embeddings parquet> (semantic "
+                "leakage section reads vectors)")
+            return 0
+        t = {"documents": docs, "embeddings": spark.read.parquet(emb_path)}
+        return print_melt("split governance card (typed melt)",
+                          pipeline.split_governance_card(t))
     if which in ("anomalies", "all"):
         log("-- encoding anomalies --")
         for r in health.encoding_anomalies(docs).collect():

@@ -483,3 +483,38 @@ def test_cmd_health_healthcard_melt(spark, tmp_path):
     assert len(cell_lines) == n_cells
     assert any(l.startswith("coverage/") for l in cell_lines)
     assert any(l.startswith("lengths/") for l in cell_lines)
+
+
+def test_cmd_health_govcard_and_tuningcard(spark, tmp_path):
+    """govcard (needs --emb) and tuningcard print their typed melts;
+    govcard without --emb explains itself instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from resin_spark.io import load_tables
+    from resin_spark.operators import pipeline as pl
+
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    dpath, epath = str(tmp_path / "docs_pq"), str(tmp_path / "emb_pq")
+    docs.write.parquet(dpath)
+    t["embeddings"].write.parquet(epath)
+
+    lines: list[str] = []
+    assert cli.main(["health", "--docs", dpath, "--report", "govcard"],
+                    spark=spark, log=lines.append) == 0
+    assert any("needs --emb" in l for l in lines)
+
+    lines.clear()
+    assert cli.main(["health", "--docs", dpath, "--report", "govcard",
+                     "--emb", epath], spark=spark, log=lines.append) == 0
+    n = pl.split_governance_card(
+        {"documents": spark.read.parquet(dpath),
+         "embeddings": spark.read.parquet(epath)}).count()
+    assert len([l for l in lines if " = " in l]) == n
+
+    lines.clear()
+    assert cli.main(["health", "--docs", dpath, "--report", "tuningcard"],
+                    spark=spark, log=lines.append) == 0
+    n = pl.curation_tuning_card(
+        {"documents": spark.read.parquet(dpath)}).count()
+    assert len([l for l in lines if " = " in l]) == n

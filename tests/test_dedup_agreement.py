@@ -71,3 +71,24 @@ def test_agreement_empty_and_pairless_corpus(spark):
     for r in card.values():
         assert r["pairs_a"] == r["pairs_b"] == r["pairs_both"] == 0
         assert r["pairs_either"] == 0 and r["agreement"] is None
+
+
+def test_agreement_card_plans_one_aggregate_subtree(spark):
+    """ADVICE r8: the card must not rely on ReuseExchange to avoid
+    running the D2/D3/D4 pair pipelines three times. With the F.inline
+    construction the aggregate appears ONCE by construction: the
+    executed plan holds exactly one Generate(inline), 2 parquet scans
+    (docs for simhash + the roster; the PPJoin/minhash signature
+    frames are the 7 checkpointed ExistingRDD scans) — the union form
+    would triple every one of these."""
+    from resin_spark.io import load_tables
+    from resin_spark.operators import dedup
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    df = dedup.dedup_method_agreement(docs)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final[:2000]
+    assert final.count("Scan ExistingRDD") == 7, final[:2000]
+    assert final.count("Generate inline") + final.count("Inline") == 1
