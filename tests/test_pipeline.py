@@ -797,3 +797,74 @@ def test_curation_tuning_card_sections_pin_members(spark):
         == ["string", "string", "double", "string"]
     for row in typed:
         assert (row["value_num"] is None) or (row["value_str"] is None)
+
+
+# --- melt machinery property: _melt_typed == _typed_melt_sql on random frames --
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _weird = st.one_of(
+        st.none(),
+        st.text(alphabet="ab =/|'\"é漢\n", min_size=0, max_size=6))
+    _cell_rows = st.lists(
+        st.tuples(
+            _weird,                                     # k1 string key
+            st.integers(min_value=-3, max_value=3),     # k2 bigint key
+            st.one_of(st.none(),
+                      st.integers(min_value=-10, max_value=10)),  # n1
+            st.one_of(st.none(),
+                      st.sampled_from([0.0, -1.5, 2.25, 1e-3])),  # d1
+            _weird,                                     # s1 string value
+        ),
+        min_size=0, max_size=8)
+
+    @given(rows=_cell_rows)
+    @settings(max_examples=12, deadline=None)
+    def test_melt_typed_matches_sql_melt(spark, tmp_path_factory, rows):
+        """The melt machinery itself (pipeline._melt_typed vs
+        health._typed_melt_sql) is equivalent on RANDOM frames — NULL
+        and weird-char key values, NULL numeric/string cells, duplicate
+        keys. This is the shared surface under the three composite
+        driver entries; the cards' own parity only exercises it on
+        their fixed section specs."""
+        import duckdb
+
+        from resin_spark.operators.health import _typed_melt_sql
+
+        d = tmp_path_factory.mktemp("melt")
+        df = spark.createDataFrame(
+            rows, "k1 string, k2 long, n1 long, d1 double, s1 string")
+        path = f"{d}/t.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+        spark_out = pipeline._melt_typed(
+            spark.read.parquet(path), "sec", ["k1", "k2"])
+        melt = _typed_melt_sql("sec", ["k1", "k2"], ["n1", "d1"], ["s1"])
+        sql = (f"WITH card_sec AS (SELECT * FROM "
+               f"read_parquet('{path}/*.parquet'))\n"
+               f"SELECT * FROM (\n{melt}\n)")
+        con = duckdb.connect()
+        try:
+            cur = con.execute(sql)
+            ocols = [c[0] for c in cur.description]
+            orows = cur.fetchall()
+        finally:
+            con.close()
+        srows = spark_out.collect()
+        assert sorted(spark_out.columns) == sorted(ocols)
+        assert len(srows) == len(orows)
+
+        def norm(v):
+            return repr(v)
+
+        o_idx = [ocols.index(c) for c in sorted(ocols)]
+        s_idx = [spark_out.columns.index(c)
+                 for c in sorted(spark_out.columns)]
+        oset = sorted(tuple(norm(r[i]) for i in o_idx) for r in orows)
+        sset = sorted(tuple(norm(r[i]) for i in s_idx) for r in srows)
+        assert sset == oset, \
+            [p for p in zip(sset, oset) if p[0] != p[1]][:3]
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
