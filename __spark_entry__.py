@@ -569,9 +569,8 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, warc_extract_text strips the HTTP envelope and extracts
     visible text. Binary source ⇒ no SQL oracle by design (the H2/H14
     precedent); the text round-trip is pinned in
-    tests/test_ingest_cycle.py. NOT registered in queries() this
-    round: the r7 window closed at 50/50 — takes the first rows-only
-    slot in r8 per the §6 queue."""
+    tests/test_ingest_cycle.py. Registered rows-only in queries()
+    since r9 (driver-green in CORRECTNESS_r09)."""
     import html as _html
     import os
 
@@ -609,79 +608,21 @@ def queries() -> dict[str, Query]:
     # level (docstrings stripped), not by prose (the r4
     # dedup_embedding lesson).
     #
-    # r9 (computed by tools/plan_window.py 51cbb82): 0 red + 0 edited
-    # + 43 due − 2 due-cohort retirements + 9 promotions = 50.
-    # Retired per §6 (written adjudication in SURVEY §6): corpus_stats
-    # + lang_stats + filter_funnel — all r7/r8 driver-green, all three
-    # nested VERBATIM in dataset_card_typed's r8-green slot with
-    # section-equality pins, oracles pytest-kept (test_retired_parity).
-    # Promotions (§6 queue order into true slack): cluster_split,
-    # shard_manifest, warc_ingest (rows-only), ann_topk_ivf_indexed,
-    # q4_order_priority + q22_idle_customers (VERDICT r7 item 5 — the
-    # LeftSemi and LeftAnti+broadcast-scalar join shapes), plus the two
-    # composite melts health_card_typed (transitively pins
-    # C43/C44/C48/C49/C52/C55) and split_governance_card (pins
-    # C59/D15/C60/D16/C61), and boilerplate_card. encoding_anomalies &
-    # co. ride inside the melts instead of holding their own slots.
+    # r10 (computed by tools/plan_window.py cac8ad4): 0 red + 0 edited
+    # + 49 due + 1 promotion = 50. The due cohort is exactly the r8-
+    # checked tail (99 registered − the 50 r9-window checks). The one
+    # promotion slot goes to curation_tuning_card (C66, staged
+    # parity-green since r9) — NOT plan_window's default pick
+    # mixture_plan, because the melt transitively pins mixture_plan
+    # AND eight more staged operators (C45/C53/C50/C46/C47/D13/C56/
+    # C62/C58) via verbatim-section + nested-oracle-CTE construction;
+    # with it green the staged queue is permanently EMPTY. Its
+    # snippets section was re-specced this round (doc_id moved from
+    # the numeric melt into the key fold — VERDICT r9 "What's wrong"
+    # #1; >2^53 pin in tests/test_pipeline.py), so it must sit in the
+    # window anyway.
     return {
-        # -- (c) the r7-checked cohort — two rounds old, re-checks now
-        "domain_mix": _mk_text(pipeline.domain_mix),
-        "dedup_embedding": _dedup_embedding,
-        "semantic_dedup": _semantic_dedup,
-        "kmeans_refine": _kmeans_refine,
-        "dedup_incremental_indexed": _dedup_incremental_indexed,
-        "semantic_dedup_indexed": _semantic_dedup_indexed,
-        "index_validate": _index_validate,
-        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
-        "graph_dedup": _graph_dedup,
-        "knn_classify": _knn_classify,
-        "quality_perplexity": _mk_text(traindata.quality_perplexity),
-        "importance_weights": _mk_text(traindata.importance_weights),
-        "centroid_assign": _centroid_assign,
-        "bpe_merge_step": _bpe_merge_step,
-        "bm25_search": _mk_text(textops.bm25_search),
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash": _dedup_simhash,
-        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "lexicon_build": _mk_text(textops.lexicon_build),
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
-        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
-        "events_retention": _mk_text(timeseries.retention),
-        "text_quality_score": _mk_text(textops.quality_score),
-        "quality_repetition": _mk_text(pipeline.quality_repetition),
-        "pipeline_curate": _mk_text(textops.pipeline_curate),
-        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier": _q5,
-        "topk_per_group": _topk,
-        "kmv_distinct": _mk_text(sketch.kmv_distinct),
-        "contamination_check": _mk_text(pipeline.contamination_check),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
-        "doc_fingerprint": _mk_text(textops.fingerprint),
-        "unicode_range": _mk_text(textops.unicode_range),
-        "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "lang_id_heuristic": _mk_text(textops.lang_id),
-        "kv_try_put": _kv_try_put,
-        "dedup_incremental": _dedup_incremental,
-        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
-        # -- (d) promotions into true slack (§6 queue order)
-        "cluster_split": _mk_text(pipeline.cluster_split_demo),
-        "shard_manifest": _mk_text(traindata.shard_manifest),
-        "warc_ingest": _warc_ingest,
-        "ann_topk_ivf_indexed": _ann_topk_ivf_indexed,
-        "q4_order_priority": _q4,
-        "q22_idle_customers": _q22,
-        "health_card_typed": _mk_text(health.health_card_typed),
-        "split_governance_card": _mk_text(pipeline.split_governance_card),
-        "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
-        # ---- tail: past the 50-entry window from here down ----
-        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r08
-        # and its reachable functions + oracle are AST-identical to
-        # that checked form: verified by tools/audit_window.py (run it
-        # against the r8 final commit 51cbb82; warnings==0 is the
-        # contract).
+        # -- (c) the r8-checked cohort — two rounds old, re-checks now
         "lexicon_angle": _mk_text(textops.lexicon_angle),
         "lexicon_validate": _mk_text(textops.lexicon_validate),
         "price_quantiles": _mk_text(sketch.price_quantiles),
@@ -731,6 +672,64 @@ def queries() -> dict[str, Query]:
         "string_compare": _string_compare,
         "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
         "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
+        # -- (d) the r10 promotion: the last staged melt (queue now empty)
+        "curation_tuning_card": _mk_text(pipeline.curation_tuning_card),
+        # ---- tail: past the 50-entry window from here down ----
+        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r09
+        # and its reachable functions + oracle are AST-identical to
+        # that checked form: verified by tools/audit_window.py (run it
+        # against the r9 final commit cac8ad4; warnings==0 is the
+        # contract).
+        "domain_mix": _mk_text(pipeline.domain_mix),
+        "dedup_embedding": _dedup_embedding,
+        "semantic_dedup": _semantic_dedup,
+        "kmeans_refine": _kmeans_refine,
+        "dedup_incremental_indexed": _dedup_incremental_indexed,
+        "semantic_dedup_indexed": _semantic_dedup_indexed,
+        "index_validate": _index_validate,
+        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
+        "graph_dedup": _graph_dedup,
+        "knn_classify": _knn_classify,
+        "quality_perplexity": _mk_text(traindata.quality_perplexity),
+        "importance_weights": _mk_text(traindata.importance_weights),
+        "centroid_assign": _centroid_assign,
+        "bpe_merge_step": _bpe_merge_step,
+        "bm25_search": _mk_text(textops.bm25_search),
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_retention": _mk_text(timeseries.retention),
+        "text_quality_score": _mk_text(textops.quality_score),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "topk_per_group": _topk,
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        "contamination_check": _mk_text(pipeline.contamination_check),
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "unicode_range": _mk_text(textops.unicode_range),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
+        "kv_try_put": _kv_try_put,
+        "dedup_incremental": _dedup_incremental,
+        "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
+        "cluster_split": _mk_text(pipeline.cluster_split_demo),
+        "shard_manifest": _mk_text(traindata.shard_manifest),
+        "warc_ingest": _warc_ingest,
+        "ann_topk_ivf_indexed": _ann_topk_ivf_indexed,
+        "q4_order_priority": _q4,
+        "q22_idle_customers": _q22,
+        "health_card_typed": _mk_text(health.health_card_typed),
+        "split_governance_card": _mk_text(pipeline.split_governance_card),
+        "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
     }
 
 
@@ -917,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "health_card_typed": health.health_card_typed_oracle(),
         "split_governance_card": pipeline.split_governance_card_oracle(),
         "boilerplate_card": extract.boilerplate_card_oracle(),
+        "curation_tuning_card": pipeline.curation_tuning_card_oracle(),
     }
 
 

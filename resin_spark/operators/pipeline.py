@@ -1870,7 +1870,12 @@ TUNE_SECTIONS = (
                                 "dup_chunk_share"], []),
     ("dedup_curve", ["threshold"], ["n_pairs", "n_docs_in_pairs",
                                     "dup_doc_share"], []),
-    ("snippets", ["rank"], ["doc_id", "pos"], ["snippet"]),
+    # doc_id rides in the KEY fold (exact string), not the numeric melt:
+    # value_num is DOUBLE, and xxhash64-scale doc_ids (WARC ingest,
+    # extract.py) exceed 2^53 — a double cell would round them in BOTH
+    # engines identically, staying hash-green while publishing a wrong
+    # id. cdc_chunks already follows this rule.
+    ("snippets", ["rank", "doc_id"], ["pos"], ["snippet"]),
     ("facets", ["facet", "value"], ["n_hits", "hit_share"], []),
     ("chunks", ["doc_id", "chunk_id"], ["start_pos", "n_tokens"],
      ["chunk_text"]),

@@ -783,7 +783,7 @@ def test_curation_tuning_card_sections_pin_members(spark):
         assert cells[("dedup_curve", f"threshold={dc['threshold']}/n_pairs")
                      ]["value_num"] == float(dc["n_pairs"])
     sn = textops.search_snippets(t).collect()[0]
-    r = cells[("snippets", f"rank={sn['rank']}/snippet")]
+    r = cells[("snippets", f"rank={sn['rank']}/doc_id={sn['doc_id']}/snippet")]
     assert r["value_str"] == sn["snippet"] and r["value_num"] is None
     for fc in textops.search_facets(t).collect():
         assert cells[("facets", f"facet={fc['facet']}/value={fc['value']}"
@@ -797,6 +797,43 @@ def test_curation_tuning_card_sections_pin_members(spark):
         == ["string", "string", "double", "string"]
     for row in typed:
         assert (row["value_num"] is None) or (row["value_str"] is None)
+
+
+def test_melt_doc_ids_never_ride_value_num(spark):
+    """Regression pin for the r9 verdict's doc_id-as-DOUBLE finding:
+    value_num is DOUBLE, and xxhash64-scale doc_ids (WARC ingest)
+    exceed 2^53 — melting one into value_num rounds it identically in
+    both engines (hash-green, silently-wrong published id). (a) No
+    melt spec may list an id column in its numeric list; (b) the key
+    fold carries a >2^53 bigint exactly."""
+    from resin_spark.operators.health import (HEALTH_SECTIONS,
+                                              _typed_melt_sql)
+    from resin_spark.operators.pipeline import (GOV_SECTIONS,
+                                                TUNE_SECTIONS,
+                                                _melt_typed)
+
+    for specs in (TUNE_SECTIONS, GOV_SECTIONS, HEALTH_SECTIONS):
+        for section, _keys, nums, _strs in specs:
+            assert not any(c == "doc_id" or c.endswith("_id") for c in nums), \
+                f"{section}: id column in the numeric melt list"
+
+    big = 2 ** 53 + 1   # not representable as double (rounds to 2^53)
+    df = spark.createDataFrame([(1, big, 7, "snip")],
+                               "rank bigint, doc_id bigint, pos bigint, "
+                               "snippet string")
+    rows = _melt_typed(df, "snippets", ["rank", "doc_id"]).collect()
+    assert {r["metric"] for r in rows} == {
+        f"rank=1/doc_id={big}/pos", f"rank=1/doc_id={big}/snippet"}
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW card_snippets AS SELECT 1 AS rank, "
+                f"{big} AS doc_id, 7 AS pos, 'snip' AS snippet")
+    sql = _typed_melt_sql("snippets", ["rank", "doc_id"], ["pos"],
+                          ["snippet"])
+    got = {r[1] for r in con.execute(sql).fetchall()}
+    assert got == {f"rank=1/doc_id={big}/pos",
+                   f"rank=1/doc_id={big}/snippet"}
 
 
 # --- melt machinery property: _melt_typed == _typed_melt_sql on random frames --
