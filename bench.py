@@ -78,6 +78,7 @@ def main() -> None:
     # vs 1.22 s isolated), and a third sample is cheap exactly where the
     # noise is worst.
     EXTRA_RUN_UNDER = 3.0
+    timed_runs: dict[str, int] = {}
     for name, fn in queries.items():
         # Release the previous query's lineage before timing this one:
         # localCheckpoint RDDs (dedup loops, PPJoin index) stay pinned in
@@ -86,6 +87,7 @@ def main() -> None:
         gc.collect()
         best = None
         run, n_timed = 0, RUNS
+        timed_runs[name] = RUNS
         while run <= n_timed:
             t0 = time.monotonic()
             try:
@@ -96,9 +98,11 @@ def main() -> None:
                     best = el if best is None else min(best, el)
                     if best < EXTRA_RUN_UNDER:
                         n_timed = RUNS + 1
+                        timed_runs[name] = n_timed
             except Exception as e:  # keep benching; a failed query reports -1
                 sys.stderr.write(f"{name} FAILED: {e}\n")
                 best = -1.0
+                timed_runs[name] = max(0, run - 1)
                 break
             run += 1
         timings[name] = round(best, 3)
@@ -110,11 +114,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": RUNS,
+        # self-describing run counts (ADVICE r9): [min, max] realized
+        # timed runs across queries, plus the threshold that triggers
+        # the extra run — the prose no longer carries the only record.
+        "runs_per_query": [min(timed_runs.values(), default=RUNS),
+                           max(timed_runs.values(), default=RUNS)],
+        "extra_run_under_sec": EXTRA_RUN_UNDER,
         "aggregation": "min",
-        "methodology": "per-query min of 2 timed runs (3 when the best "
-                       "is under 3 s) after 1 discarded warm run; "
-                       "noop-format write forces full materialisation",
+        "methodology": f"per-query min of {RUNS} timed runs "
+                       f"({RUNS + 1} when the best is under "
+                       f"{EXTRA_RUN_UNDER:g} s) after 1 discarded warm "
+                       "run; noop-format write forces full "
+                       "materialisation",
     })
     # Artifacts are WRITE-ONCE per run (VERDICT r8 item 5): every run
     # writes a run-stamped sidecar BENCH_LOCAL.<epoch>.json, and
@@ -144,14 +155,17 @@ def main() -> None:
     # descending, kept while the line stays under the tail capture,
     # with the omission made explicit. `value` stays the total over
     # ALL queries; the complete dict is in BENCH_LOCAL.json.
-    print(_budgeted_line(total, timings, sf, RUNS), flush=True)
+    print(_budgeted_line(total, timings, sf,
+                         [min(timed_runs.values(), default=RUNS),
+                          max(timed_runs.values(), default=RUNS)]),
+          flush=True)
 
 
 TAIL_BUDGET = 1900  # driver tail capture is 2000 chars; leave margin
 
 
 def _budgeted_line(total: float, timings: dict[str, float], sf,
-                   runs: int, budget: int = TAIL_BUDGET) -> str:
+                   runs, budget: int = TAIL_BUDGET) -> str:
     ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def render(n_shown: int) -> str:

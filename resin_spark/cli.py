@@ -361,8 +361,14 @@ def cmd_health(flags: dict, spark: SparkSession, log=print) -> int:
     def print_melt(title, df):
         log(f"-- {title} --")
         for r in df.collect():
-            v = (r["value_str"] if r["value_num"] is None
-                 else f"{r['value_num']:g}")
+            if r["value_num"] is not None:
+                v = f"{r['value_num']:g}"
+            elif r["value_str"] is not None:
+                v = r["value_str"]
+            else:
+                # both faces NULL (e.g. min/max of an all-NULL profiled
+                # column) — same placeholder as cmd_ingest's NULL-share
+                v = "-"
             log(f"{r['section']}/{r['metric']} = {v}")
         return 0
 

@@ -267,6 +267,14 @@ def _decode(body: bytes, header: bytes) -> str:
             return body.decode(m.group(1).decode("ascii"), errors="replace")
         except LookupError:
             continue
+    # Known WHATWG-prescan approximation (ADVICE r9, adjudicated): a
+    # <meta> tag that STARTS before byte 1024 but whose '>' lands past
+    # it is skipped by this hard slice and the page falls back to the
+    # next candidate (UTF-8). Fix is scheduled for the r11 window open
+    # — _decode is reachable from warc_ingest + boilerplate_card,
+    # which are tail entries this round (r9-checked, due r11), so an
+    # AST change here now would break the window audit. r11 form:
+    # finditer(body[:2048]) gated on tag.start() < 1024.
     for tag in _META_TAG_RE.finditer(body[:1024]):
         m = _CHARSET_RE.search(tag.group(0))
         if m:
