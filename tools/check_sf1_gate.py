@@ -1,0 +1,184 @@
+"""Mechanical sf1 regression gate (r10 — the BASELINE.md two-tier
+methodology's cost-leader half, as ONE command).
+
+Re-measures every standing sf1 row (the decade-step readings from
+tools/sweep_sf1_r8/r9/r10.py, consolidated here with the same corpora
+axes and min-of-2-after-warm methodology) and compares each against
+the committed expectation in BASELINE_SF1.json at the 1.5x gate.
+
+Usage:
+  python tools/check_sf1_gate.py            # measure, compare, exit 1 on breach
+  python tools/check_sf1_gate.py --write    # measure and REWRITE BASELINE_SF1.json
+  python tools/check_sf1_gate.py <prefix..> # only entries matching a prefix
+
+Don't run concurrently with bench.py or another Spark job — both grab
+local[32] and the point of the sf1 tier is session-stable numbers.
+index_validate is not gated here by design (I/O-dominated scratch
+writes; tools/sweep_validate.py r5). dedup_embedding's expectation
+carries the pair-volume adjudication (SCALING.md r10) — its gate
+compares wall like every other row; the axis is fixed so the pair
+volume is too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from resin_spark.io import load_tables, read_warc
+from resin_spark.operators import (dedup, extract, health, kv, pipeline,
+                                   retrieval, similarity, textindex as ti,
+                                   traindata)
+from resin_spark.plans import tpch
+from resin_spark.session import get_spark
+from sweep_sf1_r8 import docs_10x, emb_10x, noop, timed  # noqa: E402
+from sweep_sf1_r10 import _crawl, rep10  # noqa: E402
+
+GATE = 1.5
+EXPECT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BASELINE_SF1.json")
+
+
+def main() -> None:
+    write = "--write" in sys.argv
+    prefixes = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = get_spark("check-sf1-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    lt = load_tables(spark, "/root/testdata/sf0.1")
+    d1 = lt["documents"].filter(F.col("doc_id").isNotNull()) \
+        .localCheckpoint(eager=True)
+    e1 = lt["embeddings"].localCheckpoint(eager=True)
+    d10, e10 = docs_10x(d1), emb_10x(e1)
+    or10 = rep10(lt["orders"].localCheckpoint(eager=True),
+                 "o_orderkey", "o_custkey")
+    li10 = rep10(lt["lineitem"].localCheckpoint(eager=True), "l_orderkey")
+    cu10 = rep10(lt["customer"].localCheckpoint(eager=True), "c_custkey")
+    t10 = {"documents": d10, "embeddings": e10, "orders": or10,
+           "lineitem": li10, "customer": cu10}
+
+    scratch = tempfile.mkdtemp(prefix="resin_sf1_gate_")
+
+    def qvecs(emb):
+        return emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"))
+
+    def lsh_probe():
+        idx = f"{scratch}/ann10"
+        if not os.path.exists(idx):
+            similarity.write_ann_index(e10, idx, n_planes=6, n_tables=8)
+        return similarity.lsh_topk_indexed(
+            similarity.read_ann_index(spark, idx), qvecs(e10),
+            n_planes=6, n_tables=8, probe_radius=2)
+
+    def pq_probe():
+        idx = f"{scratch}/pq10"
+        if not os.path.exists(idx):
+            similarity.write_pq_index(e10, idx)
+        codes, books = similarity.read_pq_index(spark, idx)
+        return similarity.pq_topk_indexed(codes, books, qvecs(e10), e10,
+                                          rerank=50)
+
+    def bm25_build():
+        shutil.rmtree(f"{scratch}/bm25", ignore_errors=True)
+        ti.write_text_index(d10, f"{scratch}/bm25")
+
+    def bm25_probe():
+        if not os.path.exists(f"{scratch}/bm25"):
+            ti.write_text_index(d10, f"{scratch}/bm25")
+        ti.bm25_topk_indexed(spark, f"{scratch}/bm25").collect()
+
+    warc_glob = None
+
+    def warc_boiler():
+        nonlocal warc_glob
+        if warc_glob is None:
+            warc_glob = _crawl(os.path.join(scratch, "crawl"), 50, 100)
+        docs = extract.warc_extract_text(read_warc(spark, warc_glob))
+        return extract.boilerplate_card(docs)
+
+    # entry -> zero-arg thunk running the sf1-scale job end-to-end.
+    # Same operating points as the recorded sweeps (SCALING.md r8-r10).
+    ROWS: dict[str, callable] = {
+        "split_governance_card": lambda: noop(pipeline.split_governance_card(t10)),
+        "curation_tuning_card": lambda: noop(pipeline.curation_tuning_card(t10)),
+        "cluster_split": lambda: noop(pipeline.cluster_split_demo(t10)),
+        "dataset_card_typed": lambda: noop(pipeline.dataset_card_typed(t10)),
+        "dedup_ngram_jaccard": lambda: noop(dedup.ngram_jaccard_pairs(d10)),
+        "dedup_simhash": lambda: noop(dedup.simhash_pairs(d10)),
+        "health_card_typed": lambda: noop(health.health_card_typed(t10)),
+        "dedup_embedding": lambda: noop(dedup.embedding_dedup_pairs(e10)),
+        "dedup_components": lambda: noop(dedup.dedup_components(d10)),
+        "semantic_dedup": lambda: noop(dedup.semantic_dedup(e10)),
+        "hybrid_search_rrf": lambda: noop(retrieval.hybrid_search_demo(t10)),
+        "dedup_minhash_lsh": lambda: noop(dedup.minhash_lsh_pairs(d10)),
+        "kmeans_refine": lambda: noop(traindata.kmeans_refine(e10)),
+        "bm25 index build": bm25_build,
+        "dedup_incremental": lambda: noop(dedup.incremental_dedup(d10)),
+        "importance_weights": lambda: noop(traindata.importance_weights(t10)),
+        "nb_lang_classify": lambda: noop(traindata.nb_lang_classify(t10)),
+        "domain_mix": lambda: noop(pipeline.domain_mix(t10)),
+        "ann lsh indexed probe": lambda: noop(lsh_probe()),
+        "ann pq indexed probe": lambda: noop(pq_probe()),
+        "kv_paginate": lambda: noop(kv.paginate(li10.select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_linenumber").alias("seq")))),
+        "warc boilerplate_card": lambda: noop(warc_boiler()),
+        "shard_manifest": lambda: noop(traindata.shard_manifest(t10)),
+        "q4_order_priority": lambda: noop(tpch.q4_order_priority(t10)),
+        "q22_idle_customers": lambda: noop(tpch.q22_idle_customers(t10)),
+        "bm25 indexed probe": bm25_probe,
+    }
+    if prefixes:
+        ROWS = {k: v for k, v in ROWS.items()
+                if any(k.startswith(p) for p in prefixes)}
+
+    expect = {}
+    if os.path.exists(EXPECT_PATH):
+        expect = json.load(open(EXPECT_PATH)).get("sf1_sec", {})
+
+    got, breaches = {}, []
+    print("| entry | expected (s) | measured (s) | ratio | verdict |")
+    print("|---|---|---|---|---|")
+    try:
+        for name, thunk in ROWS.items():
+            sec = timed(thunk)
+            got[name] = round(sec, 2)
+            exp = expect.get(name)
+            if exp:
+                ratio = sec / exp
+                verdict = "OK" if ratio <= GATE else "BREACH"
+                if ratio > GATE:
+                    breaches.append(name)
+                print(f"| {name} | {exp:.2f} | {sec:.2f} | {ratio:.2f}x "
+                      f"| {verdict} |", flush=True)
+            else:
+                print(f"| {name} | - | {sec:.2f} | - | NEW |", flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+    if write:
+        json.dump({"gate": GATE,
+                   "methodology": "decade-step sf1 walls, min-of-2 after "
+                                  "a discarded warm run, quiet local[32] "
+                                  "(BASELINE.md two-tier gate, cost-leader "
+                                  "tier)",
+                   "sf1_sec": got},
+                  open(EXPECT_PATH, "w"), indent=1, sort_keys=True)
+        print(f"wrote {EXPECT_PATH} ({len(got)} rows)")
+    print(f"breaches (> {GATE}x): {breaches or 'none'}")
+    sys.exit(1 if breaches and not write else 0)
+
+
+if __name__ == "__main__":
+    main()
