@@ -355,3 +355,46 @@ def test_decode_end_to_end_meta_charset_page(spark, tmp_path):
         content_type="text/html")))
     rows = extract.warc_extract_text(read_warc(spark, str(d))).collect()
     assert len(rows) == 1 and "Señor café crème" in rows[0]["text"]
+
+
+# --- r11-scheduled fixes: expected POST-fix behavior, skipped until the
+# window opens (see the verify skill's r11 opening checklist; the code
+# comments at extract._decode and SCALING.md r10 carry the context).
+# The r11 builder flips skip -> live TOGETHER with each fix.
+
+import pytest as _pytest
+
+
+@_pytest.mark.skip(reason="scheduled r11 item 2a: _decode prescan must "
+                          "honour a <meta> STARTING before byte 1024 "
+                          "whose tag extends past it")
+def test_decode_meta_straddling_prescan_boundary_r11():
+    from resin_spark.operators.extract import _decode
+
+    # tag starts at ~byte 1000, charset attribute lands past 1024
+    pad = b"<!--" + b"x" * 990 + b"-->"
+    tag = (b'<meta data-pad="' + b"p" * 40 + b'" charset="iso-8859-1">')
+    body = b"<head>" + pad + tag + b"</head>caf\xe9"
+    assert body.index(b"<meta") < 1024 < body.index(b"iso-8859-1")
+    assert "café" in _decode(body, b"Content-Type: text/html")
+
+
+@_pytest.mark.skip(reason="scheduled r11 item 2b (adjudicate first): "
+                          "lang-aware short-block gate — an ISOLATED "
+                          "complete CJK sentence should survive "
+                          "main-content extraction")
+def test_isolated_short_cjk_sentence_survives_r11():
+    from resin_spark.operators.extract import html_main_text
+
+    # mirrors tests/realpages.py _cjk: the short sentence is isolated
+    # behind a link-dense block, so only a lang-aware length gate (or
+    # equivalent) can keep it. Flip the realpages known_miss pin to
+    # must_keep in the same change.
+    long_zh = "委员会审查了更新后的测量结果，认为所提出的方法在所有测试" \
+              "制度下都是可靠的，并指出校准步骤消除了早期调查记录的残余" \
+              "偏差，这一结论与国际同行的复核意见一致。"
+    short_zh = "这是一个完整但简短的中文句子。"
+    html = (f"<html><body><p>{long_zh}</p>"
+            f"<div><a href='/a'>更多</a> <a href='/b'>档案</a></div>"
+            f"<p>{short_zh}</p></body></html>")
+    assert short_zh in html_main_text(html)
