@@ -602,84 +602,26 @@ def queries() -> dict[str, Query]:
     # functions/oracles were edited this round, and (c) every entry
     # whose last driver check is TWO rounds old (no entry goes
     # unchecked for more than two rounds); the tail holds ONLY entries
-    # green in the LATEST artifact (CORRECTNESS_r07) whose reachable
-    # functions are AST-identical to that checked form — adjudicated
-    # by `python tools/audit_window.py <r7-final-ref>` at function
+    # green in the LATEST artifact whose reachable functions are
+    # AST-identical to that checked form — adjudicated by
+    # `python tools/audit_window.py <last-round-final-ref>` at function
     # level (docstrings stripped), not by prose (the r4
     # dedup_embedding lesson).
     #
-    # r10 (computed by tools/plan_window.py cac8ad4): 0 red + 0 edited
-    # + 49 due + 1 promotion = 50. The due cohort is exactly the r8-
-    # checked tail (99 registered − the 50 r9-window checks). The one
-    # promotion slot goes to curation_tuning_card (C66, staged
-    # parity-green since r9) — NOT plan_window's default pick
-    # mixture_plan, because the melt transitively pins mixture_plan
-    # AND eight more staged operators (C45/C53/C50/C46/C47/D13/C56/
-    # C62/C58) via verbatim-section + nested-oracle-CTE construction;
-    # with it green the staged queue is permanently EMPTY. Its
-    # snippets section was re-specced this round (doc_id moved from
-    # the numeric melt into the key fold — VERDICT r9 "What's wrong"
-    # #1; >2^53 pin in tests/test_pipeline.py), so it must sit in the
-    # window anyway.
+    # r11 (computed by tools/plan_window.py 7bb3e7e): 0 red + 0 edited
+    # + 50 due = 50, slack 0 — the registry sits at exact 2×50
+    # saturation, so the window is the entire r9-checked cohort and no
+    # promotion slot exists (the staged queue has been empty since the
+    # r10 curation_tuning_card promotion; any future registration
+    # first needs a retirement — the pre-adjudicated queue lives in
+    # SURVEY §6). The two r11-scheduled extract fixes (_decode meta-
+    # prescan straddle, lang-aware CJK block gate) are window-legal
+    # precisely because their only reachable entries — warc_ingest and
+    # boilerplate_card — are rotation-due members of this cohort.
     return {
-        # -- (c) the r8-checked cohort — two rounds old, re-checks now
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
-        "lexicon_validate": _mk_text(textops.lexicon_validate),
-        "price_quantiles": _mk_text(sketch.price_quantiles),
-        "corpus_delta": _corpus_delta,
-        "embedding_drift": _embedding_drift,
-        "phrase_search": _mk_text(textops.phrase_search),
-        "bpe_encode": _bpe_encode,
-        "bm25_indexed": _bm25_indexed,
-        "ann_topk_pq_indexed": _ann_topk_pq_indexed,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_components": _dedup_components,
-        "ann_topk_pq": _ann_topk_pq,
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
-        "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "vector_analyze": _vector_analyze,
-        "label_centroids": _label_centroids,
-        "closest_match": _closest_match,
-        "embedding_quantize": _embedding_quantize,
-        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
-        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
-        "ngram_novelty": _mk_text(traindata.ngram_novelty),
-        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
-        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
-        "shard_export": _mk_text(traindata.shard_export),
-        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
-        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
-        "split_words_stats": _mk_text(textops.split_words_stats),
-        "term_frequencies": _mk_text(textops.term_frequencies),
-        "pii_redact": _mk_text(pipeline.pii_redact),
-        "hll_distinct": _mk_text(sketch.hll_distinct),
-        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
-        "agg_rollup": _rollup,
-        "q1_pricing_summary": _q1,
-        "kv_get_many": _kv_get_many,
-        "kv_set_ops": _kv_set_ops,
-        "kv_key_join": _kv_key_join,
-        "kv_paginate": _kv_paginate,
-        "events_hourly_rollup": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        "events_props_json": _events_props,
-        "events_asof_join": _mk_text(timeseries.asof_join),
-        "session_overlap": _mk_text(timeseries.session_overlap),
-        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
-        "events_funnel": _mk_text(timeseries.funnel),
-        "synthesize_tokens": _synthesize_tokens,
-        "string_compare": _string_compare,
-        "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
-        "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
-        # -- (d) the r10 promotion: the last staged melt (queue now empty)
-        "curation_tuning_card": _mk_text(pipeline.curation_tuning_card),
-        # ---- tail: past the 50-entry window from here down ----
-        # Every tail entry is green (or rows-fresh) in CORRECTNESS_r09
-        # and its reachable functions + oracle are AST-identical to
-        # that checked form: verified by tools/audit_window.py (run it
-        # against the r9 final commit cac8ad4; warnings==0 is the
-        # contract).
+        # -- (c) the rotation-due cohort: the full r9-checked set (50
+        #    entries, exactly the window capacity — zero slack, zero
+        #    promotions; the staged queue is empty since r10)
         "domain_mix": _mk_text(pipeline.domain_mix),
         "dedup_embedding": _dedup_embedding,
         "semantic_dedup": _semantic_dedup,
@@ -730,6 +672,62 @@ def queries() -> dict[str, Query]:
         "health_card_typed": _mk_text(health.health_card_typed),
         "split_governance_card": _mk_text(pipeline.split_governance_card),
         "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
+        # ---- tail: past the 50-entry window from here down ----
+        # Every tail entry is green (or rows-only by design) in
+        # CORRECTNESS_r10 and its reachable functions + oracle are
+        # AST-identical to that checked form: verified by
+        # tools/audit_window.py (run against the r10 final commit
+        # 7bb3e7e; warnings==0 is the contract).
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
+        "price_quantiles": _mk_text(sketch.price_quantiles),
+        "corpus_delta": _corpus_delta,
+        "embedding_drift": _embedding_drift,
+        "phrase_search": _mk_text(textops.phrase_search),
+        "bpe_encode": _bpe_encode,
+        "bm25_indexed": _bm25_indexed,
+        "ann_topk_pq_indexed": _ann_topk_pq_indexed,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_components": _dedup_components,
+        "ann_topk_pq": _ann_topk_pq,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "vector_analyze": _vector_analyze,
+        "label_centroids": _label_centroids,
+        "closest_match": _closest_match,
+        "embedding_quantize": _embedding_quantize,
+        "bloom_contamination": _mk_text(pipeline.bloom_contamination),
+        "quality_perplexity_bigram": _mk_text(traindata.quality_perplexity_bigram),
+        "ngram_novelty": _mk_text(traindata.ngram_novelty),
+        "dup_span_coverage": _mk_text(traindata.dup_span_coverage),
+        "line_dedup_stats": _mk_text(traindata.line_dedup_stats),
+        "shard_export": _mk_text(traindata.shard_export),
+        "epoch_shuffle": _mk_text(traindata.epoch_shuffle),
+        "term_cooccurrence": _mk_text(textops.term_cooccurrence),
+        "split_words_stats": _mk_text(textops.split_words_stats),
+        "term_frequencies": _mk_text(textops.term_frequencies),
+        "pii_redact": _mk_text(pipeline.pii_redact),
+        "hll_distinct": _mk_text(sketch.hll_distinct),
+        "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
+        "agg_rollup": _rollup,
+        "q1_pricing_summary": _q1,
+        "kv_get_many": _kv_get_many,
+        "kv_set_ops": _kv_set_ops,
+        "kv_key_join": _kv_key_join,
+        "kv_paginate": _kv_paginate,
+        "events_hourly_rollup": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_props_json": _events_props,
+        "events_asof_join": _mk_text(timeseries.asof_join),
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "events_moving_agg": _mk_text(timeseries.moving_aggregates),
+        "events_funnel": _mk_text(timeseries.funnel),
+        "synthesize_tokens": _synthesize_tokens,
+        "string_compare": _string_compare,
+        "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
+        "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
+        "curation_tuning_card": _mk_text(pipeline.curation_tuning_card),
     }
 
 
