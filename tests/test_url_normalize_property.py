@@ -25,13 +25,24 @@ except ImportError:  # pragma: no cover
 def model(url: str) -> str:
     """Scalar mirror of extract.url_normalize's documented steps, in
     the same order the column expression applies them."""
-    c = url.strip()
+    # strip(' '), not strip(): Spark's F.trim removes ASCII spaces
+    # only — a trailing newline survives the engine's trim (first
+    # pinned by the \n-bearing strategy rows below).
+    c = url.strip(" ")
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", c)
     if not m:
         return c
     head = m.group(1)
     rest = c[len(head):]
-    rest = re.sub(r"#.*$", "", rest, flags=re.DOTALL)
+    # No DOTALL (ADVICE r10): Spark's Java `#.*$` neither matches a
+    # fragment across a newline ('.' excludes \n in both engines) nor
+    # anchors mid-string ($ = end of input / before a sole trailing
+    # \n in both default modes) — the strategy generates \n-bearing
+    # paths and fragments to keep this pinned. \r is excluded from the
+    # strategy: Java's '.' rejects it while Python's accepts it, a
+    # representational divergence the engine contract doesn't promise
+    # anything about.
+    rest = re.sub(r"#.*$", "", rest)
     rest = re.sub(r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*",
                   r"\1", rest)
     rest = re.sub(r"\?&+", "?", rest)
@@ -45,12 +56,13 @@ _SCHEMES = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"])
 _HOSTS = st.sampled_from(["Example.COM", "a.b.c", "x-y.example",
                           "example.com:8080", ""])
 _PATH_BITS = st.sampled_from(["", "/", "/a", "/A/b", "/a/", "/a//b",
-                              "/café", "/%7Euser"])
+                              "/café", "/%7Euser", "/a\nb", "/a\n"])
 _PARAMS = st.lists(st.sampled_from(
     ["q=1", "utm_source=news", "utm_=x", "utm_campaign=", "fbclid=abc",
      "gclid=", "a=b", "A=B", "empty=", "x=utm_source", "fbclid2=keep",
      "myutm_a=keep"]), max_size=5)
-_FRAGS = st.sampled_from(["", "#", "#frag", "#a?b=utm_c", "#?&"])
+_FRAGS = st.sampled_from(["", "#", "#frag", "#a?b=utm_c", "#?&",
+                          "#fr\nag", "#f\n"])
 
 
 @st.composite
