@@ -109,6 +109,29 @@ _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 MAIN_MIN_BLOCK_CHARS = 80
 # above this share of characters inside <a>, a block is link chrome
 MAIN_MAX_LINK_DENSITY = 0.33
+# CJK-dominant blocks gate at a lower length (r11, SCALING.md r10: the
+# 80-char latin gate killed isolated complete Chinese sentences —
+# cjk-page kept share 0.488). 14 chars = a minimal complete CJK clause;
+# at the ~2.5-3x information-per-char ratio of space-free CJK scripts
+# that is the 35-42 latin-char band, accepted deliberately because CJK
+# prose sentences ARE that short and the link-density + bad-subtree
+# gates, not length, carry the boilerplate load for CJK nav chrome.
+MAIN_MIN_BLOCK_CHARS_CJK = 14
+# Han (unified + ext A + compat), kana, hangul
+_CJK_CHAR_RE = re.compile("[\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\uac00-\ud7af]")
+
+
+def _min_block_chars(text: str) -> int:
+    """Length gate for one block: the CJK threshold iff at least half
+    the block's alphanumeric chars are CJK (majority script rule — a
+    latin block with a quoted CJK word keeps the latin gate, and
+    vice versa)."""
+    letters = sum(ch.isalnum() for ch in text)
+    if not letters:
+        return MAIN_MIN_BLOCK_CHARS
+    cjk = len(_CJK_CHAR_RE.findall(text))
+    return (MAIN_MIN_BLOCK_CHARS_CJK if 2 * cjk >= letters
+            else MAIN_MIN_BLOCK_CHARS)
 
 
 class _BlockCollector(HTMLParser):
@@ -228,7 +251,7 @@ def html_main_text(html: str) -> str:
         link_density = a_len / len(text)
         if b["bad"] or link_density > MAIN_MAX_LINK_DENSITY:
             labels.append("bad")
-        elif len(text) >= MAIN_MIN_BLOCK_CHARS and not b["heading"]:
+        elif len(text) >= _min_block_chars(text) and not b["heading"]:
             labels.append("good")
         else:
             labels.append("short")
@@ -267,15 +290,16 @@ def _decode(body: bytes, header: bytes) -> str:
             return body.decode(m.group(1).decode("ascii"), errors="replace")
         except LookupError:
             continue
-    # Known WHATWG-prescan approximation (ADVICE r9, adjudicated): a
-    # <meta> tag that STARTS before byte 1024 but whose '>' lands past
-    # it is skipped by this hard slice and the page falls back to the
-    # next candidate (UTF-8). Fix is scheduled for the r11 window open
-    # — _decode is reachable from warc_ingest + boilerplate_card,
-    # which are tail entries this round (r9-checked, due r11), so an
-    # AST change here now would break the window audit. r11 form:
-    # finditer(body[:2048]) gated on tag.start() < 1024.
-    for tag in _META_TAG_RE.finditer(body[:1024]):
+    # WHATWG prescan: a <meta> qualifies if the tag STARTS inside the
+    # 1024-byte prescan window even when its '>' lands past it (the
+    # hard body[:1024] slice used to drop exactly those stragglers —
+    # ADVICE r9, fixed in the r11 window). Scanning a doubled slice
+    # and gating on tag.start() bounds the straggler allowance at one
+    # more window's worth of attribute bytes, which covers any sane
+    # <meta> while keeping the scan O(1) per page.
+    for tag in _META_TAG_RE.finditer(body[:2048]):
+        if tag.start() >= 1024:
+            break
         m = _CHARSET_RE.search(tag.group(0))
         if m:
             try:

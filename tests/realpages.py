@@ -230,25 +230,25 @@ def _paywall(uid: str) -> dict:
 
 
 def _cjk(uid: str) -> dict:
-    # 90+ CJK chars => clears the 80-char gate like latin prose; the
-    # SHORT one (~40 chars, a full sentence in Chinese) is isolated and
-    # dies — the documented latin-centric length bias
+    # 90+ CJK chars clears any gate like latin prose; the SHORT one
+    # (a full sentence in Chinese) is isolated behind a link-dense
+    # block, so the near-good cascade cannot rescue it — it survives
+    # via the CJK-dominant length gate (MAIN_MIN_BLOCK_CHARS_CJK,
+    # r11; it was the documented latin-centric length-bias miss
+    # through r10, kept share 0.488)
     long_zh = ("委员会审查了更新后的测量结果，认为所提出的方法在所有测试"
                "制度下都是可靠的，并指出校准步骤消除了早期调查记录的残余"
                "偏差，这一结论与国际同行的复核意见一致。" f"长文-{uid}。")
     short_zh = f"这是一个完整但简短的中文句子。短文-{uid}。"
-    # the short sentence is ISOLATED behind a link-dense block, so the
-    # near-good cascade cannot rescue it (adjacent to the good para it
-    # would survive — verified; the bias only bites isolated shorts)
     html = (f"<html><body><nav><a href='/'>首页</a></nav>"
             f"<p>{long_zh}</p>"
             f"<div><a href='/a'>更多</a> <a href='/b'>档案</a></div>"
             f"<p>{short_zh}</p></body></html>")
     return {
         "name": "cjk_page", "html": html,
-        "must_keep": [f"长文-{uid}"],
+        "must_keep": [f"长文-{uid}", f"短文-{uid}"],
         "must_drop": ["首页"],
-        "known_miss": {"kept": [], "dropped": [f"短文-{uid}"]},
+        "known_miss": {"kept": [], "dropped": []},
     }
 
 

@@ -365,9 +365,6 @@ def test_decode_end_to_end_meta_charset_page(spark, tmp_path):
 import pytest as _pytest
 
 
-@_pytest.mark.skip(reason="scheduled r11 item 2a: _decode prescan must "
-                          "honour a <meta> STARTING before byte 1024 "
-                          "whose tag extends past it")
 def test_decode_meta_straddling_prescan_boundary_r11():
     from resin_spark.operators.extract import _decode
 
@@ -379,10 +376,6 @@ def test_decode_meta_straddling_prescan_boundary_r11():
     assert "café" in _decode(body, b"Content-Type: text/html")
 
 
-@_pytest.mark.skip(reason="scheduled r11 item 2b (adjudicate first): "
-                          "lang-aware short-block gate — an ISOLATED "
-                          "complete CJK sentence should survive "
-                          "main-content extraction")
 def test_isolated_short_cjk_sentence_survives_r11():
     from resin_spark.operators.extract import html_main_text
 
