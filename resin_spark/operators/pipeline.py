@@ -1465,7 +1465,8 @@ def dataset_split_demo_oracle() -> str:
 
 
 def split_leakage(docs: DataFrame, n: int = LEAK_N,
-                  tau: float = LEAK_TAU) -> DataFrame:
+                  tau: float = LEAK_TAU,
+                  pairs: DataFrame | None = None) -> DataFrame:
     """Cross-split near-duplicate leakage card: the D2 exact-Jaccard
     pair relation labelled by each side's train/val/test assignment —
     (split_lo, split_hi, n_pairs, pair_share). The (train, test) and
@@ -1481,8 +1482,16 @@ def split_leakage(docs: DataFrame, n: int = LEAK_N,
     proven exact-at-scale design; labelling is MAP-SIDE (no
     assignment-table join — split_of derives from the id), and the
     final aggregate sees ≤ 6 (split, split) groups.
+
+    ``pairs`` (r11): an optional PRECOMPUTED D2 pair relation at the
+    same (n, tau) point — the driver entries pass one shared
+    localCheckpoint so the governance card, the cluster split and this
+    card price the PPJoin once per process instead of once per
+    consumer (VERDICT r9 item 4). None (the default, and every
+    non-driver caller) keeps the self-contained dataflow.
     """
-    pairs = ngram_jaccard_pairs(docs, n, tau)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n, tau)
     sa, sb = split_of(F.col("doc_a")), split_of(F.col("doc_b"))
     tot_w = Window.partitionBy()
     return (
@@ -1539,7 +1548,8 @@ def split_leakage_demo_oracle(n: int = LEAK_N, tau: float = LEAK_TAU) -> str:
 
 def cluster_components(docs: DataFrame, n: int = LEAK_N,
                        tau: float = LEAK_TAU,
-                       max_iters: int = 25) -> DataFrame:
+                       max_iters: int = 25,
+                       pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, component) connected-component labels over the SAME
     exact-Jaccard pair graph split_leakage scores — component = min
     doc_id reachable (the D6 label contract); docs with no near-dup
@@ -1553,8 +1563,11 @@ def cluster_components(docs: DataFrame, n: int = LEAK_N,
     shape; D6's statistics-gated driver union-find could gate in
     unchanged, but the leakage graph is far sparser than the Hamming
     graph so the always-correct distributed loop is kept).
+
+    ``pairs``: optional precomputed pair relation (see split_leakage).
     """
-    pairs = ngram_jaccard_pairs(docs, n, tau)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n, tau)
     sym = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
            .union(pairs.select(F.col("doc_b").alias("a"),
                                F.col("doc_a").alias("b")))
@@ -1597,7 +1610,8 @@ def cluster_components(docs: DataFrame, n: int = LEAK_N,
                     F.coalesce("component", "doc_id").alias("component")))
 
 
-def cluster_split(docs: DataFrame) -> DataFrame:
+def cluster_split(docs: DataFrame,
+                  pairs: DataFrame | None = None) -> DataFrame:
     """Leakage-FREE train/val/test split card: every document takes the
     split of its near-dup component's canonical id (min doc_id), so
     every pair split_leakage would score is intra-component and hence
@@ -1617,8 +1631,10 @@ def cluster_split(docs: DataFrame) -> DataFrame:
     longs. Scale: the component loop is the only iterative stage; the
     card itself is one map-side partial agg onto |sources|×3 groups
     with the share window over those bounded groups only.
+
+    ``pairs``: optional precomputed pair relation (see split_leakage).
     """
-    comp = cluster_components(docs)
+    comp = cluster_components(docs, pairs=pairs)
     cs = split_of(F.col("component"))
     own = split_of(F.col("doc_id"))
     d = (docs.filter(F.col("doc_id").isNotNull())
@@ -1707,7 +1723,8 @@ SEM_LEAK_TAU = 0.4
 
 
 def semantic_split_leakage(emb: DataFrame,
-                           tau: float = SEM_LEAK_TAU) -> DataFrame:
+                           tau: float = SEM_LEAK_TAU,
+                           pairs: DataFrame | None = None) -> DataFrame:
     """Cross-split SEMANTIC leakage card: the D5 exact embedding-cosine
     pair relation labelled by each side's split — (split_lo, split_hi,
     n_pairs, pair_share). D15 catches verbatim/near-verbatim copies;
@@ -1724,8 +1741,12 @@ def semantic_split_leakage(emb: DataFrame,
     Scale: candidate stage is the size-gated matmul/LSH route (never
     all-pairs past the gate); labelling is MAP-SIDE; the final
     aggregate sees ≤ 6 groups.
+
+    ``pairs``: optional precomputed D5 pair relation at the same tau
+    (see split_leakage — the same driver-entry memo rationale).
     """
-    pairs = embedding_dedup_pairs(emb, tau)
+    if pairs is None:
+        pairs = embedding_dedup_pairs(emb, tau)
     sa, sb = split_of(F.col("vec_a")), split_of(F.col("vec_b"))
     tot_w = Window.partitionBy()
     return (
@@ -1787,7 +1808,10 @@ GOV_SECTIONS = (
 )
 
 
-def split_governance_card(t: Tables) -> DataFrame:
+def split_governance_card(t: Tables,
+                          jaccard_pairs: DataFrame | None = None,
+                          embedding_pairs: DataFrame | None = None
+                          ) -> DataFrame:
     """One-page split-governance sheet: (section, metric, value_num,
     value_str) melting the FIVE audited governance cards — realised
     split shares (C59), cross-split near-dup leakage (D15), the
@@ -1811,14 +1835,24 @@ def split_governance_card(t: Tables) -> DataFrame:
     decimal range). Scale: pair stages are the proven PPJoin /
     gated-matmul shapes; each card is bounded; the melt adds a
     row-local explode and a five-way union.
+
+    ``jaccard_pairs`` / ``embedding_pairs`` (r11): optional
+    precomputed D2 / D5 pair relations at the cards' defining
+    operating points, threaded into the leakage, cluster-split and
+    semantic-leakage sections so one process-shared localCheckpoint
+    replaces the three(+) independent PPJoin / matmul recomputes the
+    same driver pass used to pay (VERDICT r9 item 4). Defaults keep
+    every section the verbatim self-contained demo call.
     """
     from resin_spark.operators.traindata import perplexity_threshold_curve
 
     sections = {
         "splits": dataset_split_demo(t),
-        "leakage": split_leakage_demo(t),
-        "cluster_splits": cluster_split_demo(t),
-        "semantic_leakage": semantic_split_leakage_demo(t),
+        "leakage": split_leakage(t["documents"], pairs=jaccard_pairs),
+        "cluster_splits": cluster_split(t["documents"],
+                                        pairs=jaccard_pairs),
+        "semantic_leakage": semantic_split_leakage(t["embeddings"],
+                                                   pairs=embedding_pairs),
         "perplexity_curve": perplexity_threshold_curve(t),
     }
     parts = [_melt_typed(sections[name], name, keys)
