@@ -6,7 +6,9 @@ footer template); this corpus hand-models the layouts a Common Crawl
 sample actually contains — div-soup navigation, breadcrumbs, bylines,
 pull quotes, related-article rails, comment sections, cookie banners,
 paywall teasers, e-commerce spec sheets, documentation code blocks,
-forum threads, mega-footers, CJK/RTL prose, malformed markup — with
+forum threads, mega-footers, CJK/RTL prose, malformed markup, and the
+r11 adversarial set (nested tables-as-layout, AMP custom elements,
+dialog/aside cookie banners with inline styles, mixed RTL+CJK) — with
 per-page KEEP/DROP sentinels derived from the classifier's documented
 contract (tag subtrees + link density + 80-char prose + near-good
 cascades), NOT from what the implementation happens to do.
@@ -325,9 +327,123 @@ def _malformed(uid: str) -> dict:
     }
 
 
+# --- r11 adversarial layouts (VERDICT r10 item 7): the classes the
+# first 15 layouts don't cover — tables-as-layout, AMP, dialog/aside
+# cookie banners with inline styles, mixed RTL+CJK.
+
+def _nested_tables(uid: str) -> dict:
+    # 1990s tables-as-layout: nav/sidebar/content are sibling <td>s of
+    # one nested table. td/tr are block tags, so each cell segments;
+    # the nav and sidebar cells are link-dense, the content cell is
+    # prose, and the stray "best viewed" cell is a short adjacent only
+    # to link chrome (no good neighbour => dies without a special case)
+    nav = " ".join(f'<a href="/n{k}">Section {k}</a>' for k in range(6))
+    side = " ".join(f'<a href="/s{k}">Hot link {k}</a>' for k in range(5))
+    html = f"""<html><body><table border=0><tr>
+<td width=150>{nav}</td>
+<td><table><tr><td><h1>Weekly bulletin {uid}</h1>
+{_para("p", 1, f"bulletin-{uid}")}</td></tr>
+<tr><td>{_para("p", 2, f"bulletin-{uid}")}</td></tr></table></td>
+<td width=120>{side}</td></tr>
+<tr><td colspan=3>Best viewed in 800x600</td></tr></table>
+</body></html>"""
+    return {
+        "name": "nested_tables", "html": html,
+        "must_keep": ["sentinel-p-1", "sentinel-p-2"],
+        "must_drop": ["Section 2", "Hot link 1", "Best viewed"],
+        "known_miss": {"kept": [], "dropped": []},
+    }
+
+
+def _amp(uid: str) -> dict:
+    # AMP page: <style amp-custom> carries a large inline stylesheet
+    # (must never leak — style subtrees are suppressed), amp-img is a
+    # text-free custom element, and the menu lives in <amp-sidebar> —
+    # an unknown tag, so its link run lands in the surrounding block
+    # and dies on link density, not on a tag whitelist
+    css = ".x{margin:0} .amp-css-sentinel{color:red} " * 20
+    html = f"""<html amp><head>
+<style amp-custom>{css}</style></head><body>
+<amp-sidebar id="m" layout="nodisplay">
+<a href="/">AMP Menu Home</a> <a href="/b">AMP Menu B</a>
+<a href="/c">AMP Menu C</a></amp-sidebar>
+<h1>Measurement methods {uid}</h1>
+{_para("p", 1, f"amp-{uid}")}
+<amp-img src="/i.jpg" width=600 height=400></amp-img>
+{_para("p", 2, f"amp-{uid}")}</body></html>"""
+    return {
+        "name": "amp_page", "html": html,
+        "must_keep": ["sentinel-p-1", "sentinel-p-2",
+                      f"Measurement methods {uid}"],
+        "must_drop": ["AMP Menu B"],
+        # invisible by construction (style subtree): BOTH faces must
+        # suppress it — it is not "chrome the classifier drops", so it
+        # is exempt from the lossless-block-face check
+        "invisible_drop": ["amp-css-sentinel"],
+        "known_miss": {"kept": [], "dropped": []},
+    }
+
+
+def _dialog_banner(uid: str) -> dict:
+    # consent UI split across a <dialog> (NOT a chrome subtree — its
+    # long low-link cookie paragraph is prose to a tag+density
+    # classifier, the cookie_banner_div false-keep class on a new
+    # host tag) and an <aside> (IS a chrome subtree => dropped even
+    # with inline styles). Defense-in-depth: the dialog text hits the
+    # boilerplate_card keyword lexicon corpus-side.
+    html = f"""<html><body>
+<dialog open style="position:fixed;bottom:0;background:#fff">
+We use cookies and similar technologies to measure audiences and to
+improve the experience; by continuing you accept the placement of
+these cookies on your device. <a href="/accept">Accept</a></dialog>
+<aside style="border:1px solid" class="consent-note">Manage consent
+preferences anytime from the privacy settings panel.</aside>
+<article>{_para("p", 1, f"feature-{uid}")}
+{_para("p", 2, f"feature-{uid}")}</article></body></html>"""
+    return {
+        "name": "dialog_banner", "html": html,
+        "must_keep": ["sentinel-p-1", "sentinel-p-2"],
+        "must_drop": ["Manage consent"],
+        "known_miss": {"kept": ["We use cookies and similar"],
+                       "dropped": []},
+    }
+
+
+def _rtl_cjk_mixed(uid: str) -> dict:
+    # mixed-script page: long Arabic + long Japanese prose both clear
+    # their gates; the ISOLATED short Japanese sentence survives via
+    # the CJK-dominant gate (r11); the isolated short Arabic sentence
+    # still dies under the 80-char gate — Arabic is space-delimited
+    # like latin, so the CJK information-density rationale does not
+    # transfer; documented as the honest residual miss class
+    long_ar = ("راجعت اللجنة القياسات المحدثة ووجدت أن المنهجية "
+               "المقترحة سليمة في جميع الأنظمة المختبرة، مشيرة إلى أن "
+               "خطوة المعايرة أزالت الانحياز المتبقي الذي وثقه المسح "
+               f"السابق عبر الأجهزة. نص-م-{uid}.")
+    long_ja = ("委員会は更新された測定結果を検討し、提案された手法が全ての"
+               "試験条件で妥当であると判断した。較正手順により以前の調査で"
+               f"記録された残差バイアスが除去されたことも確認された。長文J-{uid}。")
+    short_ja = f"これは短い完全な日本語の文です。短文J-{uid}。"
+    short_ar = f"جملة قصيرة كاملة. نص-ق-{uid}."
+    html = (f"<html><body dir='rtl'><nav><a href='/'>القائمة</a> "
+            f"<a href='/m'>メニュー</a></nav>"
+            f"<p>{long_ar}</p><p lang='ja'>{long_ja}</p>"
+            f"<div><a href='/a'>أرشيف</a> <a href='/b'>更多</a></div>"
+            f"<p lang='ja'>{short_ja}</p>"
+            f"<div><a href='/c'>المزيد</a> <a href='/d'>档案</a></div>"
+            f"<p>{short_ar}</p></body></html>")
+    return {
+        "name": "rtl_cjk_mixed", "html": html,
+        "must_keep": [f"نص-م-{uid}", f"長文J-{uid}", f"短文J-{uid}"],
+        "must_drop": ["القائمة", "メニュー"],
+        "known_miss": {"kept": [], "dropped": [f"نص-ق-{uid}"]},
+    }
+
+
 _LAYOUTS = [_news, _blog, _ecommerce, _docs, _forum, _link_farm,
             _spa_shell, _cookie_banner, _paywall, _cjk, _rtl,
-            _table_page, _mega_footer, _inline_links, _malformed]
+            _table_page, _mega_footer, _inline_links, _malformed,
+            _nested_tables, _amp, _dialog_banner, _rtl_cjk_mixed]
 
 
 def pages() -> list[dict]:
@@ -337,6 +453,6 @@ def pages() -> list[dict]:
 
 def variants(n_per_layout: int = 7) -> list[dict]:
     """n variants of every layout with page-unique prose — the
-    measurement corpus (default 7 x 15 = 105 pages). Deterministic:
+    measurement corpus (default 7 x 19 = 133 pages). Deterministic:
     uid is the variant index."""
     return [f(str(v)) for v in range(n_per_layout) for f in _LAYOUTS]

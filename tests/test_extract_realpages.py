@@ -29,6 +29,8 @@ def test_page_sentinels(page):
         assert s in out, f"{page['name']}: lost content {s!r}"
     for s in page["must_drop"]:
         assert s not in out, f"{page['name']}: kept chrome {s!r}"
+    for s in page.get("invisible_drop", []):
+        assert s not in out, f"{page['name']}: leaked invisible {s!r}"
     # documented miss classes, pinned at CURRENT behavior so a silent
     # classifier change is loud (see realpages.py docstrings)
     for s in page["known_miss"]["kept"]:
@@ -47,6 +49,10 @@ def test_block_face_is_lossless_on_real_pages():
         drop = [] if page.get("expect_empty") else page["must_drop"]
         for s in (page["must_keep"] + drop + page["known_miss"]["kept"]):
             assert s in out, f"{page['name']}: block face lost {s!r}"
+        # invisible sentinels (style/script text) must stay suppressed
+        # in the lossless face too — only VISIBLE text is lossless
+        for s in page.get("invisible_drop", []):
+            assert s not in out, f"{page['name']}: leaked invisible {s!r}"
 
 
 def _crawl_df(spark, tmpdir: str, pages: list[dict]):
@@ -66,10 +72,11 @@ def _crawl_df(spark, tmpdir: str, pages: list[dict]):
 
 
 def test_realpage_corpus_cards(spark, tmp_path):
-    """Corpus-level A/B on 105 real-shaped pages: main extraction
-    drops the chrome mass html_to_text carries, and the residual
-    false-keeps are exactly the classes boilerplate_card's signals
-    flag (cookie keyword lexicon + repeated-line template count)."""
+    """Corpus-level A/B on 133 real-shaped pages (19 layouts x 7
+    variants): main extraction drops the chrome mass html_to_text
+    carries, and the residual false-keeps are exactly the classes
+    boilerplate_card's signals flag (cookie keyword lexicon +
+    repeated-line template count)."""
     from pyspark.sql import functions as F
 
     warc = _crawl_df(spark, str(tmp_path), realpages.variants(7))
@@ -103,6 +110,11 @@ def test_realpage_corpus_cards(spark, tmp_path):
     cookie = main["cookie-banner-div.example"]
     assert cookie["keyword_char_share"] > 0
     assert cookie["template_char_share"] > 0
+    # same false-keep class on the <dialog> host (r11): the kept
+    # banner text hits the keyword lexicon corpus-side too
+    dialog = main["dialog-banner.example"]
+    assert dialog["keyword_char_share"] > 0
+    assert dialog["template_char_share"] > 0
     # the forum signature false-keep repeats across variants => template
     forum = main["forum-thread.example"]
     assert forum["template_lines"] > 0
