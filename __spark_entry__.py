@@ -560,14 +560,35 @@ def _index_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (re-search everything you indexed). Every ok column must be true
     on a fresh write; corruption-detection is pinned in
     tests/test_validate.py."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from resin_spark.operators import validate as val
     t = load_tables(spark, sf_dir)
     base = _scratch("validate", sf_dir)
-    dedup.write_dedup_index(t["documents"], f"{base}/dedup")
-    similarity.write_ann_index(t["embeddings"], f"{base}/ann")
+
+    # The dedup and ANN pipelines (build + validate) are fully
+    # independent until the final union, and each is a chain of
+    # short eager jobs (index writes, validator .first() probes) that
+    # leave most cores idle in their stage tails. Submitting the two
+    # chains from driver threads lets the scheduler back-fill one
+    # chain's tail with the other's tasks (optimization guide §2.6 —
+    # overlap independent jobs); the result union is unchanged.
+    def _dedup_side():
+        dedup.write_dedup_index(t["documents"], f"{base}/dedup")
+        return val.validate_dedup_index(spark, f"{base}/dedup")
+
+    def _ann_side():
+        similarity.write_ann_index(t["embeddings"], f"{base}/ann")
+        return val.validate_ann_index(spark, f"{base}/ann")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dedup = pool.submit(inheritable_thread_target(_dedup_side))
+        f_ann = pool.submit(inheritable_thread_target(_ann_side))
+        dedup_summary, ann_summary = f_dedup.result(), f_ann.result()
     return (
-        val.validate_dedup_index(spark, f"{base}/dedup")
-        .unionByName(val.validate_ann_index(spark, f"{base}/ann"))
+        dedup_summary.unionByName(ann_summary)
         .orderBy("artifact", "check")
     )
 

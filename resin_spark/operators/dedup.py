@@ -1318,8 +1318,15 @@ def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
     """
     base_tau = min(thresholds)
     spark = docs.sparkSession
-    pairs = ngram_jaccard_pairs(docs, n, base_tau).select("doc_a", "doc_b",
-                                                          "jaccard")
+    # localCheckpoint (r11): the exact pair relation feeds BOTH grid
+    # aggregates (n_pairs and the doc-distinct explode), and Spark
+    # plans the two branches independently — without the checkpoint
+    # one action runs the whole PPJoin twice. The materialised frame
+    # is only the ≥ min(grid) pair list (tiny next to its compute),
+    # so this is the cheap-output/expensive-subtree checkpoint case,
+    # not the r6 codegen-rescan case.
+    pairs = ngram_jaccard_pairs(docs, n, base_tau).select(
+        "doc_a", "doc_b", "jaccard").localCheckpoint(eager=False)
     th = spark.createDataFrame([(float(t),) for t in thresholds],
                                "threshold double")
     hits = (

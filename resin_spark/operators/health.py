@@ -236,7 +236,11 @@ def source_overlap_matrix(docs: DataFrame,
     appear (n=0 shingles); their pairs report jaccard 0.0 — a report
     row per source pair is the contract, 0/0 defined as no overlap.
     """
-    sh = _source_shingles(docs, n)
+    # localCheckpoint (r11): the distinct (source, shingle) relation
+    # feeds the per-source sizes AND both sides of the overlap
+    # self-join — three branches that would each re-run the shingle
+    # explode + distinct. Materialises the deduped shingle keys only.
+    sh = _source_shingles(docs, n).localCheckpoint(eager=False)
     sizes = (
         docs.select("source").distinct()
         .join(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh")),
@@ -552,10 +556,15 @@ def vocab_coverage(docs: DataFrame, v: int = COVERAGE_V) -> DataFrame:
     (source, term) aggregate — the C30/C50 model-build shape.
     """
     base = docs.filter(F.col("doc_id").isNotNull())
+    # localCheckpoint (r11): the (source, term) count frame feeds both
+    # the top-v vocabulary cut and the per-source coverage join — two
+    # independent branches that would each re-run the token explode +
+    # count shuffle. Vocabulary-sized materialisation.
     st = (
         base.select("source", F.explode(T.tokens("text")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     vocab = (
         st.groupBy("term").agg(F.sum("cnt").alias("tot"))

@@ -1033,7 +1033,12 @@ def source_divergence(docs: DataFrame) -> DataFrame:
         docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("source", F.explode(T.tokens("text")).alias("tok"))
     )
-    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    # localCheckpoint (r11): the (source, tok) count frame feeds the
+    # per-source totals, the corpus marginals AND the final KL join —
+    # three independent branches that would each re-run the token
+    # explode + count shuffle. Vocabulary-sized materialisation.
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")) \
+        .localCheckpoint(eager=False)
     s_tot = st.groupBy("source").agg(
         F.sum("c_st").alias("n_s"),
         F.count(F.lit(1)).alias("n_distinct"))
@@ -1154,15 +1159,18 @@ def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
     )
 
 
-def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET) -> DataFrame:
+def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET,
+                       plan: DataFrame | None = None) -> DataFrame:
     """Per-source realisation accounting of apply_mixture vs the plan:
     (source, n_docs, realized_docs, realized_tokens, planned_tokens,
     realization_ratio). The driver-checkable rollup — the per-doc
-    relation is the library surface."""
+    relation is the library surface. ``plan`` (r11) optionally reuses a
+    precomputed mixture_plan relation (the melt shares one plan across
+    its mixture + mixture_applied sections); default self-contained."""
     docs = t["documents"].filter(F.col("doc_id").isNotNull())
     # ONE mixture_plan serves both the executor and the accounting join
     # (it was computed twice before — two identical corpus scans)
-    full_plan = mixture_plan(docs, budget)
+    full_plan = mixture_plan(docs, budget) if plan is None else plan
     copies = apply_mixture(docs, budget, plan=full_plan)
     toks = docs.select(
         "doc_id", F.size(T.tokens("text")).cast("long").alias("nt"))
@@ -1941,16 +1949,27 @@ def curation_tuning_card(t: Tables) -> DataFrame:
     from resin_spark.operators.textops import search_facets, search_snippets
     from resin_spark.operators.traindata import cdc_chunk_stats, lang_confusion
 
+    from resin_spark.operators.textops import bm25_scores
+
     docs = t["documents"]
+    # Shared section inputs (r11, the split_governance_card pairs=
+    # precedent): the mixture plan feeds BOTH the mixture and
+    # mixture_applied sections, and ONE bm25 corpus-scoring relation
+    # feeds both result-page sections (snippets + facets) — each is a
+    # bounded relation (|sources| rows / |hit docs| rows), built once
+    # and localCheckpointed instead of re-planned per section. Row
+    # identity is unchanged (section-equality pins stay the license).
+    plan = mixture_plan_demo(t).localCheckpoint(eager=False)
+    scores = bm25_scores(t).localCheckpoint(eager=False)
     sections = {
-        "mixture": mixture_plan_demo(t),
-        "mixture_applied": apply_mixture_demo(t),
+        "mixture": plan,
+        "mixture_applied": apply_mixture_demo(t, plan=plan),
         "divergence": source_divergence(docs),
         "lang_confusion": lang_confusion(t),
         "cdc_chunks": cdc_chunk_stats(t),
         "dedup_curve": dedup_threshold_curve_demo(t),
-        "snippets": search_snippets(t),
-        "facets": search_facets(t),
+        "snippets": search_snippets(t, scores=scores),
+        "facets": search_facets(t, scores=scores),
         "chunks": chunk_documents_demo(t),
     }
     parts = [_melt_typed(sections[name], name, keys)

@@ -807,14 +807,38 @@ def bm25_scores(t: Tables, query: tuple[str, ...] = BM25_QUERY,
     relation — the library surface for "score everything" consumers
     (exports, joins, the streaming twin's batch pin); bm25_search is
     its top-k presentation. No global sort anywhere: the output stays
-    partitioned by doc_id."""
-    toks = (
+    partitioned by doc_id.
+
+    r11 shape: the query is a compile-time bag of terms, so per-doc
+    term frequencies are ROW-LOCAL array ops (size(filter(tk, = term))
+    per term) over one tokenize — no token explode, no (doc, term)
+    shuffle, no scoring joins. Corpus statistics (n_docs, avgdl, df per
+    term) come from ONE aggregate probe whose scalars fold into the
+    scoring expression as literals; the per-(doc, term) score_t doubles
+    and their decimal(28,15)-exact sum are bit-identical to the
+    previous join form (decimal addition is exact, so summing the
+    fixed per-term order equals summing the shuffle order), keeping
+    the oracle hash and the streaming twin's bit-equality pin green.
+    At 100 TB this removes the corpus-token-count exchange entirely:
+    the only remaining shuffle in bm25_search is the ≤ k top-k."""
+    def _tf(i: int, q: str):
+        # closure per call: a default-arg lambda would change the
+        # lambda's arity and make F.filter bind the array INDEX to it
+        return F.size(F.filter("tk", lambda x: x == q)).alias(f"tf_{i}")
+
+    tf_cols = [_tf(i, q) for i, q in enumerate(query)]
+    base = (
         t["documents"].filter(F.col("doc_id").isNotNull())
-        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select("doc_id", F.size("tk").alias("dl"), *tf_cols)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("tot")).first()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("tot"),
+        *[F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+          for i in range(len(query))],
+    ).first()
     if not stats["n"]:
         # zero tokenized docs: avgdl is undefined and nothing can match
         # (found by the hypothesis sweep: sum() is NULL over an empty
@@ -822,30 +846,30 @@ def bm25_scores(t: Tables, query: tuple[str, ...] = BM25_QUERY,
         return t["documents"].sparkSession.createDataFrame(
             [], "doc_id long, n_hits long, score double")
     n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
-    tf = (
-        toks.filter(F.col("term").isin(list(query)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k11, one_minus_b = k1 + 1.0, 1.0 - b
-    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) \
-        / (F.col("df").cast("double") + 0.5)
     ratio = F.col("dl").cast("double") / F.lit(avgdl)
-    denom = F.col("tf").cast("double") \
-        + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
-    score_t = idf * ((F.col("tf").cast("double") * F.lit(k11)) / denom)
-    from pyspark.sql.functions import broadcast
+    denom_base = F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio)
+
+    def term_score(i: int):
+        df_i = stats[f"df_{i}"]
+        idf = ((n_docs - df_i) + 0.5) / (df_i + 0.5)
+        tf = F.col(f"tf_{i}").cast("double")
+        score_t = F.lit(idf) * ((tf * F.lit(k11)) / (tf + denom_base))
+        return F.when(F.col(f"tf_{i}") > 0,
+                      score_t.cast("string").cast("decimal(28,15)"))
+
+    zero = F.lit(0).cast("decimal(28,15)")
+    score_sum = F.coalesce(term_score(0), zero)
+    for i in range(1, len(query)):
+        score_sum = score_sum + F.coalesce(term_score(i), zero)
+    n_hits = None
+    for i in range(len(query)):
+        hit = (F.col(f"tf_{i}") > 0).cast("long")
+        n_hits = hit if n_hits is None else n_hits + hit
     return (
-        tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .select("doc_id", score_t.alias("score_t"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.sum(F.col("score_t").cast("string").cast("decimal(28,15)"))
-            .cast("double").alias("score"),
-        )
+        base.withColumn("n_hits", n_hits)
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "n_hits", score_sum.cast("double").alias("score"))
     )
 
 
@@ -854,7 +878,8 @@ BM25_MAX_K = 100_000
 
 def bm25_search(t: Tables, query: tuple[str, ...] = BM25_QUERY,
                 k: int = BM25_TOPK, k1: float = BM25_K1,
-                b: float = BM25_B) -> DataFrame:
+                b: float = BM25_B,
+                scores: DataFrame | None = None) -> DataFrame:
     """Ranked text retrieval: BM25 top-k documents for a bag-of-terms
     query — the full-text-search face of the engine beside the vector
     face (closest_match); the reference searches its vector tree for
@@ -883,7 +908,11 @@ def bm25_search(t: Tables, query: tuple[str, ...] = BM25_QUERY,
             f"k={k} exceeds BM25_MAX_K={BM25_MAX_K}: the top-k holds a "
             "k-sized ordered buffer per partition (TakeOrdered); for the "
             "full ranked relation use bm25_scores() and rank downstream")
-    per_doc = bm25_scores(t, query, k1, b)
+    # ``scores`` (r11): optional precomputed bm25_scores relation so a
+    # melt composing several result-page faces (snippets + facets)
+    # prices the corpus scoring pass once — the split_governance_card
+    # pairs= precedent; default keeps the self-contained plan.
+    per_doc = bm25_scores(t, query, k1, b) if scores is None else scores
     top = per_doc.orderBy(F.col("score").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
@@ -1058,7 +1087,8 @@ SNIP_RADIUS = 3
 
 def search_snippets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
                     k: int = SNIP_TOPK,
-                    radius: int = SNIP_RADIUS) -> DataFrame:
+                    radius: int = SNIP_RADIUS,
+                    scores: DataFrame | None = None) -> DataFrame:
     """Result snippets for the BM25 top-k: (rank, doc_id, pos, snippet)
     where pos is the 1-based token position of the FIRST occurrence of
     any query term (earliest across terms) and snippet is the ±radius
@@ -1074,7 +1104,7 @@ def search_snippets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
 
     Exactness: integer array positions + string concat, no floats.
     """
-    top = bm25_search(t, query, k).select("rank", "doc_id")
+    top = bm25_search(t, query, k, scores=scores).select("rank", "doc_id")
     docs = t["documents"].filter(F.col("doc_id").isNotNull())
     from pyspark.sql.functions import broadcast
     base = (
@@ -1126,7 +1156,8 @@ def search_snippets_oracle(query: tuple[str, ...] = BM25_QUERY,
 # --- C62: facet counts over the result page -------------------------------------
 
 def search_facets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
-                  k: int = BM25_TOPK) -> DataFrame:
+                  k: int = BM25_TOPK,
+                  scores: DataFrame | None = None) -> DataFrame:
     """Facet counts for the BM25 top-k result page: (facet, value,
     n_hits, hit_share) over the source and lang dimensions — the
     search-UI sidebar ("web (12) · wiki (8)") every production search
@@ -1144,7 +1175,7 @@ def search_facets(t: Tables, query: tuple[str, ...] = BM25_QUERY,
     both engines).
     """
     from pyspark.sql.functions import broadcast
-    top = bm25_search(t, query, k).select("doc_id")
+    top = bm25_search(t, query, k, scores=scores).select("doc_id")
     page = (
         t["documents"].filter(F.col("doc_id").isNotNull())
         .join(broadcast(top), "doc_id")

@@ -925,7 +925,11 @@ def nb_model_frames(docs: DataFrame, with_counts: bool = False):
             (F.col("c") + 1).cast("double")
             / (F.col("n_lang") + F.col("v")).cast("double")), 6).alias("bits"),
     )
-    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang"))
+    # localCheckpoint (r11): priors feeds both the total aggregate and
+    # the cand join — each branch would otherwise re-run the corpus
+    # tokenize behind it. |langs| rows materialised.
+    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang")) \
+        .localCheckpoint(eager=False)
     total = priors.agg(F.sum("docs_lang").alias("docs_total"))
     cand = (
         priors.join(broadcast(total)).join(n_lang, "lang")
@@ -1481,7 +1485,11 @@ def corpus_stats(t: Tables) -> DataFrame:
     picked by exact integer comparison (rn-style cum ≥ p·n).
     """
     base = _doc_token_arrays(t["documents"])
-    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    # localCheckpoint (r11): the per-doc length frame feeds the length
+    # histogram AND the doc totals — two branches that would each
+    # re-run the corpus tokenize. Two scalar columns per doc.
+    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok")) \
+        .localCheckpoint(eager=False)
     toks = base.select(F.explode("tk").alias("tok"))
     tok_agg = toks.agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1625,12 +1633,18 @@ def lang_stats(t: Tables) -> DataFrame:
         .select("doc_id", "lang", T.tokens("text").alias("tk"))
         .filter(F.size("tk") >= 1)
     )
-    lens = base.select("lang", F.size("tk").cast("long").alias("n_tok"))
+    # localCheckpoints (r11): lens feeds the histogram, the doc totals
+    # and (via doc_agg) the corpus total — three tokenize re-runs
+    # without it; tok_agg feeds both the per-lang join and the corpus
+    # token total — a token-explode + countDistinct re-run without it.
+    # Materialisations are 2 scalars/doc and |langs| rows.
+    lens = base.select("lang", F.size("tk").cast("long").alias("n_tok")) \
+        .localCheckpoint(eager=False)
     toks = base.select("lang", F.explode("tk").alias("tok"))
     tok_agg = toks.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("vocab"),
-    )
+    ).localCheckpoint(eager=False)
     hist = lens.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.partitionBy("lang").orderBy("n_tok").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
@@ -1888,10 +1902,15 @@ def lang_confusion(t: Tables) -> DataFrame:
     plan (traindata.py:860 — model build is the only corpus-scale
     shuffle); share_of_true is a single exact-long division.
     """
+    # localCheckpoint (r11): the |langs|²-row confusion frame feeds
+    # both the row-total aggregate and the share join — without it one
+    # action runs the ENTIRE NB classifier (model build + scoring
+    # fan-out) twice. Tiny materialisation, halves the section.
     per = (
         nb_lang_classify(t)
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
     )
     tot = per.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
     return (
@@ -1998,7 +2017,14 @@ def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
     spans. Linear at 100 TB; boundary-hash skew is impossible (keys
     are content hashes).
     """
-    chunks = cdc_chunks(t["documents"], k=k, mask=mask)
+    # Project to the 3 needed columns and localCheckpoint (r11): the
+    # chunk relation feeds BOTH the corpus-wide duplicate count and the
+    # per-doc rollup join, and its subtree runs one md5 per token
+    # position — without the checkpoint each action pays that twice.
+    # The materialised frame is (doc_id, n_tokens, ch) — chunk-count
+    # rows of 3 scalars, tiny next to its compute.
+    chunks = cdc_chunks(t["documents"], k=k, mask=mask) \
+        .select("doc_id", "n_tokens", "ch").localCheckpoint(eager=False)
     dup = (
         chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)
