@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from resin_spark.functions.ckpt import opt_checkpoint
 from resin_spark.functions import text as T
 from resin_spark.functions import vectors as V
 
@@ -161,7 +162,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     )
     # verification sets skip the dfreq join + rarity sort — order is
     # irrelevant to array_intersect/union, so the two verify branches
-    # read a strictly cheaper aggregate than the prefix index
+    # read a strictly cheaper aggregate than the prefix index (and the
+    # r11 A/B confirmed a per_doc localCheckpoint is NOT a win here:
+    # AQE reuses the identical aggregate exchanges at runtime)
     sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
@@ -1318,15 +1321,12 @@ def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
     """
     base_tau = min(thresholds)
     spark = docs.sparkSession
-    # localCheckpoint (r11): the exact pair relation feeds BOTH grid
-    # aggregates (n_pairs and the doc-distinct explode), and Spark
-    # plans the two branches independently — without the checkpoint
-    # one action runs the whole PPJoin twice. The materialised frame
-    # is only the ≥ min(grid) pair list (tiny next to its compute),
-    # so this is the cheap-output/expensive-subtree checkpoint case,
-    # not the r6 codegen-rescan case.
+    # NOT checkpointed (r11 A/B, med 19.1 s vs 21.3 s on the nesting
+    # card): AQE reuses the identical PPJoin exchange stages across the
+    # two grid-aggregate branches at runtime, so a localCheckpoint here
+    # only adds a materialisation barrier.
     pairs = ngram_jaccard_pairs(docs, n, base_tau).select(
-        "doc_a", "doc_b", "jaccard").localCheckpoint(eager=False)
+        "doc_a", "doc_b", "jaccard")
     th = spark.createDataFrame([(float(t),) for t in thresholds],
                                "threshold double")
     hits = (

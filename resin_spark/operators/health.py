@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from resin_spark.functions.ckpt import opt_checkpoint
 from resin_spark.functions import text as T
 
 Tables = dict[str, DataFrame]
@@ -240,7 +241,7 @@ def source_overlap_matrix(docs: DataFrame,
     # feeds the per-source sizes AND both sides of the overlap
     # self-join — three branches that would each re-run the shingle
     # explode + distinct. Materialises the deduped shingle keys only.
-    sh = _source_shingles(docs, n).localCheckpoint(eager=False)
+    sh = opt_checkpoint(_source_shingles(docs, n), "overlap")
     sizes = (
         docs.select("source").distinct()
         .join(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh")),
@@ -564,8 +565,8 @@ def vocab_coverage(docs: DataFrame, v: int = COVERAGE_V) -> DataFrame:
         base.select("source", F.explode(T.tokens("text")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
+    st = opt_checkpoint(st, "vocab")
     vocab = (
         st.groupBy("term").agg(F.sum("cnt").alias("tot"))
         .orderBy(F.col("tot").desc(), "term").limit(v)

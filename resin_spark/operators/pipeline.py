@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from resin_spark.functions.ckpt import opt_checkpoint
 from resin_spark.functions import text as T
 from resin_spark.operators.dedup import (_shingles_sql, embedding_dedup_oracle,
                                          embedding_dedup_pairs,
@@ -1037,8 +1038,9 @@ def source_divergence(docs: DataFrame) -> DataFrame:
     # per-source totals, the corpus marginals AND the final KL join —
     # three independent branches that would each re-run the token
     # explode + count shuffle. Vocabulary-sized materialisation.
-    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")) \
-        .localCheckpoint(eager=False)
+    st = opt_checkpoint(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")),
+        "div")
     s_tot = st.groupBy("source").agg(
         F.sum("c_st").alias("n_s"),
         F.count(F.lit(1)).alias("n_distinct"))

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from resin_spark.functions.ckpt import opt_checkpoint
 from resin_spark.functions import exact, text as T
 from resin_spark.functions import vectors as V
 from resin_spark.operators.dedup import _token_hash60, _token_hash60_sql
@@ -928,8 +929,9 @@ def nb_model_frames(docs: DataFrame, with_counts: bool = False):
     # localCheckpoint (r11): priors feeds both the total aggregate and
     # the cand join — each branch would otherwise re-run the corpus
     # tokenize behind it. |langs| rows materialised.
-    priors = base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang")) \
-        .localCheckpoint(eager=False)
+    priors = opt_checkpoint(
+        base.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_lang")),
+        "priors")
     total = priors.agg(F.sum("docs_lang").alias("docs_total"))
     cand = (
         priors.join(broadcast(total)).join(n_lang, "lang")
@@ -1488,8 +1490,9 @@ def corpus_stats(t: Tables) -> DataFrame:
     # localCheckpoint (r11): the per-doc length frame feeds the length
     # histogram AND the doc totals — two branches that would each
     # re-run the corpus tokenize. Two scalar columns per doc.
-    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok")) \
-        .localCheckpoint(eager=False)
+    lens = opt_checkpoint(
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tok")),
+        "lens")
     toks = base.select(F.explode("tk").alias("tok"))
     tok_agg = toks.agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1638,13 +1641,15 @@ def lang_stats(t: Tables) -> DataFrame:
     # without it; tok_agg feeds both the per-lang join and the corpus
     # token total — a token-explode + countDistinct re-run without it.
     # Materialisations are 2 scalars/doc and |langs| rows.
-    lens = base.select("lang", F.size("tk").cast("long").alias("n_tok")) \
-        .localCheckpoint(eager=False)
+    lens = opt_checkpoint(
+        base.select("lang", F.size("tk").cast("long").alias("n_tok")),
+        "langlens")
     toks = base.select("lang", F.explode("tk").alias("tok"))
     tok_agg = toks.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("vocab"),
-    ).localCheckpoint(eager=False)
+    )
+    tok_agg = opt_checkpoint(tok_agg, "langtok")
     hist = lens.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.partitionBy("lang").orderBy("n_tok").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
@@ -1910,8 +1915,8 @@ def lang_confusion(t: Tables) -> DataFrame:
         nb_lang_classify(t)
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .localCheckpoint(eager=False)
     )
+    per = opt_checkpoint(per, "conf")
     tot = per.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
     return (
         per.join(tot, "true_lang")
@@ -2017,14 +2022,11 @@ def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
     spans. Linear at 100 TB; boundary-hash skew is impossible (keys
     are content hashes).
     """
-    # Project to the 3 needed columns and localCheckpoint (r11): the
-    # chunk relation feeds BOTH the corpus-wide duplicate count and the
-    # per-doc rollup join, and its subtree runs one md5 per token
-    # position — without the checkpoint each action pays that twice.
-    # The materialised frame is (doc_id, n_tokens, ch) — chunk-count
-    # rows of 3 scalars, tiny next to its compute.
+    # NOT checkpointed (r11 A/B on the nesting card): AQE reuses the
+    # identical chunk-subtree exchange across the duplicate-count and
+    # rollup branches at runtime; a checkpoint only adds a barrier.
     chunks = cdc_chunks(t["documents"], k=k, mask=mask) \
-        .select("doc_id", "n_tokens", "ch").localCheckpoint(eager=False)
+        .select("doc_id", "n_tokens", "ch")
     dup = (
         chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)

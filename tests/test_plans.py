@@ -442,13 +442,17 @@ def test_r5_argmax_rewrites_have_no_rank_window(spark):
 def test_bm25_topk_is_take_ordered_not_corpus_sort(spark):
     """The global top-k must compile to TakeOrderedAndProject (map-side
     k per partition); the only Window sits ABOVE it, ranking <= k rows.
-    The df and dl scoring joins broadcast."""
+    r11: scoring is row-local (per-term tf via array ops, corpus stats
+    folded in as literals from the probe aggregate) — the plan must
+    contain NO join and NO token explode/Generate at all; the only
+    exchange feeds the <= k rank window."""
     df = textops.bm25_search(load_tables(spark, SF))
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
 
 
 def test_phrase_search_tokenizes_once(spark):
