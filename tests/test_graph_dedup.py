@@ -90,6 +90,26 @@ def test_minhash_lsh_subset_of_exact_with_full_recall(spark):
     assert mh == exact          # S-curve: full recall on this corpus
 
 
+def test_ppjoin_positional_filter_keeps_boundary_pair(spark):
+    """r11 regression pin for the PPJoin positional filter: a pair whose
+    Jaccard is EXACTLY tau and whose first common shingle sits exactly
+    at the positional bound (min remaining == required overlap) must
+    survive candidate pruning. With n=1 shingle sets are plain token
+    sets: A={a..f}, B={a,b,c,d,g,h} → overlap 4, union 8, J=0.5=tau.
+    Rarity-first canonical order puts each doc's df=1 tokens (e,f / g,h)
+    ahead of the shared df=2 tokens, so the FIRST common token sits at
+    0-based rank 2 in both docs and the positional bound is tight:
+    min(6−2, 6−2) = 4 = tau/(1+tau)·(6+6). An off-by-one in either the
+    prefix slice or the positional predicate drops this pair."""
+    from resin_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d g h")],
+        "doc_id long, text string")
+    rows = dedup.ngram_jaccard_pairs(docs, n=1, tau=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == \
+        [(1, 2, 0.5)]
+
+
 # --- semantic_dedup (SemDeDup cluster-partitioned pruning) -------------------
 
 def _mk_labeled(spark, rows):
