@@ -24,6 +24,8 @@ cosine IdenticalAngle (src/Resin.MachineLearning/GraphExtensions.cs:15).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -161,18 +163,26 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     # sf0.1: 310k → 125k candidate pairs at tau=0.5, 596k → 325k at
     # the curve's tau=0.3). The 1e-9 slack keeps boundary pairs; the
     # exact Jaccard verification below filters precisely.
+    cond = (
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J <= min/max: unequal sizes can't reach tau. The 1e-9
+        # slack keeps boundary pairs (J == tau) when the double
+        # product rounds up; verification filters exactly.
+        & (F.col("a.n_sh") * tau - 1e-9 <= F.col("b.n_sh"))
+        & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh"))
+    )
+    # RESIN_NOPOSFILTER: measurement-only opt-out (the RESIN_NOCKPT
+    # pattern) so tools/ab_r11.py can A/B the positional filter inside
+    # one session; default is filter ON.
+    if not os.environ.get("RESIN_NOPOSFILTER"):
+        cond = cond & (
+            F.least(F.col("a.n_sh") - F.col("a.p"),
+                    F.col("b.n_sh") - F.col("b.p"))
+            >= F.lit(tau / (1.0 + tau))
+            * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9)
     cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               # J <= min/max: unequal sizes can't reach tau. The 1e-9
-               # slack keeps boundary pairs (J == tau) when the double
-               # product rounds up; verification filters exactly.
-               & (F.col("a.n_sh") * tau - 1e-9 <= F.col("b.n_sh"))
-               & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh"))
-               & (F.least(F.col("a.n_sh") - F.col("a.p"),
-                          F.col("b.n_sh") - F.col("b.p"))
-                  >= F.lit(tau / (1.0 + tau))
-                  * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9))
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
