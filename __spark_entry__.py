@@ -722,7 +722,12 @@ def queries() -> dict[str, Query]:
         "q3_shipping_priority": _q3,
         "q5_local_supplier": _q5,
         "topk_per_group": _topk,
-        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        # r11 third-session swap: dedup_components' reachable simhash
+        # was rewritten row-local, so it moves INTO the window;
+        # kmv_distinct — AST-identical to its r9-checked green form —
+        # rotates to the tail as the displaced due entry (same move as
+        # the doc_fingerprint/unicode_range/token_count_bpe swap).
+        "dedup_components": _dedup_components,
         "contamination_check": _mk_text(pipeline.contamination_check),
         "stratified_sample": _mk_text(pipeline.stratified_sample),
         "pack_sequences": _mk_text(pipeline.pack_sequences),
@@ -765,7 +770,6 @@ def queries() -> dict[str, Query]:
         "bm25_indexed": _bm25_indexed,
         "ann_topk_pq_indexed": _ann_topk_pq_indexed,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_components": _dedup_components,
         "ann_topk_pq": _ann_topk_pq,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
@@ -805,6 +809,7 @@ def queries() -> dict[str, Query]:
         "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
     }
 
 

@@ -408,23 +408,59 @@ def _token_hash60_sql(expr: str) -> str:
 
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """60-bit simhash over distinct tokens (weight 1 per token)."""
-    toks = (
+    """60-bit simhash over distinct tokens (weight 1 per token).
+
+    Computed ROW-LOCALLY (r11): the fingerprint depends only on the
+    row's own distinct-token set, so the explode + 60-aggregate
+    groupBy (one row per token occurrence through an Exchange) is
+    replaced by a higher-order ``aggregate`` over the token-hash array
+    — a pure projection, no shuffle. Exact: per-bit counters sum the
+    same ±1 integers in array order, and integer addition is
+    order-independent, so the fingerprint is bit-identical (A/B at
+    sf0.1: exceptAll 0 both ways; 0.83 s → 0.35 s min, 2.4×).
+    RESIN_NOROWLOCAL restores the explode shape for single-session
+    A/B measurement only.
+    """
+    if os.environ.get("RESIN_NOROWLOCAL"):
+        toks = (
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"))
+            .withColumn("h", _token_hash60(F.col("tok")))
+        )
+        bit_sums = toks.groupBy("doc_id").agg(*[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(N_BITS)
+        ])
+        sim = None
+        for j in range(N_BITS):
+            term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+            sim = term if sim is None else sim + term
+        return bit_sums.select("doc_id", sim.alias("simhash"))
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(N_BITS)])
+    base = (
         docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"))
-        .withColumn("h", _token_hash60(F.col("tok")))
+                    T.tokens(text_col).alias("tk"))
+        # explode-drop parity: zero-token docs carry no fingerprint
+        .filter(F.size("tk") >= 1)
     )
-    bit_sums = toks.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(N_BITS)
-    ])
-    sim = None
-    for j in range(N_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+    hs = F.transform(F.array_distinct(F.col("tk")), _token_hash60)
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), N_BITS),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_sql() -> str:

@@ -598,3 +598,15 @@ def test_q4_q22_match_oracle(spark):
     t = load_tables(spark, SF)
     compare(tpch.q4_order_priority(t), tpch.q4_oracle(), SF)
     compare(tpch.q22_idle_customers(t), tpch.q22_oracle(), SF)
+
+
+def test_simhash_is_row_local_projection(spark):
+    """simhash must stay a pure per-row projection (r11): the fingerprint
+    is a function of the row's own token array, so its plan carries no
+    explode (Generate) and no aggregation exchange — the io round-robin
+    spread of the single parquet file is the only Exchange allowed."""
+    docs = load_tables(spark, SF)["documents"]
+    plan = plan_of(dedup.simhash(docs))
+    assert "Generate" not in plan, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
