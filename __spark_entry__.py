@@ -707,7 +707,11 @@ def queries() -> dict[str, Query]:
         "centroid_assign": _centroid_assign,
         "bpe_merge_step": _bpe_merge_step,
         "bm25_search": _mk_text(textops.bm25_search),
-        "dedup_exact": _dedup_exact,
+        # r11 third-session swap #2: dedup_minhash_lsh's reachable
+        # lsh_index/shingle_hash_sets changed (row-local shingle sets),
+        # so it moves INTO the window; dedup_exact — AST-identical to
+        # its r9-checked green form — rotates to the tail.
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash": _dedup_simhash,
         "text_tokenize_stats": _mk_text(textops.tokenize_stats),
@@ -769,7 +773,6 @@ def queries() -> dict[str, Query]:
         "bpe_encode": _bpe_encode,
         "bm25_indexed": _bm25_indexed,
         "ann_topk_pq_indexed": _ann_topk_pq_indexed,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "ann_topk_pq": _ann_topk_pq,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
@@ -810,6 +813,7 @@ def queries() -> dict[str, Query]:
         "unicode_range": _mk_text(textops.unicode_range),
         "token_count_bpe": _mk_text(textops.token_count_bpe),
         "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        "dedup_exact": _dedup_exact,
     }
 
 

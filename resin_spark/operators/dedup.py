@@ -187,13 +187,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
         .distinct()
     )
     # verification sets skip the dfreq join + rarity sort — order is
-    # irrelevant to array_intersect/union, so the two verify branches
-    # read a strictly cheaper aggregate than the prefix index (and the
-    # r11 A/B confirmed a per_doc localCheckpoint is NOT a win here:
-    # AQE reuses the identical aggregate exchanges at runtime)
-    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
+    # irrelevant to array_intersect/union. Row-local since r11
+    # (shingle_hash_sets): the per-doc hash set is a projection, so the
+    # verify branches no longer re-run the shingle explode + a
+    # collect_list aggregate at all.
+    sets = shingle_hash_sets(docs, n)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("set_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
@@ -263,10 +263,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 128,
     xxhash64 is used raw (no abs): the uint64 reinterpretation in the
     UDF is total, so the Long.MIN_VALUE abs() edge case is gone.
     """
-    sh = shingles(docs, n)
-    hashed = sh.groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("hashes")
-    )
+    hashed = shingle_hash_sets(docs, n)
     sig = _minhash_udf(num_perm, seed)
     return hashed.select("doc_id", sig("hashes").alias("sig"))
 
@@ -292,6 +289,38 @@ def shingle_hashes_from_tokens(tk_col: str, n: int = 3):
         F.size(F.col(tk_col)) >= n,
         F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s)),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def shingle_hash_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, hashes array<long>) — each doc's DISTINCT hashed shingle
+    set, computed ROW-LOCALLY (r11): the set is a function of the row's
+    own token array (``shingle_hashes_from_tokens``), so the
+    explode → groupBy → collect_list(xxhash64) pass (one row per
+    shingle occurrence through an Exchange) collapses to a projection.
+    Downstream-identical: every consumer treats ``hashes`` as a SET
+    (array_intersect/union, the minhash min, counts), and
+    collect_list's order was shuffle-nondeterministic anyway — the only
+    observable difference is that docs sharing a NULL doc_id stay one
+    row each instead of merging into one null group, and every consumer
+    either filters null ids or joins on non-null candidate ids.
+    RESIN_NOROWLOCAL restores the explode shape for single-session A/B
+    measurement only."""
+    if os.environ.get("RESIN_NOROWLOCAL"):
+        return shingles(docs, n, text_col, id_col).groupBy("doc_id").agg(
+            F.collect_list(F.xxhash64("shingle")).alias("hashes"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    T.tokens(text_col).alias("tk"))
+        # pre-filter on the INPUT size — equivalent to the explode
+        # path's drop (hashes is empty iff size(tk) < n) and crucially
+        # NOT a filter on the computed array: size(hashes) > 0 would
+        # re-evaluate the whole gram+hash expression inside the Filter
+        # and push the stage out of codegen (measured 0.3 s → 11 s at
+        # sf0.1)
+        .filter(F.size("tk") >= n)
+        .select("doc_id", shingle_hashes_from_tokens("tk", n).alias("hashes"))
+    )
 
 
 def _band_hash_array(sig_col: str, num_perm: int, bands: int):
@@ -320,9 +349,7 @@ def lsh_index(docs: DataFrame, n: int = 3, num_perm: int = 128,
     materialised RDD instead of recompiling scan→shingle→groupBy —
     measured 4 independent parquet scans in the un-checkpointed plan.
     """
-    grouped = shingles(docs, n).groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("hashes"),
-    ).localCheckpoint(eager=False)
+    grouped = shingle_hash_sets(docs, n).localCheckpoint(eager=False)
     sig = _minhash_udf(num_perm, seed)
     sigs = grouped.select(
         "doc_id", sig("hashes").alias("sig")

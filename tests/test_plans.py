@@ -610,3 +610,18 @@ def test_simhash_is_row_local_projection(spark):
     assert "Generate" not in plan, plan[:2000]
     assert "HashAggregate" not in plan, plan[:2000]
     assert "hashpartitioning" not in plan, plan[:2000]
+
+
+def test_shingle_sets_is_row_local_projection(spark):
+    """The per-doc distinct shingle-hash set must stay a pure per-row
+    projection (r11): no explode (Generate), no collect_list aggregate,
+    no aggregation exchange — and the <n-token drop must be a filter on
+    the INPUT token array, never on the computed hash array (a computed
+    -array filter re-evaluates the gram+hash expression and falls out
+    of codegen; measured 0.3 s -> 11 s at sf0.1)."""
+    docs = load_tables(spark, SF)["documents"]
+    plan = plan_of(dedup.shingle_hash_sets(docs))
+    assert "Generate" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "size(transform" not in plan, plan[:2000]
