@@ -14,9 +14,12 @@ from pyspark.sql import functions as F
 
 from resin_spark.functions.ckpt import opt_checkpoint
 from resin_spark.functions import text as T
+import os
+
 from resin_spark.operators.dedup import (_shingles_sql, embedding_dedup_oracle,
                                          embedding_dedup_pairs,
-                                         ngram_jaccard_pairs, shingles)
+                                         ngram_jaccard_pairs,
+                                         shingle_hashes_from_tokens, shingles)
 
 Tables = dict[str, DataFrame]
 
@@ -59,7 +62,23 @@ def contamination_check(t: Tables, n: int = 4, tau: float = 0.5) -> DataFrame:
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench_sh = sh.filter(is_bench).select("h").distinct()
     cand_sh = sh.filter(~is_bench)
-    totals = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # n_shingles is the doc's own distinct-shingle count — row-local
+    # (r11, the shingle_hash_sets argument): a projection instead of a
+    # second explode + groupBy pass over cand_sh. Pre-filter on the
+    # INPUT size (never on the computed array — the codegen trap
+    # pinned in test_shingle_sets_is_row_local_projection).
+    if os.environ.get("RESIN_NOROWLOCAL"):
+        totals = cand_sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        totals = (
+            docs.filter(~is_bench)
+            .select("doc_id", T.tokens("text").alias("tk"))
+            .filter(F.size("tk") >= n)
+            .select("doc_id",
+                    F.size(shingle_hashes_from_tokens("tk", n))
+                    .cast("long").alias("n_shingles"))
+        )
     hits = (
         cand_sh.join(bench_sh, "h")
         .groupBy("doc_id")
