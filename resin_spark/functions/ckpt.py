@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 
 def opt_checkpoint(df: DataFrame, site: str) -> DataFrame:
     off = os.environ.get("RESIN_NOCKPT", "")
-    if off and (off == "all" or site in off.split(",")):
+    # strip tokens: RESIN_NOCKPT='a, b' must disable site 'b' too
+    # (ADVICE r11 — a silent A/B mis-measurement risk otherwise)
+    if off and (off == "all" or site in {s.strip() for s in off.split(",")}):
         return df
     return df.localCheckpoint(eager=False)

@@ -166,21 +166,23 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     cond = (
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # J <= min/max: unequal sizes can't reach tau. The 1e-9
-        # slack keeps boundary pairs (J == tau) when the double
-        # product rounds up; verification filters exactly.
-        & (F.col("a.n_sh") * tau - 1e-9 <= F.col("b.n_sh"))
-        & (F.col("b.n_sh") * tau - 1e-9 <= F.col("a.n_sh"))
+        # J <= min/max: unequal sizes can't reach tau. The slack is
+        # RELATIVE (ADVICE r11): an absolute 1e-9 can be swamped by
+        # double rounding once n_sh ≳ 1e8, silently dropping an
+        # exactly-boundary (J == tau) true pair. Loosening only admits
+        # extra candidates; the exact verification below filters
+        # precisely, so results are unchanged at any scale.
+        & (F.col("a.n_sh") * (tau - 1e-9) <= F.col("b.n_sh"))
+        & (F.col("b.n_sh") * (tau - 1e-9) <= F.col("a.n_sh"))
     )
-    # RESIN_NOPOSFILTER: measurement-only opt-out (the RESIN_NOCKPT
-    # pattern) so tools/ab_r11.py can A/B the positional filter inside
-    # one session; default is filter ON.
-    if not os.environ.get("RESIN_NOPOSFILTER"):
-        cond = cond & (
-            F.least(F.col("a.n_sh") - F.col("a.p"),
-                    F.col("b.n_sh") - F.col("b.p"))
-            >= F.lit(tau / (1.0 + tau))
-            * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9)
+    # (The RESIN_NOPOSFILTER A/B opt-out was removed after the r11
+    # measurement round — ADVICE r11; evidence in OPTIMIZATION_r11.md.)
+    # Relative slack, same rationale as the size-ratio filter above.
+    cond = cond & (
+        F.least(F.col("a.n_sh") - F.col("a.p"),
+                F.col("b.n_sh") - F.col("b.p"))
+        >= F.lit(tau / (1.0 + tau) - 1e-9)
+        * (F.col("a.n_sh") + F.col("b.n_sh")))
     cand = (
         a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -304,11 +306,10 @@ def shingle_hash_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
     observable difference is that docs sharing a NULL doc_id stay one
     row each instead of merging into one null group, and every consumer
     either filters null ids or joins on non-null candidate ids.
-    RESIN_NOROWLOCAL restores the explode shape for single-session A/B
-    measurement only."""
-    if os.environ.get("RESIN_NOROWLOCAL"):
-        return shingles(docs, n, text_col, id_col).groupBy("doc_id").agg(
-            F.collect_list(F.xxhash64("shingle")).alias("hashes"))
+    (The RESIN_NOROWLOCAL legacy-explode A/B shape was removed after
+    the r11 measurement round — ADVICE r11: it silently changed
+    null-doc_id semantics while claiming to be measurement-only; the
+    A/B evidence lives in OPTIMIZATION_r11.md.)"""
     return (
         docs.select(F.col(id_col).alias("doc_id"),
                     T.tokens(text_col).alias("tk"))
@@ -445,26 +446,10 @@ def simhash(docs: DataFrame, text_col: str = "text",
     same ±1 integers in array order, and integer addition is
     order-independent, so the fingerprint is bit-identical (A/B at
     sf0.1: exceptAll 0 both ways; 0.83 s → 0.35 s min, 2.4×).
-    RESIN_NOROWLOCAL restores the explode shape for single-session
-    A/B measurement only.
+    (The RESIN_NOROWLOCAL legacy-explode A/B shape was removed after
+    the r11 measurement round; evidence in OPTIMIZATION_r11.md and
+    tools/exp_simhash_rowlocal.py.)
     """
-    if os.environ.get("RESIN_NOROWLOCAL"):
-        toks = (
-            docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"))
-            .withColumn("h", _token_hash60(F.col("tok")))
-        )
-        bit_sums = toks.groupBy("doc_id").agg(*[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(N_BITS)
-        ])
-        sim = None
-        for j in range(N_BITS):
-            term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
-            sim = term if sim is None else sim + term
-        return bit_sums.select("doc_id", sim.alias("simhash"))
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(N_BITS)])
     base = (
         docs.select(F.col(id_col).alias("doc_id"),

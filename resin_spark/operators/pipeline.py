@@ -67,18 +67,14 @@ def contamination_check(t: Tables, n: int = 4, tau: float = 0.5) -> DataFrame:
     # second explode + groupBy pass over cand_sh. Pre-filter on the
     # INPUT size (never on the computed array — the codegen trap
     # pinned in test_shingle_sets_is_row_local_projection).
-    if os.environ.get("RESIN_NOROWLOCAL"):
-        totals = cand_sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_shingles"))
-    else:
-        totals = (
-            docs.filter(~is_bench)
-            .select("doc_id", T.tokens("text").alias("tk"))
-            .filter(F.size("tk") >= n)
-            .select("doc_id",
-                    F.size(shingle_hashes_from_tokens("tk", n))
-                    .cast("long").alias("n_shingles"))
-        )
+    totals = (
+        docs.filter(~is_bench)
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select("doc_id",
+                F.size(shingle_hashes_from_tokens("tk", n))
+                .cast("long").alias("n_shingles"))
+    )
     hits = (
         cand_sh.join(bench_sh, "h")
         .groupBy("doc_id")

@@ -821,6 +821,11 @@ def bm25_scores(t: Tables, query: tuple[str, ...] = BM25_QUERY,
     the oracle hash and the streaming twin's bit-equality pin green.
     At 100 TB this removes the corpus-token-count exchange entirely:
     the only remaining shuffle in bm25_search is the ≤ k top-k."""
+    # The query is a SET of terms (the pre-r11 groupBy(doc_id, term)
+    # path deduped implicitly); the positional enumeration below would
+    # otherwise score and count a duplicated term twice (ADVICE r11).
+    query = tuple(dict.fromkeys(query))
+
     def _tf(i: int, q: str):
         # closure per call: a default-arg lambda would change the
         # lambda's arity and make F.filter bind the array INDEX to it
