@@ -67,6 +67,32 @@ def main() -> None:
 
     import gc
 
+    # CONTROL probe (VERDICT r11 item 3): a fixed, AST-frozen,
+    # pure-compute job (no I/O, no Python boundary) interleaved every
+    # CONTROL_EVERY entries. Its dispersion across the sweep is the
+    # run's own contention evidence: on a quiet host the samples are
+    # flat; under host-level CPU steal they spread, and a noisy sweep
+    # then carries the proof in its JSON line instead of needing
+    # litigation from sidecar history. The probe is NOT a queries()
+    # entry and its time is NOT included in `value`.
+    def _control_sample() -> float:
+        t0 = time.monotonic()
+        # avg, NOT sum: xxhash64 is full-range int64, and summing 20M of
+        # them overflows under ANSI mode (ARITHMETIC_OVERFLOW); avg's
+        # double accumulator cannot overflow and costs the same hashing.
+        spark.range(0, 20_000_000, 1, int(cpus)).selectExpr(
+            "avg(xxhash64(id)) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    CONTROL_EVERY = 10
+    control_samples: list[float] = []
+    try:
+        _control_sample()  # one discarded warm run, same as queries
+        control_samples.append(_control_sample())
+    except Exception:
+        pass
+
     RUNS = 2  # min-of-N AFTER one discarded warm run: per-query steady
     # state, independent of dict position. Round 3 measured the warm-up
     # tax at up to 2.8x (dedup_minhash_lsh: 7.7s first-ever run vs 2.74s
@@ -79,7 +105,12 @@ def main() -> None:
     # noise is worst.
     EXTRA_RUN_UNDER = 3.0
     timed_runs: dict[str, int] = {}
-    for name, fn in queries.items():
+    for qi, (name, fn) in enumerate(queries.items()):
+        if qi and qi % CONTROL_EVERY == 0:
+            try:
+                control_samples.append(_control_sample())
+            except Exception:
+                pass
         # Release the previous query's lineage before timing this one:
         # localCheckpoint RDDs (dedup loops, PPJoin index) stay pinned in
         # executor memory until their Python DataFrames are collected, and
@@ -107,6 +138,20 @@ def main() -> None:
             run += 1
         timings[name] = round(best, 3)
 
+    try:
+        control_samples.append(_control_sample())
+    except Exception:
+        pass
+    control = None
+    if control_samples:
+        cs = sorted(control_samples)
+        control = {
+            "n": len(cs),
+            "min": round(cs[0], 3),
+            "med": round(cs[len(cs) // 2], 3),
+            "max": round(cs[-1], 3),
+        }
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     line = json.dumps({
         "metric": "total_query_wall_time",
@@ -114,6 +159,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "control": control,
         # self-describing run counts (ADVICE r9): [min, max] realized
         # timed runs across queries, plus the threshold that triggers
         # the extra run — the prose no longer carries the only record.
@@ -157,7 +203,8 @@ def main() -> None:
     # ALL queries; the complete dict is in BENCH_LOCAL.json.
     print(_budgeted_line(total, timings, sf,
                          [min(timed_runs.values(), default=RUNS),
-                          max(timed_runs.values(), default=RUNS)]),
+                          max(timed_runs.values(), default=RUNS)],
+                         control),
           flush=True)
 
 
@@ -165,7 +212,7 @@ TAIL_BUDGET = 1900  # driver tail capture is 2000 chars; leave margin
 
 
 def _budgeted_line(total: float, timings: dict[str, float], sf,
-                   runs, budget: int = TAIL_BUDGET) -> str:
+                   runs, control=None, budget: int = TAIL_BUDGET) -> str:
     ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def render(n_shown: int) -> str:
@@ -175,6 +222,7 @@ def _budgeted_line(total: float, timings: dict[str, float], sf,
             "unit": "sec",
             "queries": dict(ordered[:n_shown]),
             "sf": sf,
+            "control": control,
             "runs_per_query": runs,
             "aggregation": "min",
             "n_queries": len(timings),
