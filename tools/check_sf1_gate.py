@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from resin_spark.io import load_tables, read_warc
 from resin_spark.operators import (dedup, extract, health, kv, pipeline,
                                    retrieval, similarity, textindex as ti,
-                                   traindata)
+                                   textops, traindata)
 from resin_spark.plans import tpch
 from resin_spark.session import get_spark
 from sweep_sf1_r8 import docs_10x, emb_10x, noop, timed  # noqa: E402
@@ -96,6 +96,15 @@ def main() -> None:
         if not os.path.exists(f"{scratch}/bm25"):
             ti.write_text_index(d10, f"{scratch}/bm25")
         ti.bm25_topk_indexed(spark, f"{scratch}/bm25").collect()
+
+    def dedup_incr_probe():
+        idx = f"{scratch}/dedupidx10"
+        if not os.path.exists(idx):
+            dedup.write_dedup_index(
+                d10.filter(F.col("doc_id") % 2 == 0), idx)
+        idx_hashes, idx_bands = dedup.read_dedup_index(spark, idx)
+        return noop(dedup.incremental_dedup_indexed(
+            d10.filter(F.col("doc_id") % 2 == 1), idx_hashes, idx_bands))
 
     warc_glob = None
 
@@ -160,6 +169,15 @@ def main() -> None:
         "q4_order_priority": lambda: noop(tpch.q4_order_priority(t10)),
         "q22_idle_customers": lambda: noop(tpch.q22_idle_customers(t10)),
         "bm25 indexed probe": bm25_probe,
+        # r12 additions (VERDICT r11 item 6): the r11-optimized shapes
+        # not yet gated — the join-free bm25 scorer on the fresh path
+        # and the row-local contamination totals — plus the indexed
+        # incremental-dedup face, so their new plan shapes carry
+        # 1.5x-regression protection at the decade tier.
+        "bm25_search": lambda: noop(textops.bm25_search(t10)),
+        "contamination_check": lambda: noop(
+            pipeline.contamination_check(t10)),
+        "dedup_incremental_indexed": dedup_incr_probe,
     }
     if prefixes:
         ROWS = {k: v for k, v in ROWS.items()
