@@ -678,94 +678,39 @@ def queries() -> dict[str, Query]:
     # level (docstrings stripped), not by prose (the r4
     # dedup_embedding lesson).
     #
-    # r11 (computed by tools/plan_window.py 7bb3e7e): 0 red + 0 edited
-    # + 50 due = 50, slack 0 — the registry sits at exact 2×50
-    # saturation, so the window is the entire r9-checked cohort and no
-    # promotion slot exists (the staged queue has been empty since the
-    # r10 curation_tuning_card promotion; any future registration
-    # first needs a retirement — the pre-adjudicated queue lives in
-    # SURVEY §6). The two r11-scheduled extract fixes (_decode meta-
-    # prescan straddle, lang-aware CJK block gate) are window-legal
-    # precisely because their only reachable entries — warc_ingest and
-    # boilerplate_card — are rotation-due members of this cohort.
+    # r12 (computed by tools/plan_window.py 210aee4): 0 red + 16 edited
+    # + 50 due = 66 > 50 — INFEASIBLE, the first round the advice-fix
+    # re-windows collide with a full rotation cohort. Retirement is
+    # ruled out (an optimization round must not remove a declared
+    # entry), so the window takes all 16 edited entries plus 34 of the
+    # due cohort, and 16 due entries defer ONE round under the written
+    # exception documented at the tail marker below and in
+    # OPTIMIZATION_r12.md.
     return {
-        # -- (c) the rotation-due cohort: the full r9-checked set (50
-        #    entries, exactly the window capacity — zero slack, zero
-        #    promotions; the staged queue is empty since r10)
-        "domain_mix": _mk_text(pipeline.domain_mix),
-        "dedup_embedding": _dedup_embedding,
-        "semantic_dedup": _semantic_dedup,
-        "kmeans_refine": _kmeans_refine,
+        # -- (b) the 16 entries whose reachable functions the r12
+        #    optimization round edited (advice fixes: bm25_scores query
+        #    dedupe, PPJoin relative slack, opt_checkpoint env parsing,
+        #    legacy A/B shape removal) — re-windowed regardless of cohort
         "dedup_incremental_indexed": _dedup_incremental_indexed,
-        "semantic_dedup_indexed": _semantic_dedup_indexed,
         "index_validate": _index_validate,
-        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
-        "graph_dedup": _graph_dedup,
-        "knn_classify": _knn_classify,
-        "quality_perplexity": _mk_text(traindata.quality_perplexity),
-        "importance_weights": _mk_text(traindata.importance_weights),
-        "centroid_assign": _centroid_assign,
-        "bpe_merge_step": _bpe_merge_step,
         "bm25_search": _mk_text(textops.bm25_search),
-        # r11 third-session swap #2: dedup_minhash_lsh's reachable
-        # lsh_index/shingle_hash_sets changed (row-local shingle sets),
-        # so it moves INTO the window; dedup_exact — AST-identical to
-        # its r9-checked green form — rotates to the tail.
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash": _dedup_simhash,
-        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
-        "lexicon_build": _mk_text(textops.lexicon_build),
-        "sentence_vectors": _mk_text(textops.sentence_vectors),
-        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
-        "events_retention": _mk_text(timeseries.retention),
-        "text_quality_score": _mk_text(textops.quality_score),
-        "quality_repetition": _mk_text(pipeline.quality_repetition),
-        "pipeline_curate": _mk_text(textops.pipeline_curate),
-        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier": _q5,
-        "topk_per_group": _topk,
-        # r11 third-session swap: dedup_components' reachable simhash
-        # was rewritten row-local, so it moves INTO the window;
-        # kmv_distinct — AST-identical to its r9-checked green form —
-        # rotates to the tail as the displaced due entry (same move as
-        # the doc_fingerprint/unicode_range/token_count_bpe swap).
         "dedup_components": _dedup_components,
         "contamination_check": _mk_text(pipeline.contamination_check),
-        "stratified_sample": _mk_text(pipeline.stratified_sample),
-        "pack_sequences": _mk_text(pipeline.pack_sequences),
-        # r11-optimization swap: the three entries whose reachable
-        # functions the optimization round edited (bm25_scores rewrite,
-        # card subtree sharing, opt_checkpoint sites) move INTO the
-        # window; doc_fingerprint/unicode_range/token_count_bpe — all
-        # AST-identical to their r9-checked green form — rotate to the
-        # tail as the displaced due entries (audit_window lists them as
-        # DUE, not warnings).
         "dataset_card_typed": _mk_text(pipeline.dataset_card_typed),
         "hybrid_search_rrf": _mk_text(retrieval.hybrid_search_demo),
         "curation_tuning_card": _mk_text(pipeline.curation_tuning_card),
-        "lang_id_heuristic": _mk_text(textops.lang_id),
-        "kv_try_put": _kv_try_put,
         "dedup_incremental": _dedup_incremental,
         "nb_lang_classify": _mk_text(traindata.nb_lang_classify),
         "cluster_split": _cluster_split,
-        "shard_manifest": _mk_text(traindata.shard_manifest),
-        "warc_ingest": _warc_ingest,
-        "ann_topk_ivf_indexed": _ann_topk_ivf_indexed,
-        "q4_order_priority": _q4,
-        "q22_idle_customers": _q22,
         "health_card_typed": _mk_text(health.health_card_typed),
         "split_governance_card": _split_governance_card,
-        "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
-        # ---- tail: past the 50-entry window from here down ----
-        # Every tail entry is green (or rows-only by design) in
-        # CORRECTNESS_r10 and its reachable functions + oracle are
-        # AST-identical to that checked form: verified by
-        # tools/audit_window.py (run against the r10 final commit
-        # 7bb3e7e; warnings==0 is the contract).
-        "lexicon_angle": _mk_text(textops.lexicon_angle),
-        "lexicon_validate": _mk_text(textops.lexicon_validate),
+        # -- (c) 34 of the 50 rotation-due r10-cohort entries; the due
+        #    set exceeds the remaining slots by 16 this round (edited +
+        #    due = 66 > 50) — the deferral adjudication is in the tail
+        #    comment below and OPTIMIZATION_r12.md
         "price_quantiles": _mk_text(sketch.price_quantiles),
         "corpus_delta": _corpus_delta,
         "embedding_drift": _embedding_drift,
@@ -796,6 +741,24 @@ def queries() -> dict[str, Query]:
         "cms_heavy_hitters": _mk_text(sketch.cms_heavy_hitters),
         "agg_rollup": _rollup,
         "q1_pricing_summary": _q1,
+        "session_overlap": _mk_text(timeseries.session_overlap),
+        "doc_fingerprint": _mk_text(textops.fingerprint),
+        "token_count_bpe": _mk_text(textops.token_count_bpe),
+        "kmv_distinct": _mk_text(sketch.kmv_distinct),
+        # ---- tail: past the 50-entry window from here down ----
+        # r12 DELIBERATE CONTRACT EXCEPTION (plan_window 210aee4 read
+        # INFEASIBLE: 16 edited + 50 due = 66 > 50): the 16 entries
+        # below are rotation-due (last driver-checked in
+        # CORRECTNESS_r10) but deferred ONE round because the advice-
+        # fix re-windows displaced them. Chosen as the lowest-risk
+        # defers: all 16 are early-round kv/events/lexicon/string
+        # utilities, AST-identical to their r10-checked green form
+        # since r9 or earlier, each also covered by the sf0.001 parity
+        # pass in tests/test_oracle_parity.py and the edge/fuzz
+        # batteries; every one re-verified green by tools/driver_sim.py
+        # at sf0.001 this round (see OPTIMIZATION_r12.md).
+        "lexicon_angle": _mk_text(textops.lexicon_angle),
+        "lexicon_validate": _mk_text(textops.lexicon_validate),
         "kv_get_many": _kv_get_many,
         "kv_set_ops": _kv_set_ops,
         "kv_key_join": _kv_key_join,
@@ -804,16 +767,49 @@ def queries() -> dict[str, Query]:
         "events_sessionize": _events_sessionize,
         "events_props_json": _events_props,
         "events_asof_join": _mk_text(timeseries.asof_join),
-        "session_overlap": _mk_text(timeseries.session_overlap),
         "events_moving_agg": _mk_text(timeseries.moving_aggregates),
         "events_funnel": _mk_text(timeseries.funnel),
         "synthesize_tokens": _synthesize_tokens,
         "string_compare": _string_compare,
-        "doc_fingerprint": _mk_text(textops.fingerprint),
         "unicode_range": _mk_text(textops.unicode_range),
-        "token_count_bpe": _mk_text(textops.token_count_bpe),
-        "kmv_distinct": _mk_text(sketch.kmv_distinct),
         "dedup_exact": _dedup_exact,
+        # -- the r11-checked cohort (green in CORRECTNESS_r11, reachable
+        #    functions AST-identical to that checked form — audit_window
+        #    adjudicated)
+        "domain_mix": _mk_text(pipeline.domain_mix),
+        "dedup_embedding": _dedup_embedding,
+        "semantic_dedup": _semantic_dedup,
+        "kmeans_refine": _kmeans_refine,
+        "semantic_dedup_indexed": _semantic_dedup_indexed,
+        "ann_topk_lsh_indexed": _ann_topk_lsh_indexed,
+        "graph_dedup": _graph_dedup,
+        "knn_classify": _knn_classify,
+        "quality_perplexity": _mk_text(traindata.quality_perplexity),
+        "importance_weights": _mk_text(traindata.importance_weights),
+        "centroid_assign": _centroid_assign,
+        "bpe_merge_step": _bpe_merge_step,
+        "text_tokenize_stats": _mk_text(textops.tokenize_stats),
+        "lexicon_build": _mk_text(textops.lexicon_build),
+        "sentence_vectors": _mk_text(textops.sentence_vectors),
+        "events_gap_fill": _mk_text(timeseries.gap_fill_hourly),
+        "events_retention": _mk_text(timeseries.retention),
+        "text_quality_score": _mk_text(textops.quality_score),
+        "quality_repetition": _mk_text(pipeline.quality_repetition),
+        "pipeline_curate": _mk_text(textops.pipeline_curate),
+        "tfidf_topterms": _mk_text(textops.tfidf_topterms),
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "topk_per_group": _topk,
+        "stratified_sample": _mk_text(pipeline.stratified_sample),
+        "pack_sequences": _mk_text(pipeline.pack_sequences),
+        "lang_id_heuristic": _mk_text(textops.lang_id),
+        "kv_try_put": _kv_try_put,
+        "shard_manifest": _mk_text(traindata.shard_manifest),
+        "warc_ingest": _warc_ingest,
+        "ann_topk_ivf_indexed": _ann_topk_ivf_indexed,
+        "q4_order_priority": _q4,
+        "q22_idle_customers": _q22,
+        "boilerplate_card": _mk_text(extract.boilerplate_card_demo),
     }
 
 
