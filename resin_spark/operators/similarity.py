@@ -432,12 +432,31 @@ def _multi_probe(qb: DataFrame, n_planes: int, radius: int) -> DataFrame:
     )
 
 
+_DIMS_CACHE: dict = {}
+
+
 def _probe_dims(emb: DataFrame, vec_col: str) -> int:
     """Vector width from a single-row probe — schemas don't carry array
     length, and a hardcoded dims crashes the hyperplane matmul on any
-    corpus whose width differs."""
+    corpus whose width differs.
+
+    Memoized per (plan semanticHash, column) like corpus_bytes_estimate:
+    the width of a static relation is a plan property, so repeated
+    LSH/IVF/incremental calls in one session pay the probe job once.
+    In-process only — a fresh driver run always re-probes."""
+    try:
+        key = (emb.semanticHash(), vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _DIMS_CACHE:
+        return _DIMS_CACHE[key]
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(first["d"]) if first and first["d"] is not None else 0
+    dims = int(first["d"]) if first and first["d"] is not None else 0
+    if key is not None:
+        if len(_DIMS_CACHE) > 256:
+            _DIMS_CACHE.clear()
+        _DIMS_CACHE[key] = dims
+    return dims
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -956,16 +975,21 @@ def closest_match_oracle(fold_angle: float = FOLD_ANGLE, n_queries: int = 5) -> 
 
 def _train_pq_codebooks(emb: DataFrame, m_sub: int, n_codes: int, dims: int,
                         sample_cap: int, seed: int,
-                        id_col: str, vec_col: str) -> np.ndarray:
+                        id_col: str, vec_col: str,
+                        n_rows: int | None = None) -> np.ndarray:
     """(m_sub, n_codes, dims/m_sub) PQ codebooks: independent L2 k-means
     per subspace over L2-normalised corpus vectors, trained on the same
     deterministic hash-threshold sample the IVF trainer uses (a pure
     filter — no global sort, no TakeOrdered driver merge). Lloyd
     assignment uses the dot trick (argmin ||x-c||² = argmax x·c −
     ||c||²/2), so the per-iteration cost is one (sample × n_codes)
-    matmul per subspace; empty codes re-seed deterministically."""
-    _est, n_rows, _d = corpus_bytes_estimate(
-        emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
+    matmul per subspace; empty codes re-seed deterministically.
+    ``n_rows`` may be supplied by a caller that already ran
+    corpus_bytes_estimate (same ceiling) so the trainer adds no probe
+    job of its own."""
+    if n_rows is None:
+        _est, n_rows, _d = corpus_bytes_estimate(
+            emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
     sampled = emb.select(id_col, vec_col)
     if n_rows > sample_cap:
         mm = 1 << 20
@@ -1034,12 +1058,19 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
     """
     emb = valid_vectors(emb, vec_col)
     queries = valid_vectors(queries, q_vec)
+    # ONE stats probe serves both the dims check and the trainer's
+    # sample gate (r12, guide §1/§5: _probe_dims was a second eager
+    # first() per call on top of corpus_bytes_estimate's own probe —
+    # the estimate already returns dims, and it memoizes per plan, so
+    # repeated calls in a session pay zero probe jobs).
+    _est, n_rows, est_dims = corpus_bytes_estimate(
+        emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
     if dims is None:
-        dims = _probe_dims(emb, vec_col)
+        dims = est_dims
     if m_sub <= 0 or dims % m_sub != 0:
         raise ValueError(f"m_sub={m_sub} must divide the vector width {dims}")
     books = _train_pq_codebooks(emb, m_sub, n_codes, dims, sample_cap, seed,
-                                id_col, vec_col)
+                                id_col, vec_col, n_rows=n_rows)
     encoded = emb.select(
         F.col(id_col), _pq_encode_udf(books)(F.col(vec_col)).alias("codes"))
     return _pq_adc_topk(encoded, books, queries, emb, k, rerank,
@@ -1136,12 +1167,16 @@ def write_pq_index(emb: DataFrame, path: str, m_sub: int = 8,
     The raw-vector corpus stays wherever it lives — the exact rerank
     joins it back by id at query time."""
     emb = valid_vectors(emb, vec_col)
+    # one stats probe for dims + the trainer's sample gate (see
+    # ann_topk_pq)
+    _est, n_rows, est_dims = corpus_bytes_estimate(
+        emb, id_col, vec_col, ceiling_bytes=BROADCAST_CEILING_BYTES)
     if dims is None:
-        dims = _probe_dims(emb, vec_col)
+        dims = est_dims
     if m_sub <= 0 or dims % m_sub != 0:
         raise ValueError(f"m_sub={m_sub} must divide the vector width {dims}")
     books = _train_pq_codebooks(emb, m_sub, n_codes, dims, sample_cap, seed,
-                                id_col, vec_col)
+                                id_col, vec_col, n_rows=n_rows)
     spark = emb.sparkSession
     rows = [(int(mi), int(c), [float(x) for x in books[mi, c]])
             for mi in range(books.shape[0]) for c in range(books.shape[1])]

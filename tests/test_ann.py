@@ -429,3 +429,19 @@ def test_append_ann_index_refuses_width_mismatch(spark, tmp_path):
         "vec_id long, embedding array<float>, label int")
     with _pytest.raises(ValueError, match="-wide"):
         similarity.append_ann_index(narrow, path)
+
+
+def test_probe_dims_memo_is_per_plan(spark):
+    """r12: _probe_dims memoizes per (plan semanticHash, column) so
+    repeated ANN calls in one session pay the probe job once. The memo
+    must not cross-contaminate frames of different widths, and a
+    repeated probe of the same frame must serve from the cache."""
+    emb = load_tables(spark, SF)["embeddings"]
+    wide = similarity._probe_dims(emb, "embedding")
+    narrow_df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    assert wide == 64
+    assert similarity._probe_dims(narrow_df, "embedding") == 2
+    assert similarity._probe_dims(emb, "embedding") == wide  # cached hit
+    key = (emb.semanticHash(), "embedding")
+    assert similarity._DIMS_CACHE.get(key) == wide
