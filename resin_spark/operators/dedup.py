@@ -435,7 +435,8 @@ def _token_hash60_sql(expr: str) -> str:
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            base: DataFrame | None = None) -> DataFrame:
     """60-bit simhash over distinct tokens (weight 1 per token).
 
     Computed ROW-LOCALLY (r11): the fingerprint depends only on the
@@ -451,12 +452,19 @@ def simhash(docs: DataFrame, text_col: str = "text",
     tools/exp_simhash_rowlocal.py.)
     """
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(N_BITS)])
-    base = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    T.tokens(text_col).alias("tk"))
-        # explode-drop parity: zero-token docs carry no fingerprint
-        .filter(F.size("tk") >= 1)
-    )
+    if base is not None:
+        # shared card_base (r12): same (doc_id, tokens(text)) columns,
+        # read from the card's cached tokenize instead of a fresh scan.
+        # Only valid with the default text/id columns.
+        assert text_col == "text" and id_col == "doc_id"
+        base = base.select("doc_id", "tk").filter(F.size("tk") >= 1)
+    else:
+        base = (
+            docs.select(F.col(id_col).alias("doc_id"),
+                        T.tokens(text_col).alias("tk"))
+            # explode-drop parity: zero-token docs carry no fingerprint
+            .filter(F.size("tk") >= 1)
+        )
     hs = F.transform(F.array_distinct(F.col("tk")), _token_hash60)
     counts = F.aggregate(
         hs,
@@ -579,7 +587,8 @@ DEDUP_EDGE_COLLECT_CAP = 1_000_000
 
 def dedup_components(docs: DataFrame, max_hamming: int = 3,
                      max_iters: int = 25,
-                     edge_collect_cap: int = DEDUP_EDGE_COLLECT_CAP) -> DataFrame:
+                     edge_collect_cap: int = DEDUP_EDGE_COLLECT_CAP,
+                     base: DataFrame | None = None) -> DataFrame:
     """Collapse pairwise near-dup hits into canonical clusters: every doc
     gets the min doc_id of its duplicate component (the keeper) — what a
     training-data pipeline actually consumes, since pairwise output
@@ -613,8 +622,10 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     # routing join) and its subtree ends in the wide 60-agg groupBy —
     # the checkpoint-worthy shape (SCALING.md rule; simhash_pairs does
     # the same): materialise once instead of re-fingerprinting the
-    # corpus. Measured 4.5 s → 3.6 s warm at sf0.1.
-    sims = simhash(docs).localCheckpoint(eager=False)
+    # corpus. Measured 4.5 s → 3.6 s warm at sf0.1. ``base`` (r12) is
+    # the optional shared card tokenize (see card_base); rows are
+    # identical either way.
+    sims = simhash(docs, base=base).localCheckpoint(eager=False)
     nodes = (
         sims.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
         .localCheckpoint(eager=False)
@@ -752,8 +763,9 @@ def dedup_components(docs: DataFrame, max_hamming: int = 3,
     # the contract is one row per DOCUMENT (the oracle's walk seeds from
     # the documents table): re-join them as their own singleton
     # components (tests/test_edge_docs.py docs 1/2/5).
+    id_src = base if base is not None else docs
     return (
-        docs.select("doc_id").join(comp, "doc_id", "left")
+        id_src.select("doc_id").join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),
@@ -1307,7 +1319,8 @@ def append_dedup_index(new_docs: DataFrame, path: str, n: int = 3,
         .partitionBy("band").parquet(f"{path}/bands")
 
 
-def dup_cluster_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dup_cluster_histogram(docs: DataFrame, max_hamming: int = 3,
+                          base: DataFrame | None = None) -> DataFrame:
     """Duplicate-cluster size distribution — the one-page corpus card
     over dedup_components (dedup.py:503): (cluster_size, n_clusters,
     n_docs, doc_share). cluster_size 1 = unique docs; the heavy tail
@@ -1319,7 +1332,7 @@ def dup_cluster_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     component relation's audited plan. The histogram itself is at most
     |distinct sizes| rows.
     """
-    comp = dedup_components(docs, max_hamming)
+    comp = dedup_components(docs, max_hamming, base=base)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(

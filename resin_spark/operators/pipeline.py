@@ -504,7 +504,8 @@ FUNNEL_MIN_DISTINCT_FRAC = 0.3
 
 
 def filter_funnel(t: Tables, min_tokens: int = FUNNEL_MIN_TOKENS,
-                  min_distinct_frac: float = FUNNEL_MIN_DISTINCT_FRAC) -> DataFrame:
+                  min_distinct_frac: float = FUNNEL_MIN_DISTINCT_FRAC,
+                  base: DataFrame | None = None) -> DataFrame:
     """Per-stage attrition sheet for a five-stage curation stack — the
     "data card" table every released pretraining corpus publishes
     (Dolma/RefinedWeb style): how many docs and tokens survive each
@@ -530,14 +531,24 @@ def filter_funnel(t: Tables, min_tokens: int = FUNNEL_MIN_TOKENS,
     exactly how a real pipeline's attrition is reported.
     """
     langs = sorted(T.LANG_PROFILES)
-    tk = T.tokens("text")
-    d = t["documents"].select(
-        "doc_id", "text", "lang", tk.alias("tk"),
-    ).select(
-        "*",
-        F.coalesce(F.size("tk").cast("bigint"), F.lit(0)).alias("nt"),
-        F.md5("text").alias("h"),
-    )
+    if base is not None:
+        # shared card_base (r12): h = md5(text), tk = tokens(text) and
+        # the text-presence flag are carried by the cached base; the
+        # per-doc expressions below are unchanged.
+        d = base.select("doc_id", "has_text", "lang", "h", "tk").select(
+            "*",
+            F.coalesce(F.size("tk").cast("bigint"), F.lit(0)).alias("nt"),
+        )
+    else:
+        tk = T.tokens("text")
+        d = t["documents"].select(
+            "doc_id",
+            F.col("text").isNotNull().alias("has_text"),
+            "lang", tk.alias("tk"), F.md5("text").alias("h"),
+        ).select(
+            "*",
+            F.coalesce(F.size("tk").cast("bigint"), F.lit(0)).alias("nt"),
+        )
     for lang in langs:
         d = d.withColumn(f"m_{lang}",
                          T.stopword_count(F.col("tk"), T.LANG_PROFILES[lang]))
@@ -547,7 +558,7 @@ def filter_funnel(t: Tables, min_tokens: int = FUNNEL_MIN_TOKENS,
         pred = F.when(F.col(f"m_{lang}") == best, F.lit(lang)).otherwise(pred)
     d = d.select(
         "doc_id", "lang", "nt", "h",
-        (F.col("doc_id").isNotNull() & F.col("text").isNotNull()).alias("s0"),
+        (F.col("doc_id").isNotNull() & F.col("has_text")).alias("s0"),
         pred.alias("pred_lang"),
         F.when(F.col("nt") > 0,
                F.size(F.array_distinct("tk")).cast("double") / F.col("nt"))
@@ -1422,7 +1433,8 @@ def _split_sql(id_expr: str) -> str:
             f"WHEN {coin} < '{hi}' THEN 'val' ELSE 'train' END")
 
 
-def dataset_split(docs: DataFrame) -> DataFrame:
+def dataset_split(docs: DataFrame,
+                  base: DataFrame | None = None) -> DataFrame:
     """Per-(source, split) accounting card for the deterministic
     train/val/test assignment: (source, split, n_docs, n_chars,
     doc_share, target_frac) — the sheet a pipeline signs off before
@@ -1437,7 +1449,8 @@ def dataset_split(docs: DataFrame) -> DataFrame:
     onto |sources|×3 groups; the share window partitions those bounded
     groups only — never the corpus.
     """
-    d = docs.filter(F.col("doc_id").isNotNull()).select(
+    src = base if base is not None else docs
+    d = src.filter(F.col("doc_id").isNotNull()).select(
         "source",
         split_of(F.col("doc_id")).alias("split"),
         F.coalesce(F.col("n_chars").cast("long"), F.lit(0)).alias("nc"),
@@ -2066,15 +2079,19 @@ def dataset_card(t: Tables) -> DataFrame:
     adds a trivial row-local explode and a union of five small frames.
     """
     from resin_spark.operators.dedup import dup_cluster_histogram
-    from resin_spark.operators.traindata import corpus_stats, lang_stats
+    from resin_spark.operators.traindata import (card_base, corpus_stats,
+                                                 lang_stats)
 
     docs = t["documents"]
+    # shared eager tokenize base — see dataset_card_typed (r12)
+    base = card_base(docs).localCheckpoint(eager=True)
     parts = [
-        _melt(corpus_stats(t), "corpus", []),
-        _melt(lang_stats(t), "languages", ["lang"]),
-        _melt(filter_funnel(t), "funnel", ["stage", "stage_name"]),
-        _melt(dup_cluster_histogram(docs), "duplication", ["cluster_size"]),
-        _melt(dataset_split(docs), "splits", ["source", "split"]),
+        _melt(corpus_stats(t, base=base), "corpus", []),
+        _melt(lang_stats(t, base=base), "languages", ["lang"]),
+        _melt(filter_funnel(t, base=base), "funnel", ["stage", "stage_name"]),
+        _melt(dup_cluster_histogram(docs, base=base), "duplication",
+              ["cluster_size"]),
+        _melt(dataset_split(docs, base=base), "splits", ["source", "split"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2133,16 +2150,26 @@ def dataset_card_typed(t: Tables) -> DataFrame:
     a row-local explode, and a union.
     """
     from resin_spark.operators.dedup import dup_cluster_histogram
-    from resin_spark.operators.traindata import corpus_stats, lang_stats
+    from resin_spark.operators.traindata import (card_base, corpus_stats,
+                                                 lang_stats)
 
     docs = t["documents"]
+    # ONE scan + ONE tokenize for all five sections (r12; the r11
+    # pairs=/scores= subtree-sharing precedent): materialised EAGERLY
+    # so the card's many concurrent broadcast-subtree jobs read cached
+    # blocks instead of racing to compute the same lazy lineage (the
+    # measured lock-convoy — see card_base). Construction is eager,
+    # same class as session_overlap's documented probe.
+    base = card_base(docs).localCheckpoint(eager=True)
     parts = [
-        _melt_typed(corpus_stats(t), "corpus", []),
-        _melt_typed(lang_stats(t), "languages", ["lang"]),
-        _melt_typed(filter_funnel(t), "funnel", ["stage", "stage_name"]),
-        _melt_typed(dup_cluster_histogram(docs), "duplication",
+        _melt_typed(corpus_stats(t, base=base), "corpus", []),
+        _melt_typed(lang_stats(t, base=base), "languages", ["lang"]),
+        _melt_typed(filter_funnel(t, base=base), "funnel",
+                    ["stage", "stage_name"]),
+        _melt_typed(dup_cluster_histogram(docs, base=base), "duplication",
                     ["cluster_size"]),
-        _melt_typed(dataset_split(docs), "splits", ["source", "split"]),
+        _melt_typed(dataset_split(docs, base=base), "splits",
+                    ["source", "split"]),
     ]
     out = parts[0]
     for p in parts[1:]:

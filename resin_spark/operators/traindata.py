@@ -492,6 +492,26 @@ def _doc_token_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
+def card_base(docs: DataFrame) -> DataFrame:
+    """Shared per-doc base for the release-card sections (r12): ONE
+    documents scan + ONE tokenize carrying every column any section
+    needs — UNFILTERED (doc_id/lang/text NULL rows included; each
+    section applies its own filters exactly as its standalone shape
+    does, so section outputs are row-identical). The card materialises
+    this once (eager localCheckpoint) and five sections derive from the
+    cached blocks instead of five independent scan+tokenize subtrees —
+    which also removes the lock-convoy of concurrent broadcast-subtree
+    jobs racing to materialise the same lazy intermediate (r12 stage
+    profile: 32-task stages at ~95% blocked time, executorRunTime 66 s
+    vs 1.1 s CPU)."""
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.col("text").isNotNull().alias("has_text"),
+        F.md5("text").alias("h"),
+        T.tokens("text").alias("tk"),
+    )
+
+
 def _bigram_instances(base: DataFrame) -> DataFrame:
     """(doc_id, w1, w2): row-local adjacent bigrams — transform over
     sequence, no window, no per-doc shuffle."""
@@ -1466,7 +1486,7 @@ def kmeans_refine_oracle(iters: int = KMEANS_ITERS) -> str:
 
 # --- corpus statistics sheet (dataset card) ----------------------------------
 
-def corpus_stats(t: Tables) -> DataFrame:
+def corpus_stats(t: Tables, base: DataFrame | None = None) -> DataFrame:
     """One-row corpus summary — the numbers a dataset card leads with:
     doc/token totals, exact vocabulary size, type-token ratio, mean and
     exact p50/p95 document lengths, language count and the dominant
@@ -1485,15 +1505,30 @@ def corpus_stats(t: Tables) -> DataFrame:
     Cross-engine exactness: counts are integers; ratios are single
     IEEE divisions of exact integers; quantiles are order statistics
     picked by exact integer comparison (rn-style cum ≥ p·n).
+
+    ``base`` (r12, the r11 pairs=/scores= precedent): an optional
+    shared :func:`card_base` relation. When given, the token arrays
+    and the language counts derive from it (one cached tokenize for
+    the whole card) instead of fresh documents scans; rows and values
+    are identical (same filters applied on top). Default None keeps
+    the standalone entry self-contained.
     """
-    base = _doc_token_arrays(t["documents"])
-    # localCheckpoint (r11): the per-doc length frame feeds the length
-    # histogram AND the doc totals — two branches that would each
-    # re-run the corpus tokenize. Two scalar columns per doc.
-    lens = opt_checkpoint(
-        base.select("doc_id", F.size("tk").cast("long").alias("n_tok")),
-        "lens")
-    toks = base.select(F.explode("tk").alias("tok"))
+    if base is not None:
+        arrays = (base.filter(F.col("doc_id").isNotNull())
+                  .select("doc_id", "tk").filter(F.size("tk") >= 1))
+        lang_src = base
+    else:
+        arrays = _doc_token_arrays(t["documents"])
+        lang_src = t["documents"]
+    lens = arrays.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    if base is None:
+        # localCheckpoint (r11): the per-doc length frame feeds the
+        # length histogram AND the doc totals — two branches that would
+        # each re-run the corpus tokenize. Two scalar columns per doc.
+        # (With a shared base the recompute is a cheap map over cached
+        # blocks — no checkpoint needed.)
+        lens = opt_checkpoint(lens, "lens")
+    toks = arrays.select(F.explode("tk").alias("tok"))
     tok_agg = toks.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("vocab"),
@@ -1519,8 +1554,8 @@ def corpus_stats(t: Tables) -> DataFrame:
         F.sum("n_tok").alias("sum_tok"),
     )
     langs = (
-        t["documents"].filter(F.col("doc_id").isNotNull()
-                              & F.col("lang").isNotNull())
+        lang_src.filter(F.col("doc_id").isNotNull()
+                        & F.col("lang").isNotNull())
         .groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     )
     # rank-1 window over the BOUNDED langs frame (|langs| rows);
@@ -1616,7 +1651,7 @@ def corpus_stats_oracle() -> str:
     """
 
 
-def lang_stats(t: Tables) -> DataFrame:
+def lang_stats(t: Tables, base: DataFrame | None = None) -> DataFrame:
     """Per-language dataset-card rows — the grouped form of
     corpus_stats: docs, tokens, exact vocabulary, mean and exact
     p50/p95 document lengths, and each language's doc/token share.
@@ -1630,21 +1665,30 @@ def lang_stats(t: Tables) -> DataFrame:
     Exactness: integer counts, single IEEE divisions, integer-compare
     order statistics — the corpus_stats recipe per group.
     """
-    base = (
-        t["documents"]
-        .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
-        .select("doc_id", "lang", T.tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 1)
-    )
+    if base is not None:
+        b = (base.filter(F.col("doc_id").isNotNull()
+                         & F.col("lang").isNotNull())
+             .select("doc_id", "lang", "tk")
+             .filter(F.size("tk") >= 1))
+    else:
+        b = (
+            t["documents"]
+            .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+            .select("doc_id", "lang", T.tokens("text").alias("tk"))
+            .filter(F.size("tk") >= 1)
+        )
     # localCheckpoints (r11): lens feeds the histogram, the doc totals
     # and (via doc_agg) the corpus total — three tokenize re-runs
     # without it; tok_agg feeds both the per-lang join and the corpus
     # token total — a token-explode + countDistinct re-run without it.
-    # Materialisations are 2 scalars/doc and |langs| rows.
-    lens = opt_checkpoint(
-        base.select("lang", F.size("tk").cast("long").alias("n_tok")),
-        "langlens")
-    toks = base.select("lang", F.explode("tk").alias("tok"))
+    # Materialisations are 2 scalars/doc and |langs| rows. (With a
+    # shared card base the lens recompute is a cheap map over cached
+    # blocks, so its checkpoint is skipped; tok_agg keeps its
+    # checkpoint in both modes — it saves a real aggregation.)
+    lens = b.select("lang", F.size("tk").cast("long").alias("n_tok"))
+    if base is None:
+        lens = opt_checkpoint(lens, "langlens")
+    toks = b.select("lang", F.explode("tk").alias("tok"))
     tok_agg = toks.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("vocab"),
