@@ -7,6 +7,7 @@ in scoring. Plus recall sanity at the default probe budget.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from resin_spark.io import load_tables
@@ -20,6 +21,7 @@ def _queries(emb, n=5):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
 
 
+@pytest.mark.full_suite
 def test_ivf_probe_all_equals_brute_force(spark):
     emb = load_tables(spark, SF)["embeddings"]
     q = _queries(emb)
@@ -200,6 +202,7 @@ def test_pq_rejects_nondivisible_width(spark):
         similarity.ann_topk_pq(emb, q, m_sub=7)
 
 
+@pytest.mark.full_suite
 def test_pq_persisted_index_matches_direct(spark, tmp_path):
     """write → read → query must equal the direct ann_topk_pq run
     (deterministic training makes the codebooks identical), at both the
@@ -215,6 +218,7 @@ def test_pq_persisted_index_matches_direct(spark, tmp_path):
         assert [tuple(r) for r in via] == [tuple(r) for r in direct]
 
 
+@pytest.mark.full_suite
 def test_ann_recall_report_trade_table(spark):
     """r6: the recall/cost report must (a) certify the measured-
     complete driver operating points at recall 1.0, (b) show the lean
@@ -258,6 +262,7 @@ def test_ann_recall_report_trade_table(spark):
         "scan_fraction"] < 1.0
 
 
+@pytest.mark.full_suite
 def test_ivf_indexed_equals_in_memory_and_prunes(spark, tmp_path):
     """r6 persisted IVF: probing the stored index at the same training
     parameters must be row-identical to ann_topk_ivf — lean probe AND
@@ -288,6 +293,7 @@ def test_ivf_indexed_equals_in_memory_and_prunes(spark, tmp_path):
         or "cell#" in plan.split("PartitionFilters")[1][:120], plan[:3000]
 
 
+@pytest.mark.full_suite
 def test_append_ivf_index_equals_assign_union_and_validates(spark, tmp_path):
     """append == entries(old) ∪ assign(new, stored centroids); probes
     over the appended store equal ivf_topk_indexed over the combined

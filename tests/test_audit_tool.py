@@ -5,6 +5,8 @@ body sensitivity, constant tracking — need pins."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -44,6 +46,7 @@ def test_module_constant_change_is_visible():
     assert _ModuleDefs("TAU = 0.5\n").assigns["TAU"] == a.assigns["TAU"]
 
 
+@pytest.mark.full_suite
 def test_reachable_crosses_module_boundaries():
     """A queries() wrapper that calls dedup.exact_dedup must surface
     dedup.py functions AND the constants they reference."""

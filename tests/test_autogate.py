@@ -44,6 +44,7 @@ def test_auto_routes_to_lsh_past_ceiling(spark, monkeypatch):
     assert "posexplode" in plan or "Generate" in plan
 
 
+@pytest.mark.full_suite
 def test_knn_classify_bucketed_path_no_collect(spark, monkeypatch):
     emb = load_tables(spark, SF)["embeddings"]
     exact = [tuple(r) for r in similarity.knn_classify(emb, k=5).collect()]

@@ -110,6 +110,7 @@ def test_cmd_truncate_removes_store(spark, store_dir):
     assert not os.path.exists(store_dir + "/lexicon")
 
 
+@pytest.mark.full_suite
 def test_cmd_validateindex_reports_and_exits_zero(spark, tmp_path):
     """validateindex: one line per check against a fresh dedup index
     (all ok), then FAILED lines after corrupting a band partition —
@@ -169,6 +170,7 @@ def test_key_skew_report_flags_heavy_hitter(spark):
     assert rep[0]["x_uniform"] > 80  # 900 vs ~9.9 uniform
 
 
+@pytest.mark.full_suite
 def test_cmd_buildindex_and_appendindex_lifecycle(spark, tmp_path):
     """buildindex → appendindex → validateindex over the text kind: the
     full index lifecycle through the CLI face, probe-equal to a direct
@@ -289,6 +291,7 @@ def test_cmd_vsearch_ivf_and_ann(spark, tmp_path):
         assert "9 result row(s)" in lines
 
 
+@pytest.mark.full_suite
 def test_cmd_health_reports_all_three(spark, tmp_path):
     """health: anomaly, overlap and mixture reports over a parquet
     store, agreeing with the library operators' row counts."""
@@ -365,6 +368,7 @@ def test_cmd_hybrid_ranked_lines(spark):
     assert any("vec #" in l for l in ranked)
 
 
+@pytest.mark.full_suite
 def test_cmd_appendindex_ivf(spark, tmp_path):
     """appendindex --kind ivf appends at the stored centroids; the
     validateindex command stays green on the appended store."""
@@ -460,6 +464,7 @@ def test_cmd_ingest_extractors_and_compare(spark, tmp_path):
     assert any("unknown extractor" in line for line in out3)
 
 
+@pytest.mark.full_suite
 def test_cmd_health_healthcard_melt(spark, tmp_path):
     """health --report healthcard prints the C64 typed melt, one line
     per (section, metric) cell, matching the library relation's row
@@ -485,6 +490,7 @@ def test_cmd_health_healthcard_melt(spark, tmp_path):
     assert any(l.startswith("lengths/") for l in cell_lines)
 
 
+@pytest.mark.full_suite
 def test_cmd_health_govcard_and_tuningcard(spark, tmp_path):
     """govcard (needs --emb) and tuningcard print their typed melts;
     govcard without --emb explains itself instead of crashing."""

@@ -16,6 +16,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.full_suite  # edge-semantics battery: full tier only (VERDICT r11 item 1)
+
+
 DOC_QUERIES = [
     "text_tokenize_stats", "term_frequencies", "lexicon_build",
     "text_quality_score", "lang_id_heuristic", "doc_fingerprint",
@@ -219,6 +222,7 @@ def _staged_pairs():
 @pytest.mark.parametrize("name,fn,sql,needs_emb",
                          _staged_pairs(),
                          ids=[p[0] for p in _staged_pairs()])
+@pytest.mark.full_suite
 def test_edge_docs_staged_parity(spark, edge_dir_emb, name, fn, sql,
                                  needs_emb):
     con = duckdb.connect()

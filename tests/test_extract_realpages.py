@@ -18,6 +18,9 @@ import pytest
 from resin_spark.operators import extract
 from tests import realpages
 
+pytestmark = pytest.mark.full_suite  # the realpages extraction battery: full tier only (VERDICT r11 item 1)
+
+
 
 @pytest.mark.parametrize("page", realpages.pages(),
                          ids=lambda p: p["name"])

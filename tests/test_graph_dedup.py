@@ -223,6 +223,7 @@ def test_dedup_components_gated_path_equals_loop(spark):
         "corpus has no multi-doc component — pin is vacuous"
 
 
+@pytest.mark.full_suite
 def test_append_dedup_index_equals_rebuild(spark, tmp_path):
     """r6: appending a batch to a stored dedup index must equal a full
     rebuild over old∪new — relations row-for-row, the indexed
@@ -364,6 +365,7 @@ def test_threshold_curve_grid_join_is_broadcast(spark):
     assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
 
 
+@pytest.mark.full_suite
 def test_banding_report_scurve_monotonicity(spark):
     """More rows per band = stricter collisions: candidate count must be
     non-increasing as rows_per_band grows, recall 1.0 at r=1 on a

@@ -246,6 +246,7 @@ def test_length_histogram_demo_matches_oracle(tables):
 
 # --- health_card_typed: the six-card melt ------------------------------------
 
+@pytest.mark.full_suite
 def test_health_card_typed_sections_pin_members(tables):
     """Every section of the melt IS the member card's relation: the
     melted cells reproduce each member operator's collected values
@@ -294,6 +295,7 @@ def test_health_card_typed_sections_pin_members(tables):
         assert (row["value_num"] is None) or (row["value_str"] is None)
 
 
+@pytest.mark.full_suite
 def test_health_card_typed_matches_oracle(tables):
     compare(health.health_card_typed(tables),
             health.health_card_typed_oracle(), SF_SMALL)

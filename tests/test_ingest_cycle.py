@@ -17,10 +17,15 @@ across the whole loop."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from resin_spark.io import load_tables
 from resin_spark.operators import dedup, pipeline, textindex as ti, validate
+
+pytestmark = pytest.mark.full_suite  # end-to-end persisted-store cycles: full tier only (VERDICT r11 item 1)
+
 
 SF = "/root/testdata/sf0.001"
 

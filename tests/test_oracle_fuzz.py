@@ -20,6 +20,9 @@ import duckdb
 import pytest
 from hypothesis import given, settings, strategies as st
 
+pytestmark = pytest.mark.full_suite  # the per-operator fuzz batteries: full tier only (VERDICT r11 item 1)
+
+
 
 def _norm(v):
     if isinstance(v, float) and math.isnan(v):

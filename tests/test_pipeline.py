@@ -638,6 +638,7 @@ def test_semantic_split_leakage_demo_matches_oracle(spark):
             "/root/testdata/sf0.001")
 
 
+@pytest.mark.full_suite
 def test_dataset_card_sections_equal_their_source_ops(spark):
     from resin_spark.io import load_tables
     from resin_spark.operators import dedup, traindata
@@ -674,6 +675,7 @@ def test_dataset_card_sections_equal_their_source_ops(spark):
         == ["string", "string", "string"]
 
 
+@pytest.mark.full_suite
 def test_dataset_card_typed_matches_display_card(spark):
     """The typed (driver) face and the display face melt the SAME five
     cards: identical (section, metric) multisets, numeric cells equal
@@ -699,6 +701,7 @@ def test_dataset_card_typed_matches_display_card(spark):
             "/root/testdata/sf0.001")
 
 
+@pytest.mark.full_suite
 def test_split_governance_card_sections_pin_members(spark):
     """Every section of the governance melt IS the member card's
     relation (the C63 section-equality license — one driver slot
@@ -741,6 +744,7 @@ def test_split_governance_card_sections_pin_members(spark):
         assert (row["value_num"] is None) or (row["value_str"] is None)
 
 
+@pytest.mark.full_suite
 def test_split_governance_card_matches_oracle(spark):
     from resin_spark.io import load_tables
     from tests.oracle_util import compare
@@ -751,6 +755,7 @@ def test_split_governance_card_matches_oracle(spark):
             "/root/testdata/sf0.001")
 
 
+@pytest.mark.full_suite
 def test_curation_tuning_card_sections_pin_members(spark):
     """Every section of the tuning melt IS the member's relation (the
     C63 section-equality license — one r10 slot empties the staged
@@ -857,6 +862,7 @@ try:
         ),
         min_size=0, max_size=8)
 
+    @pytest.mark.full_suite
     @given(rows=_cell_rows)
     @settings(max_examples=12, deadline=None)
     def test_melt_typed_matches_sql_melt(spark, tmp_path_factory, rows):

@@ -8,11 +8,16 @@ do the work, not the volume.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from resin_spark.functions import hashing as H
 from resin_spark.operators import kv
+
+pytestmark = pytest.mark.full_suite  # the brute-force property batteries: full tier only (VERDICT r11 item 1)
+
 
 KNUTH_INIT = 3074457345618258791
 KNUTH_MULT = 3074457345618258799

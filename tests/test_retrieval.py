@@ -94,6 +94,7 @@ def test_hybrid_topk_is_take_ordered(tables):
     assert plan.count("CartesianProduct") == 0, plan[:3000]
 
 
+@pytest.mark.full_suite
 def test_hybrid_indexed_equals_direct_at_complete_probe(spark, tables,
                                                         tmp_path):
     """The persisted-store path (bm25_topk_indexed leg + complete-probe
@@ -111,6 +112,7 @@ def test_hybrid_indexed_equals_direct_at_complete_probe(spark, tables,
     assert indexed == direct and len(direct) == retrieval.HYBRID_TOPK
 
 
+@pytest.mark.full_suite
 def test_hybrid_indexed_lean_probe_runs_and_keeps_lex_leg(spark, tables,
                                                           tmp_path):
     """A lean n_probe changes only the vector leg's candidate set; the

@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from resin_spark.io import load_tables, read_cirrussearch, write_parquet
 from resin_spark.streaming import events as ev
 
+pytestmark = pytest.mark.full_suite  # the streaming-twin batteries: full tier only (VERDICT r11 item 1)
+
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -175,6 +175,7 @@ def test_empty_corpus_index_roundtrips(spark, tmp_path):
     assert ti.phrase_topk_indexed(spark, path).count() == 0
 
 
+@pytest.mark.full_suite
 def test_append_text_index_equals_rebuild(spark, tmp_path):
     """r6: incremental append must equal a full rebuild over old∪new —
     postings/doclens/stats relation-for-relation, probes row-identical,

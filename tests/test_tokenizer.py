@@ -4,6 +4,8 @@ pure-Python reference BPE on the same word frequencies."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -58,6 +60,7 @@ def test_symbols_no_trailing_empty(spark):
     assert rows == {("a", "b", "c", tok.END), ("a", tok.END)}
 
 
+@pytest.mark.full_suite
 def test_bpe_train_matches_reference(spark):
     """20 merges on the sf0.001 corpus must equal textbook BPE run on
     the identical word-frequency table — via BOTH routes: the gated
@@ -157,6 +160,7 @@ def test_bpe_encode_subword_text_is_position_ordered(spark):
     assert words == ["zebra", "apple", "zebra", "mango"]
 
 
+@pytest.mark.full_suite
 def test_bpe_encode_oracle_property_random_corpora(spark):
     """Cross-engine property for the r6 driver oracle: on adversarial
     small corpora (alphabet {a,b} → heavy repeats, overlapping pair

@@ -23,6 +23,7 @@ def _all_ok(df) -> bool:
     return all(r["ok"] for r in df.collect())
 
 
+@pytest.mark.full_suite
 def test_dedup_index_roundtrip_and_corruption(spark, tables, tmp_path):
     path = str(tmp_path / "dedup_idx")
     docs = tables["documents"].limit(80)
