@@ -67,17 +67,23 @@ def exact_dedup_oracle() -> str:
 # --- shared shingles ---------------------------------------------------------
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             base: DataFrame | None = None) -> DataFrame:
     """(doc_id, shingle) with distinct word-n-gram shingles per doc.
 
     Tokenisation is projected once before the window transform so the
     regex tokenizer isn't re-evaluated per reference in the filter and
-    gram expressions."""
-    toks = T.tokens(text_col)
-    base = (
-        docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
-        .filter(F.size("tk") >= n)
-    )
+    gram expressions. ``base`` (r12) optionally reuses a caller-cached
+    (doc_id, tk) tokenize; only valid with the default columns."""
+    if base is not None:
+        assert text_col == "text" and id_col == "doc_id"
+        base = base.select("doc_id", "tk").filter(F.size("tk") >= n)
+    else:
+        base = (
+            docs.select(F.col(id_col).alias("doc_id"),
+                        T.tokens(text_col).alias("tk"))
+            .filter(F.size("tk") >= n)
+        )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("tk") - n),
         lambda i: F.concat_ws(
@@ -100,7 +106,8 @@ def _shingles_sql(n: int = 3) -> str:
 
 # --- D2: exact n-gram jaccard ------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                        base: DataFrame | None = None) -> DataFrame:
     """All (i<j) pairs with exact shingle-set Jaccard ≥ tau.
 
     AllPairs/PPJoin-style prefix filtering keeps the result exact while
@@ -122,7 +129,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     # (p < 1e-10 at 10^9 distinct shingles). The canonical rarest-first
     # order is (df, hash) — any total order shared by all docs
     # satisfies the prefix lemma.
-    sh = shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("h"))
+    sh = shingles(docs, n, base=base).select(
+        "doc_id", F.xxhash64("shingle").alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # One aggregate yields the rarity-ordered hash list, the prefix
     # length, AND the verification set; the a/b/verify branches below
@@ -193,7 +201,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
     # (shingle_hash_sets): the per-doc hash set is a projection, so the
     # verify branches no longer re-run the shingle explode + a
     # collect_list aggregate at all.
-    sets = shingle_hash_sets(docs, n)
+    sets = shingle_hash_sets(docs, n, base=base)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("set_b"))
     return (
@@ -294,7 +302,8 @@ def shingle_hashes_from_tokens(tk_col: str, n: int = 3):
 
 
 def shingle_hash_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      base: DataFrame | None = None) -> DataFrame:
     """(doc_id, hashes array<long>) — each doc's DISTINCT hashed shingle
     set, computed ROW-LOCALLY (r11): the set is a function of the row's
     own token array (``shingle_hashes_from_tokens``), so the
@@ -310,9 +319,15 @@ def shingle_hash_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
     the r11 measurement round — ADVICE r11: it silently changed
     null-doc_id semantics while claiming to be measurement-only; the
     A/B evidence lives in OPTIMIZATION_r11.md.)"""
+    if base is not None:
+        # shared card base (r12): cached (doc_id, tk), default columns.
+        assert text_col == "text" and id_col == "doc_id"
+        src = base.select("doc_id", "tk")
+    else:
+        src = docs.select(F.col(id_col).alias("doc_id"),
+                          T.tokens(text_col).alias("tk"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    T.tokens(text_col).alias("tk"))
+        src
         # pre-filter on the INPUT size — equivalent to the explode
         # path's drop (hashes is empty iff size(tk) < n) and crucially
         # NOT a filter on the computed array: size(hashes) > 0 would
@@ -1383,8 +1398,8 @@ CURVE_N = 3
 
 
 def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
-                          thresholds: tuple[float, ...] = CURVE_THRESHOLDS
-                          ) -> DataFrame:
+                          thresholds: tuple[float, ...] = CURVE_THRESHOLDS,
+                          base: DataFrame | None = None) -> DataFrame:
     """Duplicate-mass curve: for each Jaccard threshold t, how many
     exact shingle-Jaccard pairs reach t and how much of the corpus is
     entangled in them — (threshold, n_pairs, n_docs_in_pairs,
@@ -1412,7 +1427,7 @@ def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
     # card): AQE reuses the identical PPJoin exchange stages across the
     # two grid-aggregate branches at runtime, so a localCheckpoint here
     # only adds a materialisation barrier.
-    pairs = ngram_jaccard_pairs(docs, n, base_tau).select(
+    pairs = ngram_jaccard_pairs(docs, n, base_tau, base=base).select(
         "doc_a", "doc_b", "jaccard")
     th = spark.createDataFrame([(float(t),) for t in thresholds],
                                "threshold double")
@@ -1443,8 +1458,9 @@ def dedup_threshold_curve(docs: DataFrame, n: int = CURVE_N,
     )
 
 
-def dedup_threshold_curve_demo(t: dict) -> DataFrame:
-    return dedup_threshold_curve(t["documents"])
+def dedup_threshold_curve_demo(t: dict,
+                               base: DataFrame | None = None) -> DataFrame:
+    return dedup_threshold_curve(t["documents"], base=base)
 
 
 def dedup_threshold_curve_oracle(n: int = CURVE_N,

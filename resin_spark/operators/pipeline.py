@@ -935,7 +935,8 @@ def corpus_delta_demo_oracle() -> str:
 MIX_BUDGET = 1_000_000
 
 
-def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
+def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET,
+                 base: DataFrame | None = None) -> DataFrame:
     """Per-source resampling plan for a token-budgeted training run —
     the step after domain_mix (pipeline.py:408): normalise the
     temperature weights, allocate the budget, and report how many
@@ -955,8 +956,15 @@ def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
     |sources| groups + a broadcast single-row total; the plan relation
     itself is |sources| rows.
     """
+    # shared card base (r12): size(tk) over the cached tokenize is the
+    # same nt the standalone tokenize computes; the caller pre-applies
+    # any row filter to ``base`` exactly as it would to ``docs``.
+    nt_src = (base.select("source", F.size("tk").cast("long").alias("nt"))
+              if base is not None else
+              docs.select("source",
+                          F.size(T.tokens("text")).cast("long").alias("nt")))
     per = (
-        docs.select("source", F.size(T.tokens("text")).cast("long").alias("nt"))
+        nt_src
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
         .withColumn("w", F.round(F.sqrt("n_tokens"), 6).cast("decimal(28,6)"))
@@ -986,11 +994,14 @@ def mixture_plan(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
     )
 
 
-def mixture_plan_demo(t: Tables) -> DataFrame:
+def mixture_plan_demo(t: Tables, base: DataFrame | None = None) -> DataFrame:
     """mixture_plan over the documents table at MIX_BUDGET — the
     driver-checkable form; the library API is mixture_plan(docs,
-    budget)."""
-    return mixture_plan(t["documents"].filter(F.col("doc_id").isNotNull()))
+    budget). ``base`` (r12) optionally reuses a cached card tokenize."""
+    return mixture_plan(
+        t["documents"].filter(F.col("doc_id").isNotNull()),
+        base=(base.filter(F.col("doc_id").isNotNull())
+              if base is not None else None))
 
 
 def mixture_plan_demo_oracle(budget: int = MIX_BUDGET) -> str:
@@ -1027,7 +1038,8 @@ def mixture_plan_demo_oracle(budget: int = MIX_BUDGET) -> str:
     """
 
 
-def source_divergence(docs: DataFrame) -> DataFrame:
+def source_divergence(docs: DataFrame,
+                      base: DataFrame | None = None) -> DataFrame:
     """Per-source unigram KL divergence from the corpus distribution —
     KL(source ‖ corpus) in bits: the quantitative "which source is the
     odd one out" card behind mixture decisions (a source whose token
@@ -1056,10 +1068,19 @@ def source_divergence(docs: DataFrame) -> DataFrame:
     marginals, one join back on tok (Zipf-skewed — AQE territory),
     |sources| output rows. The NB model-build shape.
     """
-    toks = (
-        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("source", F.explode(T.tokens("text")).alias("tok"))
-    )
+    if base is not None:
+        # shared card base (r12): same filters via the precomputed
+        # has_text flag; tk is the cached tokens(text).
+        toks = (
+            base.filter(F.col("doc_id").isNotNull() & F.col("has_text"))
+            .select("source", F.explode("tk").alias("tok"))
+        )
+    else:
+        toks = (
+            docs.filter(F.col("doc_id").isNotNull()
+                        & F.col("text").isNotNull())
+            .select("source", F.explode(T.tokens("text")).alias("tok"))
+        )
     # localCheckpoint (r11): the (source, tok) count frame feeds the
     # per-source totals, the corpus marginals AND the final KL join —
     # three independent branches that would each re-run the token
@@ -1148,7 +1169,8 @@ def mixture_copy_count(rate_col, salt: str = MIX_SALT):
 
 def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
                   salt: str = MIX_SALT,
-                  plan: DataFrame | None = None) -> DataFrame:
+                  plan: DataFrame | None = None,
+                  base: DataFrame | None = None) -> DataFrame:
     """Materialise mixture_plan deterministically: per document,
     (doc_id, source, n_copies) — how many epochs this doc appears in a
     training run that realises its source's sampling_rate. Every doc
@@ -1174,10 +1196,17 @@ def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
     # ``plan`` lets a caller reuse one mixture_plan across plan+execute.
     docs = docs.filter(F.col("doc_id").isNotNull())
     if plan is None:
-        plan = mixture_plan(docs, budget)
+        plan = mixture_plan(docs, budget, base=(
+            base.filter(F.col("doc_id").isNotNull())
+            if base is not None else None))
     plan = plan.select("source", "sampling_rate")
+    # the copy count needs only (doc_id, source): read them from the
+    # cached card base when given (r12), the docs scan otherwise
+    id_src = (base.filter(F.col("doc_id").isNotNull())
+              .select("doc_id", "source")
+              if base is not None else docs)
     return (
-        docs
+        id_src
         .join(F.broadcast(plan), "source", "left")
         .select(
             "doc_id", "source",
@@ -1188,7 +1217,8 @@ def apply_mixture(docs: DataFrame, budget: int = MIX_BUDGET,
 
 
 def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET,
-                       plan: DataFrame | None = None) -> DataFrame:
+                       plan: DataFrame | None = None,
+                       base: DataFrame | None = None) -> DataFrame:
     """Per-source realisation accounting of apply_mixture vs the plan:
     (source, n_docs, realized_docs, realized_tokens, planned_tokens,
     realization_ratio). The driver-checkable rollup — the per-doc
@@ -1196,12 +1226,17 @@ def apply_mixture_demo(t: Tables, budget: int = MIX_BUDGET,
     precomputed mixture_plan relation (the melt shares one plan across
     its mixture + mixture_applied sections); default self-contained."""
     docs = t["documents"].filter(F.col("doc_id").isNotNull())
+    fbase = (base.filter(F.col("doc_id").isNotNull())
+             if base is not None else None)
     # ONE mixture_plan serves both the executor and the accounting join
     # (it was computed twice before — two identical corpus scans)
-    full_plan = mixture_plan(docs, budget) if plan is None else plan
-    copies = apply_mixture(docs, budget, plan=full_plan)
-    toks = docs.select(
-        "doc_id", F.size(T.tokens("text")).cast("long").alias("nt"))
+    full_plan = (mixture_plan(docs, budget, base=fbase)
+                 if plan is None else plan)
+    copies = apply_mixture(docs, budget, plan=full_plan, base=fbase)
+    toks = (fbase.select("doc_id", F.size("tk").cast("long").alias("nt"))
+            if fbase is not None else
+            docs.select("doc_id",
+                        F.size(T.tokens("text")).cast("long").alias("nt")))
     plan = full_plan.select("source", "planned_tokens")
     per = (
         copies.join(toks, "doc_id")
@@ -1290,7 +1325,8 @@ CHUNK_OVERLAP = 16
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
-                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+                    overlap: int = CHUNK_OVERLAP,
+                    base: DataFrame | None = None) -> DataFrame:
     """Sliding-window chunking WITHIN each document: (doc_id, chunk_id,
     start_pos, n_tokens, chunk_text) with chunks of ``chunk_tokens``
     tokens stepping by ``chunk_tokens − overlap`` — the
@@ -1315,9 +1351,10 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
             f"overlap={overlap} must be smaller than "
             f"chunk_tokens={chunk_tokens} (the window must advance)")
     step = chunk_tokens - overlap
+    tokenized = (base.select("doc_id", "tk") if base is not None else
+                 docs.select("doc_id", T.tokens("text").alias("tk")))
     base = (
-        docs.filter(F.col("doc_id").isNotNull())
-        .select("doc_id", T.tokens("text").alias("tk"))
+        tokenized.filter(F.col("doc_id").isNotNull())
         .withColumn("n", F.size("tk"))
         .filter(F.col("n") > 0)
     )
@@ -1343,8 +1380,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
     )
 
 
-def chunk_documents_demo(t: Tables) -> DataFrame:
-    return chunk_documents(t["documents"])
+def chunk_documents_demo(t: Tables, base: DataFrame | None = None) -> DataFrame:
+    return chunk_documents(t["documents"], base=base)
 
 
 def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,
@@ -1981,6 +2018,8 @@ def curation_tuning_card(t: Tables) -> DataFrame:
 
     from resin_spark.operators.textops import bm25_scores
 
+    from resin_spark.operators.traindata import card_base
+
     docs = t["documents"]
     # Shared section inputs (r11, the split_governance_card pairs=
     # precedent): the mixture plan feeds BOTH the mixture and
@@ -1989,18 +2028,25 @@ def curation_tuning_card(t: Tables) -> DataFrame:
     # bounded relation (|sources| rows / |hit docs| rows), built once
     # and localCheckpointed instead of re-planned per section. Row
     # identity is unchanged (section-equality pins stay the license).
-    plan = mixture_plan_demo(t).localCheckpoint(eager=False)
-    scores = bm25_scores(t).localCheckpoint(eager=False)
+    #
+    # r12 (the dataset_card precedent, commit bd9d9f4): every section
+    # tokenized the corpus independently — nine scan+tokenize subtrees
+    # whose concurrent materialisation convoys on the same blocks. ONE
+    # eager card_base feeds all of them; each member applies its own
+    # filters on the unfiltered base, so section rows are identical.
+    base = card_base(docs).localCheckpoint(eager=True)
+    plan = mixture_plan_demo(t, base=base).localCheckpoint(eager=False)
+    scores = bm25_scores(t, base=base).localCheckpoint(eager=False)
     sections = {
         "mixture": plan,
-        "mixture_applied": apply_mixture_demo(t, plan=plan),
-        "divergence": source_divergence(docs),
-        "lang_confusion": lang_confusion(t),
-        "cdc_chunks": cdc_chunk_stats(t),
-        "dedup_curve": dedup_threshold_curve_demo(t),
-        "snippets": search_snippets(t, scores=scores),
-        "facets": search_facets(t, scores=scores),
-        "chunks": chunk_documents_demo(t),
+        "mixture_applied": apply_mixture_demo(t, plan=plan, base=base),
+        "divergence": source_divergence(docs, base=base),
+        "lang_confusion": lang_confusion(t, base=base),
+        "cdc_chunks": cdc_chunk_stats(t, base=base),
+        "dedup_curve": dedup_threshold_curve_demo(t, base=base),
+        "snippets": search_snippets(t, scores=scores, base=base),
+        "facets": search_facets(t, scores=scores, base=base),
+        "chunks": chunk_documents_demo(t, base=base),
     }
     parts = [_melt_typed(sections[name], name, keys)
              for name, keys, _, _ in TUNE_SECTIONS]

